@@ -1,0 +1,54 @@
+"""Engine configuration.
+
+The reference keeps a process-global mutable ``SketchConfig``
+(SketchConfig.scala:12-18) that executor closures write into
+(SketchGradientDescent.scala:200,210). That only works under Flink's
+slot-per-JVM layout; in Spark it would silently break. Here config is an
+immutable dataclass threaded explicitly through the API (SURVEY.md §1.1,
+§7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class SketchConfig:
+    """Sketch-compression parameters.
+
+    Defaults mirror the reference's MLConf construction
+    (SketchGradientDescent.scala:340-348, SketchConfig.scala:15):
+    quantile bins = 256 (Quantizer.DEFAULT_BIN_NUM), groups = 2
+    (SKETCH_GROUP_NO), minmax rows = 3, col ratio = 0.3, key bits = 8.
+    """
+
+    compression_type: str = "Sketch"  # {"Sketch", "None"} — Test.scala:30
+    bin_num: int = 256
+    group_num: int = 2
+    sketch_rows: int = 3
+    col_ratio: float = 0.3
+    key_bits: int = 8
+
+    def with_(self, **kw) -> "SketchConfig":
+        return replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """SGD solver parameters with FlinkML defaults
+    (SketchMultipleLinearRegression.scala:89-103, FMLR:46).
+    """
+
+    iterations: int = 10
+    step_size: float = 0.1
+    convergence_threshold: float | None = None
+    regularization: str = "none"  # {"none", "l1", "l2"}
+    reg_lambda: float = 0.0
+    lr_schedule: str = "inv_sqrt"  # eta_t = eta0 / sqrt(t) (FMLR:46)
+    # Aggregation strategy parity with SketchConfig.ReduceOurReduceGroup
+    # (SketchConfig.scala:17): "reduce" = tree aggregation with
+    # re-sketch-per-combine; "reduce_group" = single-reducer sum.
+    aggregation: str = "reduce"
+    tree_depth: int = 2
+    seed: int = 42

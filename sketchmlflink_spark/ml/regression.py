@@ -1,0 +1,129 @@
+"""Multiple linear regression estimator — the reference's public API
+surface (SketchMultipleLinearRegression.scala /
+FlinkMultipleLinearRegression.scala) as a small sklearn-style class.
+
+fit → optimize (ml/sgd.py) → stash weights (M8, SMLR:117-150);
+predict/evaluate (M6/M7, SMLR:152-173); metrics report in the
+reference's CSV_Line schema (Test.scala:71-77).
+
+The two reference arms map to ``compression``:
+  * "Sketch"  → SketchGradientDescent arm (--sketchOrFlink Sketch)
+  * "None"    → identity-compressed codepath (--compressionType None)
+  * exact/Flink arm = compression="None" (same math, no codec loss)
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketchmlflink_spark.config import SketchConfig, SolverConfig
+from sketchmlflink_spark.ml import sgd as SGD
+
+
+class NotFittedError(RuntimeError):
+    """predict-before-fit guard (SMLR:154-165)."""
+
+
+class MultipleLinearRegression:
+    def __init__(
+        self,
+        iterations: int = 10,       # FlinkML default (SMLR:94)
+        step_size: float = 0.1,     # FlinkML default (SMLR:90)
+        compression: str = "Sketch",
+        convergence_threshold: float | None = None,  # default off (SMLR:98)
+        regularization: str = "none",
+        reg_lambda: float = 0.0,
+        aggregation: str = "reduce",  # vs "reduce_group" (SketchConfig.scala:17)
+        lr_schedule: str = "inv_sqrt",
+        seed: int = 42,
+        sketch_cfg: SketchConfig | None = None,
+    ):
+        self.solver = SolverConfig(
+            iterations=iterations,
+            step_size=step_size,
+            convergence_threshold=convergence_threshold,
+            regularization=regularization,
+            reg_lambda=reg_lambda,
+            lr_schedule=lr_schedule,
+            aggregation=aggregation,
+            seed=seed,
+        )
+        self.sketch_cfg = (sketch_cfg or SketchConfig()).with_(compression_type=compression)
+        self.weights_: np.ndarray | None = None
+        self.intercept_: float | None = None
+        self.result_: SGD.TrainResult | None = None
+
+    # ----------------------------------------------------------------- fit
+    def fit(self, df: DataFrame, dim: int | None = None) -> "MultipleLinearRegression":
+        self.result_ = SGD.train(df, self.solver, self.sketch_cfg, dim=dim)
+        self.weights_ = self.result_.weights
+        self.intercept_ = self.result_.intercept
+        return self
+
+    # ------------------------------------------------------------- predict
+    def predict(self, df: DataFrame, out_col: str = "prediction") -> DataFrame:
+        if self.weights_ is None:
+            raise NotFittedError("call fit() before predict() (SMLR:154-165)")
+        udf = SGD.predict_udf_factory(df.sparkSession, self.weights_, self.intercept_)
+        return df.withColumn(out_col, udf(F.col("features")))
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        """(truth, prediction) pairs (M7, Test.scala:52)."""
+        return self.predict(df).select(F.col("label").alias("truth"), F.col("prediction"))
+
+    # ------------------------------------------------- A/B metrics harness
+    def fit_evaluate_report(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        train_fraction: float = 0.75,  # S5: 75/25 split (Test.scala:39)
+        input_file: str = "embeddings",
+        max_dim: int = -1,
+    ) -> DataFrame:
+        """Split → fit → evaluate → one metrics row in the reference's
+        CSV_Line schema (Test.scala:71-77)."""
+        t0 = time.monotonic()
+        train, test = df.randomSplit([train_fraction, 1 - train_fraction], seed=self.solver.seed)
+        self.fit(train)
+        err = (
+            self.evaluate(test)
+            .agg(
+                F.sum(F.abs(F.col("truth") - F.col("prediction"))).alias("abs_err"),  # T7+A6
+                F.count(F.lit(1)).alias("n_test"),  # A7
+            )
+            .first()
+        )
+        total_ms = (time.monotonic() - t0) * 1000.0
+        abs_err = float(err["abs_err"] or 0.0)
+        n_test = int(err["n_test"])
+        row = {
+            "sketch_or_flink": "Sketch" if self.sketch_cfg.compression_type == "Sketch" else "Flink",
+            "parallelism": int(spark.sparkContext.defaultParallelism),
+            "iterations": self.solver.iterations,
+            "step_size": float(self.solver.step_size),
+            "compression_type": self.sketch_cfg.compression_type,
+            "input_file": input_file,
+            "max_dim": max_dim,
+            "total_time_ms": round(total_ms, 1),
+            "time_per_epoch_ms": round(total_ms / max(self.result_.epochs_run, 1), 1),
+            "absolute_error": round(abs_err, 6),
+            "avg_error": round(abs_err / max(n_test, 1), 6),
+        }
+        return spark.createDataFrame([row]).select(
+            "sketch_or_flink",
+            "parallelism",
+            "iterations",
+            "step_size",
+            "compression_type",
+            "input_file",
+            "max_dim",
+            "total_time_ms",
+            "time_per_epoch_ms",
+            "absolute_error",
+            "avg_error",
+        )

@@ -1,0 +1,229 @@
+"""Distributed (sketch-compressed) gradient descent — the reference's
+core dataflow (SketchGradientDescent.scala:183-314) re-expressed in
+Spark's execution model (SURVEY.md §3.2 translation):
+
+  cache training DataFrame once; per epoch:
+    broadcast (w, b)
+    → ONE Arrow-batched mapInPandas pass per partition computes the
+      partition-local gradient sum in numpy AND compresses it
+      (fuses T2+T3+T4+partial-A1 of SURVEY.md §2 — the reference runs
+      these as separate Flink maps)
+    → partials (one tiny row per partition: sketch bytes + counters)
+      merge up a binary tree with re-sketch per combine ("reduce" mode,
+      SGD:256-281) or in one decompress-and-sum pass ("reduce_group",
+      SGD:238-253)
+    → driver applies 1/count scaling, eta_t = eta0/sqrt(t) schedule,
+      regularization step, separate intercept update (SGD:283-313)
+
+Scale notes: the per-epoch network cost is (#partitions × sketch bytes)
+— the compression applies exactly where the reference applies it, before
+anything crosses a partition boundary. At cluster scale with very large
+#partitions × dim, swap the driver-side tree for an RDD ``treeAggregate``
+over the same merge fn; the combOp is already associative-with-resketch.
+Loss is fused into the gradient pass (the reference pays a full extra
+pass per epoch when convergence checking — SGD:125; we get it free).
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sketchmlflink_spark.config import SketchConfig, SolverConfig
+from sketchmlflink_spark.ml import sketch as SK
+
+_PARTIAL_SCHEMA = "payload binary, intercept_sum double, n long, loss double"
+
+
+@dataclass
+class TrainResult:
+    weights: np.ndarray
+    intercept: float
+    losses: list[float] = field(default_factory=list)
+    epochs_run: int = 0
+    n_train: int = 0
+    epoch_times_ms: list[float] = field(default_factory=list)
+    shuffle_bytes: int = 0  # total sketch payload bytes shipped
+
+
+def _make_partial_fn(bc, dim: int, sketch_cfg: SketchConfig):
+    """Per-partition gradient pass. Nested so cloudpickle ships it by
+    value; touches only numpy/pandas/sketch-codec."""
+
+    def fn(batches):
+        w, b = bc.value
+        grad = np.zeros(dim, dtype=np.float64)
+        isum = 0.0
+        loss = 0.0
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["features"].to_numpy())
+            y = pdf["label"].to_numpy(dtype=np.float64)
+            r = X @ w + b - y  # residual of linear prediction
+            grad += r @ X  # d/dw of 0.5*r^2 summed over examples
+            isum += float(r.sum())
+            loss += 0.5 * float(r @ r)
+            n += len(y)
+        # ZeroGradient elision (P8): an all-zero partition gradient ships
+        # a null payload and is skipped by the combiner (SGD:261-270)
+        sg = SK.compress(grad, sketch_cfg, dim) if n > 0 else None
+        yield pd.DataFrame(
+            {
+                "payload": [SK.to_bytes(sg)],
+                "intercept_sum": [isum],
+                "n": [n],
+                "loss": [loss],
+            }
+        )
+
+    return fn
+
+
+def _merge_partials(partials, dim: int, sketch_cfg: SketchConfig, mode: str):
+    """Combine per-partition results.
+
+    "reduce": pairwise binary tree, re-sketching every combine so each
+    hop ships a sketch (SGD:274); partitions whose gradient was all-zero
+    are excluded from the averaging denominator (SGD:261-270).
+    "reduce_group": single decompress-and-sum pass, no re-sketch
+    (SGD:238-253); zero gradients stay in the denominator (SGD:242-248).
+    """
+    items = [(SK.from_bytes(p["payload"]), p["intercept_sum"], p["n"], p["loss"]) for p in partials]
+    isum = sum(x[1] for x in items)
+    loss = sum(x[3] for x in items)
+    if mode == "reduce_group":
+        dense = np.zeros(dim, dtype=np.float64)
+        count = 0
+        for sg, _, n, _ in items:
+            if sg is not None:
+                dense += SK.decompress(sg, dim)
+            count += n
+        return dense, isum, count, loss
+    # "reduce": tree with re-sketch per combine
+    live = [(sg, n) for sg, _, n, _ in items if sg is not None]
+    count = sum(n for _, n in live)
+    while len(live) > 1:
+        nxt = []
+        for i in range(0, len(live) - 1, 2):
+            (a, na), (b, nb) = live[i], live[i + 1]
+            nxt.append((SK.merge(a, b, sketch_cfg, dim), na + nb))
+        if len(live) % 2:
+            nxt.append(live[-1])
+        live = nxt
+    dense = SK.decompress(live[0][0], dim) if live else np.zeros(dim, dtype=np.float64)
+    return dense, isum, count, loss
+
+
+def _apply_regularization(grad: np.ndarray, w: np.ndarray, cfg: SolverConfig) -> np.ndarray:
+    if cfg.regularization == "l2":
+        return grad + cfg.reg_lambda * w
+    return grad
+
+
+def _take_step(w: np.ndarray, grad: np.ndarray, eta: float, cfg: SolverConfig) -> np.ndarray:
+    """takeStep analog (SGD:325-333): none → w − η·g; L2 folded into the
+    gradient; L1 via proximal soft-thresholding."""
+    w_new = w - eta * _apply_regularization(grad, w, cfg)
+    if cfg.regularization == "l1":
+        shrink = eta * cfg.reg_lambda
+        w_new = np.sign(w_new) * np.maximum(np.abs(w_new) - shrink, 0.0)
+    return w_new
+
+
+def _learning_rate(cfg: SolverConfig, t: int) -> float:
+    if cfg.lr_schedule == "constant":
+        return cfg.step_size
+    return cfg.step_size / math.sqrt(t)  # FlinkML Default (FMLR:46)
+
+
+def infer_dim(df: DataFrame) -> int:
+    """S3 analog: global max feature count (Test.scala:157-160)."""
+    return df.agg(F.max(F.size("features")).alias("d")).first()["d"]
+
+
+def train(
+    df: DataFrame,
+    solver: SolverConfig,
+    sketch_cfg: SketchConfig | None = None,
+    dim: int | None = None,
+) -> TrainResult:
+    """Run the SGD loop. ``df`` needs columns ``features array<double>``
+    and ``label double``. Returns weights/intercept + per-epoch metrics.
+    """
+    sketch_cfg = sketch_cfg or SketchConfig()
+    spark = df.sparkSession
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    sc = spark.sparkContext
+    if dim is None:
+        dim = infer_dim(df)
+    data = df.select("features", "label")
+    data = data.persist()
+    n_total = data.count()  # materialize the cache once (P5)
+    if n_total == 0:
+        raise ValueError("empty training set")
+
+    w = np.zeros(dim, dtype=np.float64)  # I4: zero init (SGD:55)
+    b = 0.0
+    result = TrainResult(weights=w, intercept=b, n_train=n_total)
+    prev_loss: float | None = None
+
+    for t in range(1, solver.iterations + 1):
+        t0 = time.monotonic()
+        bc = sc.broadcast((w, b))
+        try:
+            partials_df = data.mapInPandas(_make_partial_fn(bc, dim, sketch_cfg), _PARTIAL_SCHEMA)
+            partials = [r.asDict() for r in partials_df.collect()]
+        finally:
+            bc.destroy()
+        result.shuffle_bytes += sum(len(p["payload"]) for p in partials)
+        grad_sum, isum, count, loss = _merge_partials(partials, dim, sketch_cfg, solver.aggregation)
+        if count == 0:
+            count = n_total
+        eta = _learning_rate(solver, t)
+        # M3: average; M2: takeStep; M5: separate intercept update (SGD:286-310)
+        w = _take_step(w, grad_sum / count, eta, solver)
+        b = b - eta * (isum / count)
+        result.epoch_times_ms.append((time.monotonic() - t0) * 1000.0)
+        result.losses.append(loss / n_total)
+        result.epochs_run = t
+        # T5/I2: relative-loss-change convergence (SGD:129-137). The fused
+        # loss is measured at the epoch's *starting* weights — one epoch
+        # of lag vs the reference's post-update loss pass, same limit.
+        if solver.convergence_threshold is not None and prev_loss is not None and prev_loss > 0:
+            if abs(prev_loss - result.losses[-1]) / prev_loss < solver.convergence_threshold:
+                break
+        prev_loss = result.losses[-1]
+
+    data.unpersist()
+    result.weights = w
+    result.intercept = b
+    return result
+
+
+def predict_udf_factory(spark, weights: np.ndarray, intercept: float):
+    """prediction = x·w + b (M6, SMLR:166-171) as an Arrow-batched
+    pandas UDF with broadcast weights (WEIGHTVECTOR_BROADCAST analog,
+    SMLR:83)."""
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    bc = spark.sparkContext.broadcast((np.asarray(weights, dtype=np.float64), float(intercept)))
+
+    def _predict(series: pd.Series) -> pd.Series:
+        w, b = bc.value
+        X = np.stack(series.to_numpy())
+        return pd.Series(X @ w + b)
+
+    return F.pandas_udf(_predict, "double")

@@ -1,0 +1,110 @@
+"""ML-surface registry entries (SURVEY.md §2.4-2.6 operators exposed to
+the driver harness over the `embeddings` table).
+
+The training arms themselves live in sketchmlflink_spark/ml/; entries
+here adapt them onto (spark, sf_dir) → DataFrame. Deterministic
+fixed-weight prediction and dimension inference are SQL-expressible and
+hash-checked; iterative training is rows-only per the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketchmlflink_spark.functions.vector import as_double_array, dot
+from sketchmlflink_spark.operators.relational import t
+from sketchmlflink_spark.registry import register
+
+EMBED_DIM = 64
+# Deterministic non-trivial weights: w_i = ((i*37) % 21 - 10) / 10
+FIXED_WEIGHTS = [((i * 37) % 21 - 10) / 10.0 for i in range(EMBED_DIM)]
+FIXED_INTERCEPT = 0.5
+
+
+# --------------------------------------------------------------------------
+# m01 — predict: y = x·w + b (M6/M7 in SURVEY.md §2.5;
+# SketchMultipleLinearRegression.scala:166-171). Pure Catalyst dot.
+# --------------------------------------------------------------------------
+@register(
+    "m01_linear_predict",
+    oracle=f"""
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              {FIXED_WEIGHTS}::DOUBLE[]) + {FIXED_INTERCEPT}, 6) AS prediction
+FROM embeddings
+""",
+    tags=("ml", "predict"),
+)
+def m01_linear_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear prediction with fixed deterministic weights — the predict
+    operator isolated from training, hash-checked against DuckDB."""
+    emb = t(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in FIXED_WEIGHTS])
+    pred = dot(as_double_array("embedding"), w) + F.lit(FIXED_INTERCEPT)
+    return emb.select("vec_id", F.round(pred, 6).alias("prediction"))
+
+
+# --------------------------------------------------------------------------
+# m02 — dimension inference (S3 in SURVEY.md §2.1: global max over
+# feature indices; here max embedding length).
+# --------------------------------------------------------------------------
+@register(
+    "m02_dimension_inference",
+    oracle="SELECT CAST(max(len(embedding)) AS BIGINT) AS dim FROM embeddings",
+    tags=("ml", "ingest"),
+)
+def m02_dimension_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.agg(F.max(F.size("embedding")).cast("long").alias("dim"))
+
+
+# --------------------------------------------------------------------------
+# m03/m04 — the two training arms (A/B protocol of the reference,
+# Test.scala:43-117): exact SGD vs sketch-compressed SGD on a
+# deterministic synthetic regression target over embeddings.
+# Iterative training is not ANSI-SQL-expressible → rows-only checks;
+# convergence/accuracy asserted in tests/test_sgd.py.
+# --------------------------------------------------------------------------
+def _training_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label = x·w* + b* + deterministic 'noise' derived from vec_id
+    (no RNG at query time — reproducible across runs and engines)."""
+    emb = t(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in FIXED_WEIGHTS])
+    noise = (F.pmod(F.col("vec_id") * 2654435761, F.lit(1000)) - 500) / 50000.0
+    return emb.select(
+        F.col("vec_id"),
+        as_double_array("embedding").alias("features"),
+        (dot(as_double_array("embedding"), w) + F.lit(FIXED_INTERCEPT) + noise).alias("label"),
+    )
+
+
+@register(
+    "m03_sgd_exact_metrics",
+    oracle=None,
+    tags=("ml", "train", "exact-arm"),
+)
+def m03_sgd_exact_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (uncompressed) arm: 5 epochs, step 0.5, eta/sqrt(t) — the
+    reference's canonical config (README.md:15). Returns the reference's
+    CSV_Line metric row (Test.scala:71-77 schema)."""
+    from sketchmlflink_spark.ml.regression import MultipleLinearRegression
+
+    df = _training_df(spark, sf_dir)
+    mlr = MultipleLinearRegression(iterations=5, step_size=0.5, compression="None")
+    return mlr.fit_evaluate_report(spark, df)
+
+
+@register(
+    "m04_sgd_sketch_metrics",
+    oracle=None,
+    tags=("ml", "train", "sketch-arm"),
+)
+def m04_sgd_sketch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-compressed arm (the reference's raison d'être): gradients
+    quantile-quantized + minmax-sketched before aggregation."""
+    from sketchmlflink_spark.ml.regression import MultipleLinearRegression
+
+    df = _training_df(spark, sf_dir)
+    mlr = MultipleLinearRegression(iterations=5, step_size=0.5, compression="Sketch")
+    return mlr.fit_evaluate_report(spark, df)

@@ -1,0 +1,293 @@
+"""Deduplication operators over the `documents` table — the
+training-data-pipeline surface (exact, normalized, n-gram Jaccard,
+MinHash+LSH, SimHash).
+
+Scale design (the part that matters at 100 TB):
+  * exact/normalized dedup = hash-groupBy — one shuffle on a 16-byte key,
+    AQE coalesces the post-shuffle partitions;
+  * MinHash+LSH = signatures computed scan-side (no shuffle), then ONE
+    shuffle on (band, band_hash); candidate verification touches only
+    colliding pairs — never the O(n²) cross product;
+  * SimHash = 64-bit signature scan-side, pigeonhole banding (4×16 bit
+    chunks) for hamming≤3 candidates, verify with bit_count(xor).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketchmlflink_spark.functions import text as T
+from sketchmlflink_spark.operators.relational import t
+from sketchmlflink_spark.registry import register
+
+# MinHash parameters — deterministic, seeded (SURVEY.md §7.4: seed
+# everything seedable).
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8
+MINHASH_ROWS_PER_BAND = MINHASH_PERMS // MINHASH_BANDS
+MINHASH_PRIME = 2147483647  # 2^31-1; a*h stays < 2^63 (h < 2^32, a < 2^30)
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(MINHASH_PERMS)]
+MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(MINHASH_PERMS)]
+
+SHINGLE_SIZE = 3
+JACCARD_THRESHOLD = 0.3
+SIMHASH_MAX_HAMMING = 3
+
+
+# --------------------------------------------------------------------------
+# d01 — exact dedup: hash-groupBy on content digest.
+# --------------------------------------------------------------------------
+@register(
+    "d01_dedup_exact",
+    oracle="""
+SELECT md5(text)               AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       MIN(doc_id)              AS keeper_doc_id
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("dedup", "exact"),
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: one shuffle on the md5 digest (never on the
+    full text bytes — at 100 TB that's the difference that matters)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# d02 — normalized dedup (casefold + whitespace collapse before hashing).
+# --------------------------------------------------------------------------
+@register(
+    "d02_dedup_normalized",
+    oracle=r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+       CAST(count(*) AS BIGINT)                                AS n_copies,
+       MIN(doc_id)                                             AS keeper_doc_id
+FROM documents
+GROUP BY 1
+""",
+    tags=("dedup", "normalized"),
+)
+def d02_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(T.normalized_text("text")).alias("norm_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# shared shingle helpers
+# --------------------------------------------------------------------------
+def shingles(tokens_col):
+    """Distinct k-word shingles as strings (k=3)."""
+    n = F.size(tokens_col)
+    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_SIZE - 1), F.lit(0)))
+    mk = lambda i: F.concat_ws(
+        " ", *[F.element_at(tokens_col, i + j) for j in range(SHINGLE_SIZE)]
+    )
+    return F.array_distinct(F.transform(idx, mk))
+
+
+def _duck_shingles(tk: str = "tk") -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({tk})-{SHINGLE_SIZE-1}, 0)+1), "
+        f"i -> {tk}[i] || ' ' || {tk}[i+1] || ' ' || {tk}[i+2]))"
+    )
+
+
+# --------------------------------------------------------------------------
+# d03 — n-gram Jaccard similarity on a linear (adjacent-id) pair join:
+# the hash-checkable correctness anchor for the shingle+jaccard math that
+# d04's LSH path reuses.
+# --------------------------------------------------------------------------
+@register(
+    "d03_jaccard_adjacent",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id, {_duck_shingles()} AS sh
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+""",
+    tags=("dedup", "jaccard"),
+)
+def d03_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", shingles(T.tokens("text")).alias("sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# d04 — MinHash + LSH near-duplicate detection (the scale path).
+# --------------------------------------------------------------------------
+def _perm(a: int, b: int):
+    return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
+
+def minhash_signature(sh_col):
+    """32 permutations min-hash over 32-bit-reduced xxhash64 shingle
+    hashes: sig_i = min over shingles of (a_i*h + b_i) mod p."""
+    hs = F.transform(sh_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    return F.array(
+        *[
+            F.array_min(F.transform(hs, _perm(MINHASH_A[i], MINHASH_B[i])))
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature, explode, self-join per bucket → candidate
+    pairs. The only shuffle is on (band, band_hash)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", j * MINHASH_ROWS_PER_BAND + r + 1).cast("string")
+                            for r in range(MINHASH_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    exploded = sig_df.select(id_col, F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+    x = exploded.alias("x")
+    y = exploded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs verified with exact Jaccard."""
+    sh = docs.select("doc_id", shingles(T.tokens("text")).alias("sh")).where(F.size("sh") > 0)
+    sigs = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    cands = lsh_candidate_pairs(sigs)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "d04_minhash_lsh_neardup",
+    oracle=None,  # LSH candidate generation isn't ANSI-SQL-expressible; rows-only
+    tags=("dedup", "minhash", "lsh"),
+)
+def d04_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms)+LSH(8 bands×4 rows) near-dups ≥ 0.3 Jaccard,
+    verified exactly on candidates. Empty on the synthetic corpus (no
+    near-dups by construction) — behavior is fixture-tested in
+    tests/test_dedup.py."""
+    return minhash_near_duplicates(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# d05 — SimHash near-duplicate detection.
+# --------------------------------------------------------------------------
+def simhash64(tokens_col):
+    """64-bit SimHash from per-token xxhash64, computed entirely in
+    Catalyst: per bit, majority vote of token-hash bits."""
+    hs = F.transform(tokens_col, lambda tok: F.xxhash64(tok))
+    bit_sum = lambda i: F.aggregate(
+        hs,
+        F.lit(0),
+        lambda acc, h: acc + (F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out + F.when(bit_sum(i) > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Pigeonhole banding: 4×16-bit chunks — any pair within hamming≤3
+    agrees on ≥1 chunk; verify with bit_count(xor)."""
+    sh = docs.select("doc_id", simhash64(T.tokens("text")).alias("sim"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned("sim", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+            )
+            for i in range(4)
+        ]
+    )
+    e = sh.select("doc_id", "sim", F.explode(chunks).alias("c")).select(
+        "doc_id", "sim", F.col("c.chunk").alias("chunk"), F.col("c.ch").alias("ch")
+    )
+    x = e.alias("x")
+    y = e.alias("y")
+    ham = F.bit_count(F.col("x.sim").bitwiseXOR(F.col("y.sim")))
+    return (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.ch") == F.col("y.ch"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "d05_simhash_neardup",
+    oracle=None,  # bit-level simhash not expressible in the DuckDB oracle; rows-only
+    tags=("dedup", "simhash"),
+)
+def d05_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dups with hamming ≤ 3 via 16-bit pigeonhole
+    bands. Fixture-tested in tests/test_dedup.py."""
+    return simhash_near_duplicates(t(spark, sf_dir, "documents"))

@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+with decode / feature-extraction as Arrow-batched pandas functions over
+``mapInPandas`` (SURVEY.md north-star scope).
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic stub (`fake_decode_features`) — the
+Spark-side plumbing (binary schema, batch shape, partitioning, UDF
+signature) is real and tested. Swapping the stub for PIL/torchaudio is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sketchmlflink_spark.operators.relational import t
+from sketchmlflink_spark.registry import register
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("feat_mean", DoubleType()),
+        StructField("feat_head", ArrayType(DoubleType())),
+    ]
+)
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """Documents → opaque binary payloads + typed metadata. In a real
+    pipeline this is the parquet table of raw image/audio bytes."""
+    return docs.select(
+        "doc_id",
+        F.lit("text/fake").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode: deterministic fake feature extraction (byte stats)
+    standing in for image-decode/resize/frame-sample. Real decoders are
+    NOT installed in this container — replace this function body (only)
+    when they are. Arrow-batched: one pandas frame per partition chunk.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            head = (arr[:8].astype("float64") / 255.0) if arr.size else np.zeros(8)
+            feats.append(
+                (float(arr.mean()) if arr.size else 0.0, [round(x, 6) for x in head.tolist()])
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["n_bytes"],
+                "feat_mean": [round(f[0], 4) for f in feats],
+                "feat_head": [f[1] for f in feats],
+            }
+        )
+
+
+# --------------------------------------------------------------------------
+# mm01 — metadata surface (oracle-checked: byte lengths must agree).
+# --------------------------------------------------------------------------
+@register(
+    "mm01_media_metadata",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'text/fake'                                AS media_type
+FROM documents
+""",
+    tags=("multimodal", "metadata"),
+)
+def mm01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return media_table(docs).select("doc_id", "n_bytes", "media_type")
+
+
+# --------------------------------------------------------------------------
+# mm02 — decode + feature extraction over mapInPandas (rows-only: the
+# stubbed decode has no SQL equivalent; plumbing is fixture-tested).
+# --------------------------------------------------------------------------
+@register(
+    "mm02_media_features",
+    oracle=None,
+    tags=("multimodal", "features"),
+)
+def mm02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    docs = t(spark, sf_dir, "documents")
+    return media_table(docs).mapInPandas(fake_decode_features, FEATURE_SCHEMA)

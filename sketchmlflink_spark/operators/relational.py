@@ -1,0 +1,545 @@
+"""Relational query surface (SURVEY.md §7.1 M0, §7.3).
+
+Everything here is pure Catalyst: scans with pushed filters/pruned
+columns, broadcast joins for the small dimensions, hash aggregates,
+window functions, rollup, set ops. Zero custom execution code — at
+100 TB this is the layer we explicitly do NOT hand-schedule (AQE picks
+join strategies and coalesces shuffle partitions at runtime).
+
+Cross-engine hash-match conventions (driver compares vs DuckDB):
+  * every computed column is aliased identically in Spark and SQL;
+  * double aggregates are rounded (sum→2dp, ratios/avgs→4dp) so
+    summation-order ulp drift can't flip the hash;
+  * timestamp outputs are formatted to strings;
+  * counts are cast to BIGINT on the DuckDB side (its count/sum(int)
+    widens to HUGEINT otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sketchmlflink_spark.registry import register
+from sketchmlflink_spark.session import tune_for_session
+from sketchmlflink_spark.sources.tables import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_for_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01 — TPC-H Q1-style pricing summary: the flagship scan+agg.
+# Reference analog: the loss/metric aggregations (SURVEY.md A4-A6) are
+# map+reduce over all rows; this is the same physical shape on lineitem.
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       CAST(count(*) AS BIGINT)                                         AS count_order
+FROM lineitem
+WHERE year(l_shipdate) <= 2000
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "agg"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → pushed filter → hash aggregate; whole-stage codegen end to end."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.year("l_shipdate") <= 2000)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — TPC-H Q6-style revenue forecast: selective filter + global agg.
+# --------------------------------------------------------------------------
+@register(
+    "q02_revenue_forecast",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT)                    AS n_items
+FROM lineitem
+WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+""",
+    tags=("relational", "filter", "agg"),
+)
+def q02_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three predicates push to the parquet scan (P7 analog)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.year("l_shipdate").between(1996, 1998))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — TPC-H Q3-style shipping priority: 3-way join, topk.
+# --------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    oracle="""
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND year(o_orderdate) <= 1998
+  AND year(l_shipdate) >= 1999
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("relational", "join", "topk"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer (filtered) broadcasts into orders⋈lineitem; TopK via
+    sort+limit which Spark executes as TakeOrderedAndProject (no full sort)."""
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(F.year("o_orderdate") <= 1998)
+    li = t(spark, sf_dir, "lineitem").where(F.year("l_shipdate") >= 1999)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — order-priority check: EXISTS semi-join.
+# --------------------------------------------------------------------------
+@register(
+    "q04_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "semijoin"),
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# q05 — TPC-H Q5-style local-supplier revenue: 6-way star join.
+# --------------------------------------------------------------------------
+@register(
+    "q05_revenue_by_nation",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('EUROPE', 'ASIA')
+GROUP BY n_name
+""",
+    tags=("relational", "join", "star"),
+)
+def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: every dimension (region, nation, supplier, customer)
+    broadcasts; only orders⋈lineitem shuffles — the plan that survives
+    a 1000× fact-table scale-up."""
+    region = t(spark, sf_dir, "region").where(F.col("r_name").isin("EUROPE", "ASIA"))
+    nation = t(spark, sf_dir, "nation")
+    supplier = t(spark, sf_dir, "supplier")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    dims = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(dims),
+            (li.l_suppkey == dims.s_suppkey) & (customer.c_nationkey == dims.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — TPC-H Q13-style customer order-count distribution: outer join +
+# two-level aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "q06_customer_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    tags=("relational", "outerjoin", "agg"),
+)
+def q06_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q07 — window function: top order per customer.
+# --------------------------------------------------------------------------
+@register(
+    "q07_top_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+WHERE rn = 1
+""",
+    tags=("relational", "window"),
+)
+def q07_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number with a deterministic tiebreak (o_orderkey)."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — ROLLUP: hierarchical totals.
+# --------------------------------------------------------------------------
+@register(
+    "q08_rollup_sales",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)  AS sum_qty,
+       CAST(count(*) AS BIGINT)   AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("relational", "rollup"),
+)
+def q08_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — DISTINCT projection.
+# --------------------------------------------------------------------------
+@register(
+    "q09_distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    tags=("relational", "distinct"),
+)
+def q09_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# --------------------------------------------------------------------------
+# q10 — set operation: nations present on both sides of the market.
+# --------------------------------------------------------------------------
+@register(
+    "q10_nation_intersect",
+    oracle="""
+SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+INTERSECT
+SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+""",
+    tags=("relational", "setop"),
+)
+def q10_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    cust_nations = t(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    supp_nations = t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    return cust_nations.intersect(supp_nations)
+
+
+# --------------------------------------------------------------------------
+# q11 — anti join: customers with no orders.
+# --------------------------------------------------------------------------
+@register(
+    "q11_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    tags=("relational", "antijoin"),
+)
+def q11_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# q12 — events: tumbling-window (hourly) aggregation. Batch equivalent of
+# the streaming windowed agg in streaming/sketch_agg.py.
+# --------------------------------------------------------------------------
+@register(
+    "q12_events_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT)   AS n_events,
+       round(sum(value), 2)       AS sum_value,
+       round(avg(value), 4)       AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("relational", "events", "window-agg"),
+)
+def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — events: JSON extraction from the props column.
+# --------------------------------------------------------------------------
+@register(
+    "q13_events_json_bucket",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT)                            AS n_events,
+       round(sum(value), 2)                                AS sum_value
+FROM events
+GROUP BY 1
+""",
+    tags=("relational", "events", "json"),
+)
+def q13_events_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — events: per-user inter-event gap via LAG window.
+# --------------------------------------------------------------------------
+@register(
+    "q14_user_event_gaps",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT)     AS n_gaps,
+       round(avg(gap_sec), 4)       AS avg_gap_sec
+FROM (
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_sec
+    FROM events
+)
+WHERE gap_sec IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("relational", "events", "window"),
+)
+def q14_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_sec", gap)
+        .where(F.col("gap_sec").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"), F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — TPC-H Q14-style promo revenue share: join + conditional agg.
+# --------------------------------------------------------------------------
+@register(
+    "q15_promo_revenue_share",
+    oracle="""
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+    tags=("relational", "join", "case"),
+)
+def q15_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — supplier account-balance stats per nation.
+# --------------------------------------------------------------------------
+@register(
+    "q16_supplier_stats_by_nation",
+    oracle="""
+SELECT n_name,
+       CAST(count(*) AS BIGINT)      AS n_suppliers,
+       round(min(s_acctbal), 2)      AS min_bal,
+       round(max(s_acctbal), 2)      AS max_bal,
+       round(avg(s_acctbal), 4)      AS avg_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("relational", "join", "agg"),
+)
+def q16_supplier_stats_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — top-N with join: biggest orders and who placed them.
+# --------------------------------------------------------------------------
+@register(
+    "q17_big_orders",
+    oracle="""
+SELECT o_orderkey, c_name, round(o_totalprice, 2) AS totalprice,
+       strftime(o_orderdate, '%Y-%m-%d')          AS orderdate
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    tags=("relational", "topk", "join"),
+)
+def q17_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .drop("o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — exact percentiles per group (scale note: at 100 TB swap the exact
+# percentile for approx_percentile — same API shape, sketch-backed (KLL),
+# one pass, mergeable across partitions).
+# --------------------------------------------------------------------------
+@register(
+    "q18_price_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("relational", "percentile"),
+)
+def q18_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §7.1 M6;
+training-data-pipeline surface: language ID, quality scoring, token
+counting, fingerprinting).
+
+All of these are Catalyst higher-order functions over split tokens —
+JVM-side, whole-stage-codegen'd, no Python UDFs — so they scale linearly
+with document bytes and shuffle nothing except the final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketchmlflink_spark.functions import text as T
+from sketchmlflink_spark.registry import register
+from sketchmlflink_spark.operators.relational import t
+
+
+def _duck_tokens(col: str = "text") -> str:
+    return f"regexp_split_to_array(trim({col}), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+@register(
+    "t01_token_stats_by_lang",
+    oracle=f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT)                                   AS n_docs,
+       CAST(sum(len({_duck_tokens()})) AS BIGINT)                 AS total_tokens,
+       round(avg(len({_duck_tokens()})), 4)                       AS avg_tokens,
+       round(avg(n_chars), 4)                                     AS avg_chars
+FROM documents
+GROUP BY lang
+""",
+    tags=("text", "tokens"),
+)
+def t01_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts per language bucket."""
+    docs = t(spark, sf_dir, "documents")
+    n_tok = T.token_count("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+@register(
+    "t02_quality_scores",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_duck_tokens()} AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT)                                          AS n_tokens,
+       round(len(list_distinct(tk)) * 1.0 / len(tk), 4)                 AS distinct_ratio,
+       round(len(list_filter(tk, x -> x IN {T.EN_STOPWORDS!r})) * 1.0
+             / len(tk), 4)                                              AS stopword_ratio,
+       round(list_sum(list_transform(tk, x -> length(x))) * 1.0
+             / len(tk), 4)                                              AS avg_token_len
+FROM toks
+WHERE len(tk) > 0
+""",
+    tags=("text", "quality"),
+)
+def t02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, type/token ratio,
+    stopword ratio, mean token length — the standard cheap pre-filters
+    in a training-data pipeline."""
+    docs = t(spark, sf_dir, "documents")
+    tk = T.tokens("text")
+    out = docs.select("doc_id", tk.alias("tk")).where(F.size("tk") > 0)
+    return out.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.round(T.distinct_token_ratio(F.col("tk")), 4).alias("distinct_ratio"),
+        F.round(T.marker_hits(F.col("tk"), T.EN_STOPWORDS) / F.size("tk"), 4).alias("stopword_ratio"),
+        F.round(T.avg_token_len(F.col("tk")), 4).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# language identification (marker-word heuristic)
+# --------------------------------------------------------------------------
+def _duck_lang_scores() -> str:
+    parts = []
+    for lang, words in T.LANG_MARKERS.items():
+        parts.append(f"len(list_filter(tk, x -> x IN {words!r})) AS s_{lang}")
+    return ",\n           ".join(parts)
+
+
+@register(
+    "t03_lang_id",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {_duck_lang_scores()}
+    FROM (SELECT doc_id, lang, {_duck_tokens()} AS tk FROM documents)
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE
+         WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+         WHEN s_fr >= greatest(s_de, s_es)       THEN 'fr'
+         WHEN s_de >= s_es                       THEN 'de'
+         ELSE 'es'
+       END AS predicted_lang
+FROM scored
+""",
+    tags=("text", "langid"),
+)
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-word language ID heuristic. Deterministic tiebreak
+    order en > fr > de > es, mirrored exactly in the oracle."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            T.marker_hits(T.tokens("text"), words).alias(f"s_{lang}")
+            for lang, words in T.LANG_MARKERS.items()
+        ],
+    )
+    pred = (
+        F.when(F.col("s_en") >= F.greatest("s_fr", "s_de", "s_es"), "en")
+        .when(F.col("s_fr") >= F.greatest("s_de", "s_es"), "fr")
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting (rolling hash)
+# --------------------------------------------------------------------------
+@register(
+    "t04_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform({_duck_tokens()},
+                                     x -> CAST(length(x) * 131 + ord(x[1:1]) AS BIGINT))),
+         (acc, x) -> (acc * {T.FINGERPRINT_BASE} + x) % {T.FINGERPRINT_MOD}
+       ) AS fingerprint
+FROM documents
+""",
+    tags=("text", "fingerprint"),
+)
+def t04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint per document (mod 1e9+7 so
+    Spark and DuckDB agree without 64-bit overflow divergence)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.rolling_fingerprint(T.tokens("text")).alias("fingerprint"))

@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads);
+the same settings are what we'd ship to a 1000-executor cluster: AQE for
+runtime re-planning (skew joins, partition coalescing), Arrow for every
+Python<->JVM crossing, and shuffle partitions sized to the environment
+instead of Spark's legacy 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "sketchmlflink-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a session we didn't build (the driver
+    harness hands us its own SparkSession in ``entry``)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # UTC so date_trunc/date_format on instant-typed columns agree with
+    # the (naive-timestamp) DuckDB oracle regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to Python workers via addPyFile so functions
+    serialized by reference (mapInPandas bodies, the sketch codec)
+    resolve on executors — required on a real cluster, and also in
+    local mode when PYTHONPATH doesn't cover the repo."""
+    sc = spark.sparkContext
+    if getattr(sc, "_sketchml_pkg_added", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(tempfile.gettempdir(), "sketchmlflink_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, p.relative_to(pkg_dir.parent))
+    sc.addPyFile(zpath)
+    sc._sketchml_pkg_added = True
