@@ -29,6 +29,10 @@ class SketchConfig:
     sketch_rows: int = 3
     col_ratio: float = 0.3
     key_bits: int = 8
+    # Below this nnz the quantile-splits + grid overhead exceeds exact
+    # float64 values, so ship exact (SketchML targets very wide sparse
+    # gradients; tiny ones would *inflate*). 0 = always sketch.
+    auto_fallback_nnz: int = 512
 
     def with_(self, **kw) -> "SketchConfig":
         return replace(self, **kw)

@@ -51,21 +51,22 @@ class MinMaxSketch:
     take the MAX over rows — collisions can only pull an estimate down,
     max-over-rows takes the least-damaged row."""
 
-    grid: np.ndarray  # (rows, width) int16; sentinel = bin_num (empty)
+    grid: np.ndarray  # (rows, width) uint8; sentinel = bin_num (empty)
     sentinel: int
 
     @classmethod
     def build(cls, keys: np.ndarray, buckets: np.ndarray, rows: int, width: int, bin_num: int) -> "MinMaxSketch":
-        grid = np.full((rows, width), bin_num, dtype=np.int16)
+        assert bin_num <= 255, "bucket ids + sentinel must fit uint8 (8-bit flag, SGD:343-346)"
+        grid = np.full((rows, width), bin_num, dtype=np.uint8)
         for r in range(rows):
-            np.minimum.at(grid[r], _positions(keys, r, width), buckets.astype(np.int16))
+            np.minimum.at(grid[r], _positions(keys, r, width), buckets.astype(np.uint8))
         return cls(grid=grid, sentinel=bin_num)
 
     def query(self, keys: np.ndarray) -> np.ndarray:
         rows, width = self.grid.shape
         est = np.full(keys.shape, -1, dtype=np.int16)
         for r in range(rows):
-            v = self.grid[r, _positions(keys, r, width)]
+            v = self.grid[r, _positions(keys, r, width)].astype(np.int16)
             v = np.where(v == self.sentinel, -1, v)
             est = np.maximum(est, v)
         return np.clip(est, 0, self.sentinel - 1)
@@ -138,10 +139,12 @@ def compress(values: np.ndarray, cfg: SketchConfig, dim: int | None = None) -> S
         return None
     vals = values[keys]
     key_buf = encode_keys(keys)
-    if cfg.compression_type == "None":
+    if cfg.compression_type == "None" or keys.size < cfg.auto_fallback_nnz:
         return SketchedGradient(dim, key_buf, keys.size, vals.copy(), None, None, None)
 
-    bins = cfg.bin_num
+    # 255 effective bins so bucket ids + the empty sentinel share uint8
+    # (the reference's 8-bit quantization flag, SGD:343-346)
+    bins = min(cfg.bin_num, 255)
     qs = np.linspace(0.0, 1.0, bins + 1)
     splits = np.quantile(vals, qs)
     # bucket i covers [splits[i], splits[i+1])

@@ -105,6 +105,13 @@ def m04_sgd_sketch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile-quantized + minmax-sketched before aggregation."""
     from sketchmlflink_spark.ml.regression import MultipleLinearRegression
 
+    from sketchmlflink_spark.config import SketchConfig
+
     df = _training_df(spark, sf_dir)
-    mlr = MultipleLinearRegression(iterations=5, step_size=0.5, compression="Sketch")
+    # auto_fallback_nnz=0: force real sketching even at dim 64 so the
+    # driver-visible arm exercises the codec, not the fallback
+    mlr = MultipleLinearRegression(
+        iterations=5, step_size=0.5, compression="Sketch",
+        sketch_cfg=SketchConfig(auto_fallback_nnz=0),
+    )
     return mlr.fit_evaluate_report(spark, df)

@@ -88,7 +88,13 @@ def d02_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared shingle helpers
 # --------------------------------------------------------------------------
 def shingles(tokens_col):
-    """Distinct k-word shingles as strings (k=3)."""
+    """Distinct k-word shingles as strings (k=3).
+
+    IMPORTANT: pass a *materialized column reference* (project the token
+    array first), not an inline ``split(...)`` expression — Catalyst
+    inlines expression arguments into every ``element_at`` here, which
+    re-runs the split per shingle element (measured 10× slowdown).
+    A multi-referenced projected column is kept by CollapseProject."""
     n = F.size(tokens_col)
     idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_SIZE - 1), F.lit(0)))
     mk = lambda i: F.concat_ws(
@@ -125,7 +131,9 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 )
 def d03_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    s = docs.select("doc_id", shingles(T.tokens("text")).alias("sh"))
+    s = docs.select("doc_id", T.tokens("text").alias("tk")).select(
+        "doc_id", shingles(F.col("tk")).alias("sh")
+    )
     a = s.alias("a")
     b = s.alias("b")
     jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
@@ -142,25 +150,27 @@ def d03_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # d04 — MinHash + LSH near-duplicate detection (the scale path).
 # --------------------------------------------------------------------------
-def _perm(a: int, b: int):
-    return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+def minhash_signatures(sh_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, sh array) → (id, s0..s31 minhash columns).
 
-
-def minhash_signature(sh_col):
-    """32 permutations min-hash over 32-bit-reduced xxhash64 shingle
-    hashes: sig_i = min over shingles of (a_i*h + b_i) mod p."""
-    hs = F.transform(sh_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
-    return F.array(
-        *[
-            F.array_min(F.transform(hs, _perm(MINHASH_A[i], MINHASH_B[i])))
-            for i in range(MINHASH_PERMS)
-        ]
+    Explode + ONE hash aggregate with 32 ``min`` expressions — stays in
+    whole-stage codegen and map-side partial aggregation (vs. 32 nested
+    array transforms per row, which overflow the codegen method-size
+    limit and fall back to interpreted eval — measured 30× slower)."""
+    h = F.pmod(F.xxhash64("sh"), F.lit(1 << 32))
+    exploded = sh_df.select(id_col, F.explode("sh").alias("sh")).select(
+        id_col, h.alias("h")
     )
+    mins = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_PRIME).alias(f"s{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    return exploded.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the signature, explode, self-join per bucket → candidate
-    pairs. The only shuffle is on (band, band_hash)."""
+    """Band the signature columns, explode, self-join per bucket →
+    candidate pairs. The only shuffle is on (band, band_hash)."""
     bands = F.array(
         *[
             F.struct(
@@ -169,7 +179,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     F.concat_ws(
                         ",",
                         *[
-                            F.element_at("sig", j * MINHASH_ROWS_PER_BAND + r + 1).cast("string")
+                            F.col(f"s{j * MINHASH_ROWS_PER_BAND + r}").cast("string")
                             for r in range(MINHASH_ROWS_PER_BAND)
                         ],
                     )
@@ -197,8 +207,9 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def minhash_near_duplicates(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs verified with exact Jaccard."""
-    sh = docs.select("doc_id", shingles(T.tokens("text")).alias("sh")).where(F.size("sh") > 0)
-    sigs = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    tok = docs.select("doc_id", T.tokens("text").alias("tk"))
+    sh = tok.select("doc_id", shingles(F.col("tk")).alias("sh")).where(F.size("sh") > 0)
+    sigs = minhash_signatures(sh)
     cands = lsh_candidate_pairs(sigs)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -231,25 +242,32 @@ def d04_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # d05 — SimHash near-duplicate detection.
 # --------------------------------------------------------------------------
-def simhash64(tokens_col):
-    """64-bit SimHash from per-token xxhash64, computed entirely in
-    Catalyst: per bit, majority vote of token-hash bits."""
-    hs = F.transform(tokens_col, lambda tok: F.xxhash64(tok))
-    bit_sum = lambda i: F.aggregate(
-        hs,
-        F.lit(0),
-        lambda acc, h: acc + (F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, sim: 64-bit SimHash).
+
+    Explode token hashes + ONE hash aggregate with 64 conditional sums
+    (same pattern/rationale as minhash_signatures: per-bit majority vote
+    stays in codegen + map-side partial agg instead of 64 array
+    traversals per row)."""
+    hs = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok")).select(
+        "doc_id", F.xxhash64("tok").alias("h")
     )
-    out = F.lit(0).cast("long")
+    bit_votes = [
+        F.sum((F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = hs.groupBy("doc_id").agg(*bit_votes)
+    sim = F.lit(0).cast("long")
     for i in range(64):
-        out = out + F.when(bit_sum(i) > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+        bit_i = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long")
+        sim = sim + F.when(F.col(f"b{i}") > 0, bit_i).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sim.alias("sim"))
 
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """Pigeonhole banding: 4×16-bit chunks — any pair within hamming≤3
     agrees on ≥1 chunk; verify with bit_count(xor)."""
-    sh = docs.select("doc_id", simhash64(T.tokens("text")).alias("sim"))
+    sh = simhash_signatures(docs)
     chunks = F.array(
         *[
             F.struct(

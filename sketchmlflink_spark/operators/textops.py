@@ -40,11 +40,12 @@ GROUP BY lang
 def t01_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counts per language bucket."""
     docs = t(spark, sf_dir, "documents")
-    n_tok = T.token_count("text")
-    return docs.groupBy("lang").agg(
+    # project once: token_count inlined into 3 aggregates would re-split
+    with_n = docs.select("lang", "n_chars", T.token_count("text").alias("n_tok"))
+    return with_n.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(n_tok).alias("total_tokens"),
-        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
 
@@ -119,11 +120,12 @@ def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/marker-word language ID heuristic. Deterministic tiebreak
     order en > fr > de > es, mirrored exactly in the oracle."""
     docs = t(spark, sf_dir, "documents")
-    scored = docs.select(
+    tok = docs.select("doc_id", F.col("lang").alias("labeled_lang"), T.tokens("text").alias("tk"))
+    scored = tok.select(
         "doc_id",
-        F.col("lang").alias("labeled_lang"),
+        "labeled_lang",
         *[
-            T.marker_hits(T.tokens("text"), words).alias(f"s_{lang}")
+            T.marker_hits(F.col("tk"), words).alias(f"s_{lang}")
             for lang, words in T.LANG_MARKERS.items()
         ],
     )

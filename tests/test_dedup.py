@@ -1,0 +1,76 @@
+"""Dedup + similarity behavior on constructed fixtures — the driver
+corpus contains no near-duplicates, so these prove detection works."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketchmlflink_spark.operators.dedup import (
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from sketchmlflink_spark.operators.similarity import ann_lsh_topk
+from sketchmlflink_spark.functions.vector import as_double_array
+
+WORDS = "the quick brown fox jumps over lazy dog spark flink sketch gradient vector table".split()
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    rng = random.Random(42)
+    base = [_doc(rng) for _ in range(30)]
+    rows = []
+    for i, text in enumerate(base):
+        rows.append((i, text))
+    # near-dups: copy doc 0 with a 3-word tweak, copy doc 1 verbatim
+    toks = base[0].split()
+    toks[5], toks[20], toks[40] = "xx", "yy", "zz"
+    rows.append((100, " ".join(toks)))
+    rows.append((101, base[1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_neardups(docs_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(docs_with_dups, threshold=0.3).collect()
+    }
+    assert (0, 100) in pairs, f"planted near-dup missed: {pairs}"
+    assert (1, 101) in pairs
+    assert pairs[(1, 101)] == 1.0  # verbatim copy
+    # unrelated random docs don't appear (3-gram shingles are selective)
+    assert all(a in (0, 1) for a, b in pairs)
+
+
+def test_simhash_finds_planted_neardups(docs_with_dups):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_duplicates(docs_with_dups, max_hamming=6).collect()}
+    assert (1, 101) in pairs and pairs[(1, 101)] == 0  # identical → hamming 0
+
+
+def test_ann_lsh_recall_vs_brute(spark):
+    """LSH ANN must recover a decent fraction of true top-1 neighbors
+    (same-bucket probability for similar vectors is high by design)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((100, 64))
+    # plant an exact near-neighbor for each query vector
+    vecs = []
+    for i in range(10):
+        vecs.append((i, base[i].tolist()))
+        vecs.append((1000 + i, (base[i] + rng.normal(0, 0.05, 64)).tolist()))
+    for j in range(20, 100):
+        vecs.append((j, base[j].tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    res = ann_lsh_topk(emb, n_queries=10, k=1).collect()
+    hits = sum(1 for r in res if r["n_id"] == 1000 + r["q_id"])
+    assert hits >= 6, f"ANN recall too low: {hits}/10"

@@ -1,0 +1,122 @@
+"""SGD training arms vs closed-form OLS oracle (SURVEY.md §5):
+exact arm converges toward the generating model; sketch arm tracks the
+exact arm within a tolerance band (the reference's A/B protocol,
+Test.scala:43-117); aggregation-strategy toggle parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sketchmlflink_spark.config import SketchConfig, SolverConfig
+from sketchmlflink_spark.ml import sgd as SGD
+from sketchmlflink_spark.ml.regression import MultipleLinearRegression, NotFittedError
+
+DIM = 8
+N = 2000
+TRUE_W = np.array([0.5, -1.0, 2.0, 0.0, 1.5, -0.5, 0.25, -2.0])
+TRUE_B = 0.5
+
+
+@pytest.fixture(scope="module")
+def training_df(spark):
+    rng = np.random.default_rng(42)
+    X = rng.standard_normal((N, DIM))
+    y = X @ TRUE_W + TRUE_B + rng.normal(0, 0.01, N)
+    rows = [(float(y[i]), X[i].tolist()) for i in range(N)]
+    return spark.createDataFrame(rows, "label double, features array<double>").repartition(8)
+
+
+def _avg_abs_err(w, b):
+    rng = np.random.default_rng(7)
+    Xt = rng.standard_normal((500, DIM))
+    yt = Xt @ TRUE_W + TRUE_B
+    return float(np.mean(np.abs(Xt @ w + b - yt)))
+
+
+def test_exact_arm_converges(training_df):
+    solver = SolverConfig(iterations=60, step_size=0.5)
+    res = SGD.train(training_df, solver, SketchConfig(compression_type="None"))
+    err = _avg_abs_err(res.weights, res.intercept)
+    assert err < 0.15, f"exact arm avg |err| {err}"
+    # loss history decreases overall
+    assert res.losses[-1] < res.losses[0]
+
+
+def test_sketch_arm_tracks_exact_arm(training_df):
+    exact = SGD.train(
+        training_df, SolverConfig(iterations=40, step_size=0.5), SketchConfig(compression_type="None")
+    )
+    sketch = SGD.train(
+        training_df, SolverConfig(iterations=40, step_size=0.5), SketchConfig(compression_type="Sketch")
+    )
+    e_exact = _avg_abs_err(exact.weights, exact.intercept)
+    e_sketch = _avg_abs_err(sketch.weights, sketch.intercept)
+    # A/B acceptance: sketch arm within a band of the exact arm
+    assert e_sketch < max(3 * e_exact, 0.5), f"sketch {e_sketch} vs exact {e_exact}"
+
+
+def test_reduce_group_strategy_matches_reduce_when_lossless(training_df):
+    cfg = SketchConfig(compression_type="None")
+    a = SGD.train(training_df, SolverConfig(iterations=3, step_size=0.1, aggregation="reduce"), cfg)
+    b = SGD.train(training_df, SolverConfig(iterations=3, step_size=0.1, aggregation="reduce_group"), cfg)
+    # identity compression ⇒ both strategies compute the identical sum
+    np.testing.assert_allclose(a.weights, b.weights, rtol=1e-9)
+    assert abs(a.intercept - b.intercept) < 1e-9
+
+
+def test_convergence_threshold_early_stops(training_df):
+    solver = SolverConfig(iterations=100, step_size=0.5, convergence_threshold=1e-4)
+    res = SGD.train(training_df, solver, SketchConfig(compression_type="None"))
+    assert res.epochs_run < 100, "threshold should stop before the iteration cap"
+
+
+def test_l2_regularization_shrinks_weights(training_df):
+    plain = SGD.train(training_df, SolverConfig(iterations=20, step_size=0.5), SketchConfig(compression_type="None"))
+    reg = SGD.train(
+        training_df,
+        SolverConfig(iterations=20, step_size=0.5, regularization="l2", reg_lambda=5.0),
+        SketchConfig(compression_type="None"),
+    )
+    assert np.linalg.norm(reg.weights) < np.linalg.norm(plain.weights)
+
+
+def test_estimator_api_and_metrics_report(spark, training_df):
+    mlr = MultipleLinearRegression(iterations=10, step_size=0.5, compression="None")
+    report = mlr.fit_evaluate_report(spark, training_df).collect()
+    assert len(report) == 1
+    row = report[0].asDict()
+    assert row["sketch_or_flink"] == "Flink"
+    assert row["avg_error"] < 1.0
+    assert row["total_time_ms"] > 0
+    # predict-before-fit guard (SMLR:154-165)
+    with pytest.raises(NotFittedError):
+        MultipleLinearRegression().predict(training_df)
+
+
+def test_sketch_reduces_shuffle_bytes(spark):
+    """P1: at realistic gradient width the sketch arm ships fewer bytes
+    than identity (at tiny dims the codec honestly falls back to exact —
+    see SketchConfig.auto_fallback_nnz)."""
+    rng = np.random.default_rng(9)
+    wide_dim = 4000
+    X = rng.standard_normal((300, wide_dim))
+    w_true = rng.standard_normal(wide_dim)
+    y = X @ w_true
+    df = spark.createDataFrame(
+        [(float(y[i]), X[i].tolist()) for i in range(300)],
+        "label double, features array<double>",
+    ).repartition(4)
+    dense = SGD.train(df, SolverConfig(iterations=2, step_size=0.01), SketchConfig(compression_type="None"))
+    sk = SGD.train(df, SolverConfig(iterations=2, step_size=0.01), SketchConfig(compression_type="Sketch"))
+    assert sk.shuffle_bytes < dense.shuffle_bytes / 3, (
+        f"sketch {sk.shuffle_bytes}B vs dense {dense.shuffle_bytes}B"
+    )
+
+
+def test_tiny_gradient_auto_fallback_is_exact(spark, training_df):
+    """dim-8 gradients ship exact even under compression=Sketch — the
+    sketch envelope would be larger than the data."""
+    a = SGD.train(training_df, SolverConfig(iterations=3, step_size=0.1), SketchConfig(compression_type="Sketch"))
+    b = SGD.train(training_df, SolverConfig(iterations=3, step_size=0.1), SketchConfig(compression_type="None"))
+    np.testing.assert_allclose(a.weights, b.weights, rtol=1e-9)
