@@ -94,13 +94,24 @@ def shingles(tokens_col):
     array first), not an inline ``split(...)`` expression — Catalyst
     inlines expression arguments into every ``element_at`` here, which
     re-runs the split per shingle element (measured 10× slowdown).
-    A multi-referenced projected column is kept by CollapseProject."""
+    A multi-referenced projected column is kept by CollapseProject.
+
+    Equally important: never FILTER on ``size(shingles(...))`` —
+    PushDownPredicates substitutes the whole expression (token split
+    included) into the pushed-down predicate, re-running the regex split
+    ~3×shingle-count times per row (measured 180× slowdown on sf0.1).
+    Filter on ``size(tokens) >= SHINGLE_SIZE`` instead — same semantics,
+    one split, pushable to the scan."""
     n = F.size(tokens_col)
-    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_SIZE - 1), F.lit(0)))
     mk = lambda i: F.concat_ws(
         " ", *[F.element_at(tokens_col, i + j) for j in range(SHINGLE_SIZE)]
     )
-    return F.array_distinct(F.transform(idx, mk))
+    # guard: for n < SHINGLE_SIZE, sequence(1, 0) would yield the
+    # *descending* [1, 0] and element_at(tk, 0) errors under ANSI
+    return F.when(
+        n >= SHINGLE_SIZE,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n - (SHINGLE_SIZE - 1)), mk)),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _duck_shingles(tk: str = "tk") -> str:
@@ -156,9 +167,17 @@ def minhash_signatures(sh_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Explode + ONE hash aggregate with 32 ``min`` expressions — stays in
     whole-stage codegen and map-side partial aggregation (vs. 32 nested
     array transforms per row, which overflow the codegen method-size
-    limit and fall back to interpreted eval — measured 30× slower)."""
+    limit and fall back to interpreted eval — measured 30× slower).
+
+    ``explode_outer``, not ``explode``: callers guarantee non-empty
+    shingle arrays (size(tk) >= SHINGLE_SIZE upstream), and the plain
+    inner explode triggers InferFiltersFromGenerate, which synthesizes a
+    ``size(sh) > 0`` predicate that PushDownPredicates inlines through
+    the projections — re-running the tokenizing regex split once per
+    element_at per shingle (~150×/row; measured 30× wall slowdown on
+    sf0.1)."""
     h = F.pmod(F.xxhash64("sh"), F.lit(1 << 32))
-    exploded = sh_df.select(id_col, F.explode("sh").alias("sh")).select(
+    exploded = sh_df.select(id_col, F.explode_outer("sh").alias("sh")).select(
         id_col, h.alias("h")
     )
     mins = [
@@ -207,8 +226,10 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def minhash_near_duplicates(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs verified with exact Jaccard."""
-    tok = docs.select("doc_id", T.tokens("text").alias("tk"))
-    sh = tok.select("doc_id", shingles(F.col("tk")).alias("sh")).where(F.size("sh") > 0)
+    tok = docs.select("doc_id", T.tokens("text").alias("tk")).where(
+        F.size("tk") >= SHINGLE_SIZE  # cheap, scan-pushable; see shingles()
+    )
+    sh = tok.select("doc_id", shingles(F.col("tk")).alias("sh"))
     sigs = minhash_signatures(sh)
     cands = lsh_candidate_pairs(sigs)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
