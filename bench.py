@@ -50,9 +50,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # JVM/codegen warmup on the smallest SF so per-query numbers measure
-    # the plan, not first-touch JIT
+    # Warmup on the smallest SF so per-query numbers measure the plan,
+    # not first-touch JIT: q01 warms JVM codegen; a 1-epoch training run
+    # warms the Python workers' pandas/Arrow imports so the ML arms
+    # measure the training loop, not interpreter cold start.
     queries["q01_pricing_summary"].build(spark, "/root/testdata/sf0.001").count()
+    queries["m03_sgd_exact_metrics"].build(spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     total = 0.0

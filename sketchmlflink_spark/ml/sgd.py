@@ -27,7 +27,6 @@ pass per epoch when convergence checking — SGD:125; we get it free).
 from __future__ import annotations
 
 import math
-import pickle
 import time
 from dataclasses import dataclass, field
 
@@ -40,9 +39,6 @@ from pyspark.sql import functions as F
 from sketchmlflink_spark.config import SketchConfig, SolverConfig
 from sketchmlflink_spark.ml import sketch as SK
 
-_PARTIAL_SCHEMA = "payload binary, intercept_sum double, n long, loss double"
-
-
 @dataclass
 class TrainResult:
     weights: np.ndarray
@@ -54,21 +50,44 @@ class TrainResult:
     shuffle_bytes: int = 0  # total sketch payload bytes shipped
 
 
-def _make_partial_fn(bc, dim: int, sketch_cfg: SketchConfig):
-    """Per-partition gradient pass. Nested so cloudpickle ships it by
-    value; touches only numpy/pandas/sketch-codec."""
+def _blockify(batches):
+    """(features, label) Arrow batches → ONE pickled (X, y) numpy block
+    per partition.
 
-    def fn(batches):
+    Iterating mapInPandas over a cached *DataFrame* re-pays
+    InternalRow→Arrow→pandas conversion every epoch; caching the
+    deserialized numpy block instead makes each epoch a pure
+    numpy-on-cached-block pass (the same reason MLlib caches
+    deserialized vectors, and the honest Spark analog of Flink keeping
+    iteration state in memory — SURVEY.md P5). Arrow does the per-row
+    JVM→Python crossing vectorized; the .rdd hop afterwards only ever
+    sees one blob row per partition."""
+    import pickle
+
+    feats = []
+    labels = []
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        feats.append(np.stack(pdf["features"].to_numpy()))
+        labels.append(pdf["label"].to_numpy(dtype=np.float64))
+    if feats:
+        X = np.concatenate(feats)
+        y = np.concatenate(labels)
+        yield pd.DataFrame({"blob": [pickle.dumps((X, y), protocol=5)]})
+
+
+def _make_partial_fn(bc, dim: int, sketch_cfg: SketchConfig):
+    """Per-partition gradient pass over cached numpy blocks. Nested so
+    cloudpickle ships it by value; touches only numpy + sketch codec."""
+
+    def fn(blocks):
         w, b = bc.value
         grad = np.zeros(dim, dtype=np.float64)
         isum = 0.0
         loss = 0.0
         n = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf["features"].to_numpy())
-            y = pdf["label"].to_numpy(dtype=np.float64)
+        for X, y in blocks:
             r = X @ w + b - y  # residual of linear prediction
             grad += r @ X  # d/dw of 0.5*r^2 summed over examples
             isum += float(r.sum())
@@ -77,14 +96,12 @@ def _make_partial_fn(bc, dim: int, sketch_cfg: SketchConfig):
         # ZeroGradient elision (P8): an all-zero partition gradient ships
         # a null payload and is skipped by the combiner (SGD:261-270)
         sg = SK.compress(grad, sketch_cfg, dim) if n > 0 else None
-        yield pd.DataFrame(
-            {
-                "payload": [SK.to_bytes(sg)],
-                "intercept_sum": [isum],
-                "n": [n],
-                "loss": [loss],
-            }
-        )
+        yield {
+            "payload": SK.to_bytes(sg),
+            "intercept_sum": isum,
+            "n": n,
+            "loss": loss,
+        }
 
     return fn
 
@@ -166,13 +183,26 @@ def train(
 
     ensure_workers_can_import(spark)
     sc = spark.sparkContext
-    if dim is None:
-        dim = infer_dim(df)
-    data = df.select("features", "label")
-    data = data.persist()
-    n_total = data.count()  # materialize the cache once (P5)
+    from pyspark import StorageLevel
+
+    import pickle
+
+    # one numpy block per partition, cached deserialized (P5)
+    blocks = (
+        df.select("features", "label")
+        .mapInPandas(_blockify, "blob binary")
+        .rdd.map(lambda r: pickle.loads(r["blob"]))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # one job materializes the cache AND yields row count + dimension
+    # (S3 dimension inference, Test.scala:157-160, fused)
+    stats = blocks.map(lambda blk: (len(blk[1]), blk[0].shape[1])).collect()
+    n_total = sum(s[0] for s in stats)
     if n_total == 0:
+        blocks.unpersist()
         raise ValueError("empty training set")
+    if dim is None:
+        dim = max(s[1] for s in stats)
 
     w = np.zeros(dim, dtype=np.float64)  # I4: zero init (SGD:55)
     b = 0.0
@@ -183,8 +213,9 @@ def train(
         t0 = time.monotonic()
         bc = sc.broadcast((w, b))
         try:
-            partials_df = data.mapInPandas(_make_partial_fn(bc, dim, sketch_cfg), _PARTIAL_SCHEMA)
-            partials = [r.asDict() for r in partials_df.collect()]
+            # at cluster scale swap collect-and-merge for treeAggregate
+            # with the same seqOp/combOp — the merge is associative
+            partials = blocks.mapPartitions(_make_partial_fn(bc, dim, sketch_cfg)).collect()
         finally:
             bc.destroy()
         result.shuffle_bytes += sum(len(p["payload"]) for p in partials)
@@ -206,7 +237,7 @@ def train(
                 break
         prev_loss = result.losses[-1]
 
-    data.unpersist()
+    blocks.unpersist()
     result.weights = w
     result.intercept = b
     return result
