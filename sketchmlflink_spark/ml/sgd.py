@@ -173,9 +173,17 @@ def train(
     solver: SolverConfig,
     sketch_cfg: SketchConfig | None = None,
     dim: int | None = None,
+    init_weights: np.ndarray | None = None,
+    init_intercept: float = 0.0,
+    epoch_offset: int = 0,
 ) -> TrainResult:
     """Run the SGD loop. ``df`` needs columns ``features array<double>``
     and ``label double``. Returns weights/intercept + per-epoch metrics.
+
+    ``init_weights``/``init_intercept`` warm-start the model and
+    ``epoch_offset`` shifts the eta0/sqrt(t) schedule — used by the
+    streaming foreachBatch incremental trainer, where each micro-batch
+    continues the previous batch's model.
     """
     sketch_cfg = sketch_cfg or SketchConfig()
     spark = df.sparkSession
@@ -204,12 +212,15 @@ def train(
     if dim is None:
         dim = max(s[1] for s in stats)
 
-    w = np.zeros(dim, dtype=np.float64)  # I4: zero init (SGD:55)
-    b = 0.0
+    if init_weights is not None:
+        w = np.asarray(init_weights, dtype=np.float64).copy()
+    else:
+        w = np.zeros(dim, dtype=np.float64)  # I4: zero init (SGD:55)
+    b = float(init_intercept)
     result = TrainResult(weights=w, intercept=b, n_train=n_total)
     prev_loss: float | None = None
 
-    for t in range(1, solver.iterations + 1):
+    for t in range(1 + epoch_offset, solver.iterations + 1 + epoch_offset):
         t0 = time.monotonic()
         bc = sc.broadcast((w, b))
         try:

@@ -66,10 +66,13 @@ def m02_dimension_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Iterative training is not ANSI-SQL-expressible → rows-only checks;
 # convergence/accuracy asserted in tests/test_sgd.py.
 # --------------------------------------------------------------------------
-def _training_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _training_df(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None) -> DataFrame:
     """label = x·w* + b* + deterministic 'noise' derived from vec_id
-    (no RNG at query time — reproducible across runs and engines)."""
-    emb = t(spark, sf_dir, "embeddings")
+    (no RNG at query time — reproducible across runs and engines).
+    ``emb`` overrides the source (the streaming incremental trainer
+    passes its micro-batch here)."""
+    if emb is None:
+        emb = t(spark, sf_dir, "embeddings")
     w = F.array(*[F.lit(x) for x in FIXED_WEIGHTS])
     noise = (F.pmod(F.col("vec_id") * 2654435761, F.lit(1000)) - 500) / 50000.0
     return emb.select(

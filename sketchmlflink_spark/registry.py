@@ -70,5 +70,6 @@ def _load_operator_modules() -> None:
         textops,
     )
     from sketchmlflink_spark import ml_queries  # noqa: F401
+    from sketchmlflink_spark.streaming import queries as streaming_queries  # noqa: F401
 
     _LOADED = True

@@ -41,6 +41,15 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     # UTC so date_trunc/date_format on instant-typed columns agree with
     # the (naive-timestamp) DuckDB oracle regardless of host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # right-size shuffle/state partitioning to the machine instead of
+    # the legacy 200 (matters most for streaming: 200 partitions = 200
+    # state stores per stateful op); a runtime conf, safe to set here
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * cpus:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    except Exception:
+        pass
     try:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:

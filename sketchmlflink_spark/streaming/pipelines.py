@@ -1,0 +1,261 @@
+"""Streaming pipeline builders over the `events` table (M5).
+
+Every pipeline is defined on an unbounded streaming DataFrame —
+`events_stream` uses the file source, so the same code runs against a
+directory that keeps receiving event files on a real deployment. Tests
+and the registry drive them with `Trigger.AvailableNow` into a
+deterministic sink, which makes the windowed aggregates hash-checkable
+against the DuckDB oracle (the driver contract's strong check).
+
+Scale notes: windowed aggregation state is partitioned by (window, key)
+— the shuffle is on the group key exactly as in batch; the watermark
+bounds state size, which is what makes the operator viable on an
+unbounded 100 TB/day stream. dropDuplicates keeps one state row per key
+within the watermark horizon. applyInPandasWithState state is per
+group-key, Arrow-batched per trigger.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Streaming file sources require a user-provided schema. ts is parquet
+# TIMESTAMP(NANOS) read as long (spark.sql.legacy.parquet.nanosAsLong),
+# floored to micros exactly as sources/tables.py::load_table does.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+WATERMARK = "1 hour"
+
+
+def stream_dir_for(path: str) -> str:
+    """The streaming file source only accepts directories; the test
+    tables are single parquet files in a read-only tree. Expose a file
+    as a stable temp directory containing a symlink to it (a real
+    deployment would just point at the ingest directory)."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "stream_src_" + path.strip("/").replace("/", "_"),
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.islink(link):
+        os.symlink(path, link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events parquet with event-time watermark."""
+    from sketchmlflink_spark.session import tune_for_session
+
+    tune_for_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(stream_dir_for(os.path.join(sf_dir, "events.parquet")))
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withWatermark("ts", WATERMARK)
+
+
+# --------------------------------------------------------------------------
+# window pipelines (each: streaming DF → streaming DF)
+# --------------------------------------------------------------------------
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window × event_type: count + value sum."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal sum: value carries exactly 2 decimals, so this is
+            # exact → no float summation-order drift vs the oracle
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sliding_value_stats(events: DataFrame) -> DataFrame:
+    """Sliding window (1 hour, slide 30 min): global count + avg value.
+    Every event lands in exactly two windows."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact decimal sum ÷ count, UNROUNDED: the numerator is
+            # bit-identical to the oracle's so the IEEE quotient is too;
+            # rounding would reintroduce engine-dependent half-boundary
+            # behavior (Spark HALF_UPs the decimal string, DuckDB rounds
+            # the binary double)
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("value_avg"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "value_avg")
+    )
+
+
+def dedup_counts(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id (state bounded by the
+    watermark), then per-type counts of distinct events."""
+    return (
+        events.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_events"))
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-merged): one row per session with
+    its start and event count. Single streaming aggregation — stacking a
+    second one on top is unsupported outside append mode, so per-user
+    rollups happen batch-side on the result."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_in_session"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_in_session",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState
+# --------------------------------------------------------------------------
+PROFILE_STATE_SCHEMA = "n long, total_cents long, vmin double, vmax double"
+PROFILE_OUT_SCHEMA = (
+    "event_type string, n long, value_sum double, value_min double, value_max double"
+)
+
+
+def _profile_update(key, pdfs, state):
+    """Running per-event_type profile (count/sum/min/max of value) kept
+    in the state store; emits the current profile once per trigger."""
+    import pandas as pd
+
+    if state.exists:
+        n, total_cents, vmin, vmax = state.get
+    else:
+        n, total_cents, vmin, vmax = 0, 0, float("inf"), float("-inf")
+    for pdf in pdfs:
+        v = pdf["value"].dropna()
+        n += len(v)
+        # integer-cents accumulation (values carry 2 decimals): exact,
+        # so the running sum never drifts from the oracle's
+        total_cents += int((v * 100).round().sum()) if len(v) else 0
+        if len(v):
+            vmin = min(vmin, float(v.min()))
+            vmax = max(vmax, float(v.max()))
+    state.update((n, total_cents, vmin, vmax))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n": [n],
+            "value_sum": [total_cents / 100.0],
+            "value_min": [vmin],
+            "value_max": [vmax],
+        }
+    )
+
+
+def value_profile_by_type(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (SURVEY.md §7.1 M5): exact running
+    profile per event_type via applyInPandasWithState — deterministic,
+    so it stays in the hash-checked set."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _profile_update,
+            outputStructType=PROFILE_OUT_SCHEMA,
+            stateStructType=PROFILE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# drive a streaming pipeline to a deterministic batch result
+# --------------------------------------------------------------------------
+def run_to_batch(
+    result: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Execute a streaming DF with Trigger.AvailableNow and return the
+    final result as a batch DataFrame (memory sink, unique query name +
+    throwaway checkpoint). ``complete`` mode flushes every window even
+    though the single AvailableNow batch never advances the watermark
+    past them (append mode would emit nothing on a bounded replay)."""
+    spark = result.sparkSession
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_foreach_batch(
+    result: DataFrame,
+    batch_fn,
+    timeout_s: int = 300,
+    output_mode: str = "update",
+) -> None:
+    """Execute a streaming DF with foreachBatch + AvailableNow; the
+    caller's ``batch_fn(df, epoch_id)`` sees each micro-batch as a plain
+    batch DataFrame (the M5 incremental-training glue)."""
+    ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
+    q = (
+        result.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()

@@ -1,0 +1,226 @@
+"""Streaming registry entries (M5): each runs a real Structured
+Streaming query (file source → watermark → stateful op) driven to
+completion with Trigger.AvailableNow, returning the final result as a
+batch DataFrame. Windowed/sessionized/stateful results are exact and
+deterministic, so they stay in the driver's hash-checked oracle set —
+the streaming engine must agree with DuckDB's batch answer on the same
+events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketchmlflink_spark.registry import register
+from sketchmlflink_spark.streaming import pipelines as P
+
+
+# --------------------------------------------------------------------------
+# st01 — watermarked tumbling-window aggregation
+# --------------------------------------------------------------------------
+@register(
+    "st01_stream_hourly_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window-agg"),
+)
+def st01_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window × event_type over the streamed events file;
+    complete-mode flush makes the bounded replay equal the batch answer."""
+    out = P.run_to_batch(P.hourly_counts(P.events_stream(spark, sf_dir)))
+    return out.select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+
+
+# --------------------------------------------------------------------------
+# st02 — sliding-window aggregation (every event in exactly 2 windows)
+# --------------------------------------------------------------------------
+@register(
+    "st02_stream_sliding_stats",
+    oracle="""
+WITH x AS (
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w0, value FROM events
+), w AS (
+    SELECT w0                        AS wstart, value FROM x
+    UNION ALL
+    SELECT w0 - INTERVAL 30 MINUTE   AS wstart, value FROM x
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS value_avg
+FROM w
+GROUP BY 1
+""",
+    tags=("streaming", "sliding-window"),
+)
+def st02_stream_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (1h, 30min) window stats; the oracle replicates the
+    assign-to-two-windows semantics with a shifted UNION ALL."""
+    out = P.run_to_batch(P.sliding_value_stats(P.events_stream(spark, sf_dir)))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "value_avg",
+    )
+
+
+# --------------------------------------------------------------------------
+# st03 — streaming dedup (dropDuplicates state) + aggregation
+# --------------------------------------------------------------------------
+@register(
+    "st03_stream_dedup_counts",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "dedup"),
+)
+def st03_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates(event_id) in the state store, then per-type counts."""
+    return P.run_to_batch(P.dedup_counts(P.events_stream(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# st04 — session windows (gap 30 min) per user
+# --------------------------------------------------------------------------
+@register(
+    "st04_stream_sessions",
+    oracle="""
+WITH o AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT)               AS n_in_session
+FROM s
+GROUP BY user_id, sid
+""",
+    tags=("streaming", "session-window"),
+)
+def st04_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30min) per user; the oracle is the classic
+    gaps-and-islands rewrite (new session when gap >= 30 min, matching
+    Spark's half-open [start, last+gap) merge rule)."""
+    return P.run_to_batch(P.sessionize(P.events_stream(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# st05 — custom stateful operator (applyInPandasWithState)
+# --------------------------------------------------------------------------
+@register(
+    "st05_stream_value_profile",
+    oracle="""
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       min(value)                   AS value_min,
+       max(value)                   AS value_max
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def st05_stream_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact running per-type value profile kept in the state store by a
+    custom applyInPandasWithState operator; collected via foreachBatch
+    (memory sink doesn't take update mode). The last emission per key is
+    the final profile."""
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    rows: list = []
+    P.run_foreach_batch(
+        P.value_profile_by_type(P.events_stream(spark, sf_dir)),
+        lambda bdf, _eid: rows.extend(bdf.collect()),
+    )
+    # keep the last emission per event_type (re-keyed dict); AvailableNow
+    # on one file yields exactly one emission per key anyway
+    final = {r["event_type"]: r for r in rows}
+    return spark.createDataFrame(list(final.values()), schema=P.PROFILE_OUT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# st06 — foreachBatch incremental SGD (M5 training glue)
+# --------------------------------------------------------------------------
+@register(
+    "st06_stream_incremental_sgd",
+    oracle=None,  # iterative training is not ANSI-SQL-expressible; rows-only
+    tags=("streaming", "ml", "foreachBatch"),
+)
+def st06_stream_incremental_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental model training: stream the embeddings-derived
+    training frame; each micro-batch warm-starts from the previous
+    model and runs one epoch (ml/sgd.train with init weights). Emits
+    one metrics row (final loss + weight norm) — convergence asserted
+    in tests/test_streaming.py."""
+    import os
+
+    import numpy as np
+
+    from sketchmlflink_spark.config import SolverConfig
+    from sketchmlflink_spark.ml import sgd
+    from sketchmlflink_spark.ml_queries import EMBED_DIM, _training_df
+    from sketchmlflink_spark.session import ensure_workers_can_import, tune_for_session
+
+    tune_for_session(spark)
+    ensure_workers_can_import(spark)
+    emb_schema = "vec_id long, embedding array<float>"
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(P.stream_dir_for(os.path.join(sf_dir, "embeddings.parquet")))
+    )
+    state = {"w": np.zeros(EMBED_DIM), "b": 0.0, "batches": 0, "loss": None, "n": 0}
+
+    def step(batch_df: DataFrame, _eid: int) -> None:
+        if batch_df.isEmpty():
+            return
+        train_df = _training_df(spark, sf_dir, emb=batch_df)
+        res = sgd.train(
+            train_df,
+            SolverConfig(iterations=1, step_size=0.5),
+            dim=EMBED_DIM,
+            init_weights=state["w"],
+            init_intercept=state["b"],
+            epoch_offset=state["batches"],
+        )
+        state["w"], state["b"] = res.weights, res.intercept
+        state["batches"] += 1
+        state["loss"] = res.losses[-1]
+        state["n"] += res.n_train
+
+    P.run_foreach_batch(stream, step, output_mode="append")
+    return spark.createDataFrame(
+        [
+            {
+                "batches": state["batches"],
+                "rows_seen": state["n"],
+                "final_loss": float(round(state["loss"], 6)) if state["loss"] is not None else None,
+                "weight_norm": float(round(float(np.linalg.norm(state["w"])), 6)),
+                "intercept": float(round(state["b"], 6)),
+            }
+        ],
+        schema="batches long, rows_seen long, final_loss double, weight_norm double, intercept double",
+    )

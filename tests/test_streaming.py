@@ -1,0 +1,153 @@
+"""Streaming-specific behavior that the registry's single-file
+AvailableNow runs don't exercise: state carried across multiple
+triggers, and multi-batch incremental training converging like batch
+training does.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketchmlflink_spark.streaming import pipelines as P
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def multi_file_events_dir(spark, tmp_path_factory):
+    """events at sf0.001 split into 4 parquet files so maxFilesPerTrigger=1
+    produces 4 micro-batches."""
+    from sketchmlflink_spark.sources.tables import load_table
+
+    d = str(tmp_path_factory.mktemp("events_multi"))
+    ev = load_table(spark, SF_SMALL, "events")
+    # long→micro ts already applied by load_table; write plain timestamps
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _streamed_events(spark, data_dir: str, per_trigger: int = 1):
+    raw = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+        .format("parquet")
+        .option("maxFilesPerTrigger", str(per_trigger))
+        .load(data_dir)
+    )
+    return raw.withWatermark("ts", P.WATERMARK)
+
+
+def test_stateful_profile_across_batches(spark, multi_file_events_dir):
+    """applyInPandasWithState must accumulate across 4 triggers and the
+    LAST emission per key must equal the batch groupBy answer."""
+    from sketchmlflink_spark.session import ensure_workers_can_import
+    from sketchmlflink_spark.sources.tables import load_table
+
+    ensure_workers_can_import(spark)
+    emissions: list = []
+    P.run_foreach_batch(
+        P.value_profile_by_type(_streamed_events(spark, multi_file_events_dir)),
+        lambda bdf, eid: emissions.extend((eid, r) for r in bdf.collect()),
+    )
+    batch_ids = {eid for eid, _ in emissions}
+    assert len(batch_ids) >= 2, "expected multiple micro-batches"
+    last = {}
+    for _eid, r in emissions:  # collected in trigger order
+        last[r["event_type"]] = r
+
+    expected = {
+        r["event_type"]: r
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")).alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+        .collect()
+    }
+    assert set(last) == set(expected)
+    for k, exp in expected.items():
+        got = last[k]
+        assert got["n"] == exp["n"], k
+        assert got["value_sum"] == pytest.approx(exp["value_sum"], abs=1e-9), k
+        assert got["value_min"] == exp["value_min"], k
+        assert got["value_max"] == exp["value_max"], k
+
+
+def test_windowed_counts_match_batch(spark, multi_file_events_dir):
+    """Tumbling-window streaming agg over multiple triggers (complete
+    mode) equals the batch groupBy."""
+    from sketchmlflink_spark.sources.tables import load_table
+
+    out = P.run_to_batch(P.hourly_counts(_streamed_events(spark, multi_file_events_dir)))
+    got = {
+        (str(r["hour_start"]), r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in out.collect()
+    }
+    exp = {
+        (str(r["hour_start"]), r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_incremental_sgd_multi_batch_converges(spark, tmp_path):
+    """foreachBatch incremental training over 4 micro-batches should
+    reach a model close to the one-shot batch model on the same data."""
+    from sketchmlflink_spark.config import SolverConfig
+    from sketchmlflink_spark.ml import sgd
+    from sketchmlflink_spark.ml_queries import EMBED_DIM, _training_df
+    from sketchmlflink_spark.operators.relational import t
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    d = str(tmp_path / "emb_multi")
+    t(spark, SF_SMALL, "embeddings").repartition(4).write.mode("overwrite").parquet(d)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    state = {"w": np.zeros(EMBED_DIM), "b": 0.0, "batches": 0}
+
+    def step(batch_df, _eid):
+        if batch_df.isEmpty():
+            return
+        res = sgd.train(
+            _training_df(spark, SF_SMALL, emb=batch_df),
+            SolverConfig(iterations=2, step_size=0.5),
+            dim=EMBED_DIM,
+            init_weights=state["w"],
+            init_intercept=state["b"],
+            epoch_offset=state["batches"] * 2,
+        )
+        state["w"], state["b"] = res.weights, res.intercept
+        state["batches"] += 1
+
+    P.run_foreach_batch(stream, step, output_mode="append")
+    assert state["batches"] >= 2
+
+    full = sgd.train(
+        _training_df(spark, SF_SMALL),
+        SolverConfig(iterations=8, step_size=0.5),
+        dim=EMBED_DIM,
+    )
+    # same data seen for 8 total epochs either way; incremental pass
+    # should land in the same region (loose tolerance: different
+    # ordering/schedule)
+    denom = max(float(np.linalg.norm(full.weights)), 1e-9)
+    rel = float(np.linalg.norm(state["w"] - full.weights)) / denom
+    assert rel < 0.5, f"incremental model too far from batch model: rel={rel:.3f}"
