@@ -330,3 +330,46 @@ def d05_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dups with hamming ≤ 3 via 16-bit pigeonhole
     bands. Fixture-tested in tests/test_dedup.py."""
     return simhash_near_duplicates(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# d06 — embedding-cosine near-duplicate pairs (exact, SQL-oracled).
+# --------------------------------------------------------------------------
+COSINE_DUP_THRESHOLD = 0.4
+
+
+@register(
+    "d06_embed_cosine_neardup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {COSINE_DUP_THRESHOLD}
+""",
+    tags=("dedup", "embedding", "cosine"),
+)
+def d06_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine ≥ 0.4.
+
+    Exact all-pairs formulation is the correctness anchor (dot products
+    via Catalyst ``aggregate``/``zip_with`` — sequential-order math that
+    DuckDB's list_dot_product reproduces exactly). At 100 TB you never
+    run the O(n²) join — s03 (hyperplane LSH) and s05 (IVF) are the
+    candidate-generation scale paths feeding the same exact verifier.
+    """
+    from sketchmlflink_spark.functions.vector import as_double_array, cosine
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )

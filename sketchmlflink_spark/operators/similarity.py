@@ -172,3 +172,115 @@ def s04_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg(norm2(v)), 4).alias("avg_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# s05 — IVF (inverted-file) approximate NN: k-means coarse quantizer,
+# probe the nprobe nearest inverted lists, exact cosine within them.
+# --------------------------------------------------------------------------
+IVF_K = 8
+IVF_NPROBE = 2
+IVF_ITERS = 3
+
+
+def _centroid_dist2(v_col, centroid: list[float]) -> F.Column:
+    """Squared L2 distance to a fixed centroid, minus the ||v||² term
+    (constant per row, irrelevant for argmin): ||c||² − 2·v·c."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    c2 = float(sum(x * x for x in centroid))
+    return F.lit(c2) - 2.0 * dot(v_col, c)
+
+
+def _nearest_clusters(v_col, centroids: list[list[float]], n: int) -> F.Column:
+    """array<int> of the n nearest centroid ids (deterministic tiebreak
+    on centroid id via struct ordering)."""
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(_centroid_dist2(v_col, c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return F.slice(ranked, 1, n).getField("cid")
+
+
+def ivf_train_centroids(
+    emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over the embedding column.
+
+    Seeded/deterministic: init = k rows picked by xxhash64 order (a
+    deterministic pseudo-random sample). Each iteration is one
+    broadcast-assignment map (centroids are literals inside codegen —
+    no shuffle) + one posexplode/groupBy mean (shuffles k·dim tiny
+    rows). Centroids live on the driver (k·dim doubles), exactly like
+    the reference broadcasts its weight vector each epoch
+    (SketchGradientDescent.scala:195)."""
+    init = (
+        emb.select("vec_id", "v")
+        .orderBy(F.xxhash64(F.col("vec_id")))
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r.v) for r in init]
+    for _ in range(iters):
+        assigned = emb.select(
+            _nearest_clusters(F.col("v"), centroids, 1)[0].alias("cluster"), "v"
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+            .collect()
+        )
+        new = {r.cluster: [p.m for p in r.ps] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = 3,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF search: corpus partitioned into inverted lists by nearest
+    centroid; each query probes its nprobe nearest lists and scans only
+    those. The join key is the (tiny-cardinality) cluster id, so the
+    candidate set per query is ~nprobe/k of the corpus — the 100 TB
+    path, vs the brute-force cross join in s01."""
+    centroids = ivf_train_centroids(emb)
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("cv"),
+        _nearest_clusters(F.col("v"), centroids, 1)[0].alias("cluster"),
+    )
+    q = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(_nearest_clusters(F.col("v"), centroids, nprobe)).alias("cluster"),
+        )
+    )
+    pairs = F.broadcast(q).join(corpus, ["cluster"]).where(F.col("n_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        pairs.select("q_id", "n_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", F.col("rnk").cast("int").alias("rank"), F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "s05_ivf_ann_cosine",
+    oracle=None,  # k-means partitioning isn't oracle-expressible; recall vs s01 is pytest-checked
+    tags=("similarity", "ann", "ivf"),
+)
+def s05_ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
+    return ivf_ann_topk(emb)

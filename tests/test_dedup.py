@@ -74,3 +74,27 @@ def test_ann_lsh_recall_vs_brute(spark):
     res = ann_lsh_topk(emb, n_queries=10, k=1).collect()
     hits = sum(1 for r in res if r["n_id"] == 1000 + r["q_id"])
     assert hits >= 6, f"ANN recall too low: {hits}/10"
+
+
+def test_ivf_ann_recall_vs_brute(spark):
+    """IVF with nprobe=2/k=8 must recover planted exact near-neighbors:
+    a vector and its small perturbation land in the same (or a probed)
+    inverted list essentially always."""
+    import numpy as np
+
+    from sketchmlflink_spark.operators.similarity import ivf_ann_topk
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((100, 64))
+    vecs = []
+    for i in range(10):
+        vecs.append((i, base[i].tolist()))
+        vecs.append((1000 + i, (base[i] + rng.normal(0, 0.05, 64)).tolist()))
+    for j in range(20, 100):
+        vecs.append((j, base[j].tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    res = ivf_ann_topk(emb, n_queries=10, k=1).collect()
+    hits = sum(1 for r in res if r["n_id"] == 1000 + r["q_id"])
+    assert hits >= 8, f"IVF recall too low: {hits}/10"
