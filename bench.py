@@ -50,12 +50,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warmup on the smallest SF so per-query numbers measure the plan,
-    # not first-touch JIT: q01 warms JVM codegen; a 1-epoch training run
-    # warms the Python workers' pandas/Arrow imports so the ML arms
-    # measure the training loop, not interpreter cold start.
-    queries["q01_pricing_summary"].build(spark, "/root/testdata/sf0.001").count()
-    queries["m03_sgd_exact_metrics"].build(spark, "/root/testdata/sf0.001").count()
+    # Warm up every benchmarked query once at the smallest SF so the
+    # timed runs measure the plan at scale, not first-touch costs that a
+    # long-lived cluster session never pays again: whole-stage-codegen
+    # compilation of each query's operator graph, Arrow/pandas imports
+    # in the Python workers, and broadcast-thread start.
+    for name in BENCH_QUERIES:
+        queries[name].build(spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     total = 0.0
