@@ -31,6 +31,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def ts(date_str: str) -> F.Column:
+    """Timestamp-NTZ literal for date-range predicates. Year filters are
+    written as half-open ranges (``col < ts("2001-01-01")``) instead of
+    ``year(col) <= 2000``: the range form pushes to the parquet scan as
+    a comparable filter (row-group/page pruning at 100 TB), while the
+    ``year()`` form only pushes IsNotNull."""
+    return F.lit(date_str).cast("timestamp_ntz")
+
+
 # --------------------------------------------------------------------------
 # q01 — TPC-H Q1-style pricing summary: the flagship scan+agg.
 # Reference analog: the loss/metric aggregations (SURVEY.md A4-A6) are
@@ -59,7 +68,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.where(F.year("l_shipdate") <= 2000)
+        li.where(F.col("l_shipdate") < ts("2001-01-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -94,7 +103,8 @@ def q02_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.year("l_shipdate").between(1996, 1998))
+            (F.col("l_shipdate") >= ts("1996-01-01"))
+            & (F.col("l_shipdate") < ts("1999-01-01"))
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 25)
         ).agg(
@@ -129,8 +139,8 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer (filtered) broadcasts into orders⋈lineitem; TopK via
     sort+limit which Spark executes as TakeOrderedAndProject (no full sort)."""
     cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    orders = t(spark, sf_dir, "orders").where(F.year("o_orderdate") <= 1998)
-    li = t(spark, sf_dir, "lineitem").where(F.year("l_shipdate") >= 1999)
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < ts("1999-01-01"))
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= ts("1999-01-01"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)

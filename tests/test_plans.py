@@ -1,0 +1,69 @@
+"""Physical-plan audit: lock in the scale-critical plan properties —
+pushed range filters, pruned read schemas, broadcast dimension joins,
+TakeOrderedAndProject for top-k — so a refactor can't silently regress
+the 100 TB story while still passing value checks on 60k rows."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def formatted_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from sketchmlflink_spark.registry import all_queries
+
+    return all_queries()
+
+
+def test_q01_filter_pushed_and_columns_pruned(spark, queries):
+    plan = formatted_plan(spark, queries["q01_pricing_summary"].build(spark, SF_SMALL))
+    assert "LessThan(l_shipdate" in plan  # range form reaches the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = m.group(1).split(",")
+    assert len(cols) == 7, f"lineitem scan should read 7 of 16 columns, got {cols}"
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_q02_all_predicates_pushed(spark, queries):
+    plan = formatted_plan(spark, queries["q02_revenue_forecast"].build(spark, SF_SMALL))
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert pushed in plan, f"missing pushed filter {pushed}"
+
+
+def test_q03_broadcasts_and_topk(spark, queries):
+    plan = formatted_plan(spark, queries["q03_shipping_priority"].build(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2  # orders & customer broadcast
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_q05_star_join_single_shuffle_join(spark, queries):
+    plan = formatted_plan(spark, queries["q05_revenue_by_nation"].build(spark, SF_SMALL))
+    # every dimension (region, nation, supplier, customer) broadcasts
+    assert plan.count("BroadcastHashJoin") >= 4
+    # at most the fact-fact join shuffles
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_relational_queries_have_no_python_udfs(spark, queries):
+    """The relational/text surface must stay JVM-side (whole-stage
+    codegen); Python is allowed only in ML/multimodal/streaming paths."""
+    for name in sorted(queries):
+        if not re.match(r"^(q|t|d0[123]|s0[124])", name):
+            continue
+        plan = formatted_plan(spark, queries[name].build(spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} unexpectedly crosses to Python"
