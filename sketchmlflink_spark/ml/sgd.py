@@ -96,49 +96,64 @@ def _make_partial_fn(bc, dim: int, sketch_cfg: SketchConfig):
         # ZeroGradient elision (P8): an all-zero partition gradient ships
         # a null payload and is skipped by the combiner (SGD:261-270)
         sg = SK.compress(grad, sketch_cfg, dim) if n > 0 else None
+        payload = SK.to_bytes(sg)
         yield {
-            "payload": SK.to_bytes(sg),
+            "payload": payload,
             "intercept_sum": isum,
             "n": n,
+            # "reduce"-mode averaging denominator: partitions whose
+            # gradient was all-zero are excluded (SGD:261-270)
+            "live_n": n if sg is not None else 0,
             "loss": loss,
+            "bytes": len(payload),
         }
 
     return fn
 
 
-def _merge_partials(partials, dim: int, sketch_cfg: SketchConfig, mode: str):
-    """Combine per-partition results.
+def _make_combine_fn(dim: int, sketch_cfg: SketchConfig):
+    """treeReduce combiner: decompress both sides, dense-add, RE-SKETCH
+    the partial sum (SGD:274) — so every hop of the distributed reduce
+    tree ships a sketch, which is the system's raison d'être (P1).
+    ``bytes`` accumulates the payload sizes that crossed an executor
+    boundary (leaf payloads + every re-sketched partial)."""
 
-    "reduce": pairwise binary tree, re-sketching every combine so each
-    hop ships a sketch (SGD:274); partitions whose gradient was all-zero
-    are excluded from the averaging denominator (SGD:261-270).
-    "reduce_group": single decompress-and-sum pass, no re-sketch
-    (SGD:238-253); zero gradients stay in the denominator (SGD:242-248).
+    def combine(p: dict, q: dict) -> dict:
+        merged = SK.merge(SK.from_bytes(p["payload"]), SK.from_bytes(q["payload"]), sketch_cfg, dim)
+        payload = SK.to_bytes(merged)
+        return {
+            "payload": payload,
+            "intercept_sum": p["intercept_sum"] + q["intercept_sum"],
+            "n": p["n"] + q["n"],
+            "live_n": p["live_n"] + q["live_n"],
+            "loss": p["loss"] + q["loss"],
+            "bytes": p["bytes"] + q["bytes"] + len(payload),
+        }
+
+    return combine
+
+
+def _sum_partials_group(partials, dim: int):
+    """"reduce_group" strategy (SGD:238-253): a single reducer iterates
+    every compressed gradient, decompresses, dense-accumulates — no
+    re-sketch; zero gradients stay in the denominator (SGD:242-248).
+    Runs on the driver, which *is* the one-node reducer the reference's
+    comment warns about (SGD:237) — kept for A/B parity, not for scale.
     """
-    items = [(SK.from_bytes(p["payload"]), p["intercept_sum"], p["n"], p["loss"]) for p in partials]
-    isum = sum(x[1] for x in items)
-    loss = sum(x[3] for x in items)
-    if mode == "reduce_group":
-        dense = np.zeros(dim, dtype=np.float64)
-        count = 0
-        for sg, _, n, _ in items:
-            if sg is not None:
-                dense += SK.decompress(sg, dim)
-            count += n
-        return dense, isum, count, loss
-    # "reduce": tree with re-sketch per combine
-    live = [(sg, n) for sg, _, n, _ in items if sg is not None]
-    count = sum(n for _, n in live)
-    while len(live) > 1:
-        nxt = []
-        for i in range(0, len(live) - 1, 2):
-            (a, na), (b, nb) = live[i], live[i + 1]
-            nxt.append((SK.merge(a, b, sketch_cfg, dim), na + nb))
-        if len(live) % 2:
-            nxt.append(live[-1])
-        live = nxt
-    dense = SK.decompress(live[0][0], dim) if live else np.zeros(dim, dtype=np.float64)
-    return dense, isum, count, loss
+    dense = np.zeros(dim, dtype=np.float64)
+    isum = 0.0
+    loss = 0.0
+    count = 0
+    shipped = 0
+    for p in partials:
+        sg = SK.from_bytes(p["payload"])
+        if sg is not None:
+            dense += SK.decompress(sg, dim)
+        isum += p["intercept_sum"]
+        loss += p["loss"]
+        count += p["n"]
+        shipped += p["bytes"]
+    return dense, isum, count, loss, shipped
 
 
 def _apply_regularization(grad: np.ndarray, w: np.ndarray, cfg: SolverConfig) -> np.ndarray:
@@ -224,13 +239,24 @@ def train(
         t0 = time.monotonic()
         bc = sc.broadcast((w, b))
         try:
-            # at cluster scale swap collect-and-merge for treeAggregate
-            # with the same seqOp/combOp — the merge is associative
-            partials = blocks.mapPartitions(_make_partial_fn(bc, dim, sketch_cfg)).collect()
+            partial_rdd = blocks.mapPartitions(_make_partial_fn(bc, dim, sketch_cfg))
+            if solver.aggregation == "reduce":
+                # distributed tree reduction; every combine hop ships a
+                # re-sketched partial (SGD:256-281 "Reduce" mode) — the
+                # shape that holds at 1000 executors
+                merged = partial_rdd.treeReduce(
+                    _make_combine_fn(dim, sketch_cfg), depth=solver.tree_depth
+                )
+                grad_sum = SK.decompress(SK.from_bytes(merged["payload"]), dim)
+                isum, loss = merged["intercept_sum"], merged["loss"]
+                count = merged["live_n"]
+                result.shuffle_bytes += merged["bytes"]
+            else:  # "reduce_group"
+                partials = partial_rdd.collect()
+                grad_sum, isum, count, loss, shipped = _sum_partials_group(partials, dim)
+                result.shuffle_bytes += shipped
         finally:
             bc.destroy()
-        result.shuffle_bytes += sum(len(p["payload"]) for p in partials)
-        grad_sum, isum, count, loss = _merge_partials(partials, dim, sketch_cfg, solver.aggregation)
         if count == 0:
             count = n_total
         eta = _learning_rate(solver, t)
