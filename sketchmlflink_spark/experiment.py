@@ -89,6 +89,10 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
     )
     row = report.first().asDict()
     row["sketch_or_flink"] = args.sketchOrFlink
+    if args.parallelism and args.parallelism > 0:
+        # report the requested parallelism like Test.scala's CSV does
+        # (Test:73), not the session default
+        row["parallelism"] = args.parallelism
     return row
 
 

@@ -119,3 +119,55 @@ def mm02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     docs = t(spark, sf_dir, "documents")
     return media_table(docs).mapInPandas(fake_decode_features, FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# mm03 — frame sampling + resize plumbing (one row → many frame rows).
+# --------------------------------------------------------------------------
+FRAME_BYTES = 32   # stub "frame" = 32 payload bytes
+FRAME_STRIDE = 4   # sample every 4th frame
+RESIZE_DIM = 4     # "resized" feature vector length per frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("resized", ArrayType(DoubleType())),
+    ]
+)
+
+
+def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame-sample + resize: split the opaque payload into
+    fixed-size "frames", keep every FRAME_STRIDE-th, and "resize" each
+    to RESIZE_DIM values by block-averaging its bytes. Stands in for
+    video frame extraction + image resize (codecs not installed); the
+    one-row→many-rows batch shape, schema, and partition behavior are
+    the real thing."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, feats = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n_frames = len(arr) // FRAME_BYTES
+            for fi in range(0, n_frames, FRAME_STRIDE):
+                frame = arr[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES].astype("float64")
+                resized = frame.reshape(RESIZE_DIM, -1).mean(axis=1) / 255.0
+                ids.append(doc_id)
+                idxs.append(fi)
+                feats.append([round(float(x), 6) for x in resized])
+        yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "resized": feats})
+
+
+@register(
+    "mm03_frame_sample",
+    oracle=None,  # stubbed decode; row-explosion plumbing fixture-tested
+    tags=("multimodal", "frames"),
+)
+def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    docs = t(spark, sf_dir, "documents")
+    return media_table(docs).mapInPandas(fake_frame_sample, FRAME_SCHEMA)
