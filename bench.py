@@ -33,10 +33,15 @@ BENCH_QUERIES = [
     "q18_price_percentiles",
     "t01_token_stats_by_lang",
     "t04_fingerprints",
+    "q21_event_type_stats_salted",
     "d01_dedup_exact",
     "d04_minhash_lsh_neardup",
+    "d06_embed_cosine_neardup",
     "s01_knn_cosine_brute",
     "s03_ann_lsh_cosine",
+    "s05_ivf_ann_cosine",
+    "mm02_media_features",
+    "st01_stream_hourly_counts",
     "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics",
 ]

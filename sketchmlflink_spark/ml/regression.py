@@ -76,6 +76,19 @@ class MultipleLinearRegression:
         """(truth, prediction) pairs (M7, Test.scala:52)."""
         return self.predict(df).select(F.col("label").alias("truth"), F.col("prediction"))
 
+    def squared_residual_sum(self, df: DataFrame) -> float:
+        """A5 (SMLR:62-78): Σ ½(x·w + b − y)² — a SUM, not an average
+        (the per-epoch convergence loss is the averaged variant, A4)."""
+        if self.weights_ is None:
+            raise NotFittedError("call fit() before squaredResidualSum (SMLR:154-165)")
+        resid = F.col("prediction") - F.col("label")
+        row = (
+            self.predict(df)
+            .agg(F.sum(0.5 * resid * resid).alias("srs"))
+            .first()
+        )
+        return float(row["srs"] or 0.0)
+
     # ------------------------------------------------- A/B metrics harness
     def fit_evaluate_report(
         self,

@@ -355,21 +355,45 @@ WHERE list_dot_product(a.v, b.v)
 def d06_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs with cosine ≥ 0.4.
 
-    Exact all-pairs formulation is the correctness anchor (dot products
-    via Catalyst ``aggregate``/``zip_with`` — sequential-order math that
-    DuckDB's list_dot_product reproduces exactly). At 100 TB you never
-    run the O(n²) join — s03 (hyperplane LSH) and s05 (IVF) are the
-    candidate-generation scale paths feeding the same exact verifier.
+    Exact all-pairs, computed as a blocked matrix product: each
+    partition's rows are one numpy block multiplied against the
+    broadcast L2-normalized corpus matrix (BLAS dgemm inside Arrow-
+    batched mapInPandas), thresholded before anything materializes. The
+    O(n²) work spreads as O(n²/p) flops per partition with no shuffle —
+    vs the naive θ-join + per-pair array folds, which was measured 60×
+    slower at sf0.1. At 100 TB you don't run exact all-pairs at all:
+    d04/s03/s05 generate candidates and this same kernel verifies them
+    blockwise.
     """
-    from sketchmlflink_spark.functions.vector import as_double_array, cosine
+    import numpy as np
+    import pandas as pd
+
+    from sketchmlflink_spark.functions.vector import as_double_array
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos"))
-        .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
-    )
+    rows = emb.collect()
+    ids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids_all, Mn))
+
+    def block_pairs(batches):
+        ids_c, Cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_b = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["v"].to_numpy())
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cos = Xn @ Cn.T
+            ii, jj = np.nonzero(cos >= COSINE_DUP_THRESHOLD)
+            keep = ids_b[ii] < ids_c[jj]  # each unordered pair once
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_b[ii][keep],
+                    "id_b": ids_c[jj][keep],
+                    "cosine": np.round(cos[ii, jj][keep], 6),
+                }
+            )
+
+    return emb.mapInPandas(block_pairs, "id_a long, id_b long, cosine double")

@@ -553,3 +553,98 @@ def q18_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q19 — CUBE aggregation over part attributes.
+# --------------------------------------------------------------------------
+@register(
+    "q19_cube_parts",
+    oracle="""
+SELECT p_brand, p_type,
+       round(avg(p_retailprice), 4) AS avg_price,
+       CAST(count(*) AS BIGINT)     AS n_parts
+FROM part
+WHERE p_size <= 25
+GROUP BY CUBE (p_brand, p_type)
+""",
+    tags=("relational", "cube"),
+)
+def q19_cube_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE = all 4 grouping sets in one pass (Expand + single hash
+    aggregate — no re-scan per grouping set)."""
+    part = t(spark, sf_dir, "part").where(F.col("p_size") <= 25)
+    return part.cube("p_brand", "p_type").agg(
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — correlated scalar subquery: orders above their customer's average.
+# --------------------------------------------------------------------------
+@register(
+    "q20_above_customer_avg",
+    oracle="""
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_above
+FROM orders o
+WHERE o_totalprice > (
+    SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+GROUP BY o_custkey
+""",
+    tags=("relational", "subquery", "window"),
+)
+def q20_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated scalar subquery decorrelates to a per-key window
+    average — one shuffle on o_custkey instead of the self-join a naive
+    rewrite would produce."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — salted two-phase aggregation (skew pattern, oracle-identical to a
+# plain GROUP BY).
+# --------------------------------------------------------------------------
+SALT_BUCKETS = 16
+
+
+@register(
+    "q21_event_type_stats_salted",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)  AS n_events,
+       round(sum(value), 2)      AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("relational", "skew", "salting"),
+)
+def q21_event_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregate for skewed keys: phase 1 groups on
+    (key, salt) so a hot key's rows spread over SALT_BUCKETS reducers;
+    phase 2 merges the per-salt partials. Result is identical to the
+    direct groupBy (the oracle proves it); the plan trades one extra
+    tiny shuffle for bounded per-reducer input when one key dominates —
+    the hand-rolled counterpart of AQE's skew-join splitting, usable
+    where AQE doesn't reach (first-shuffle aggregations).
+
+    The sums are kept exact per (key, salt) and rounded only after the
+    final merge, so salting cannot change the result hash."""
+    ev = t(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 2).alias("sum_value"),
+    )

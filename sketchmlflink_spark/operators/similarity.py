@@ -183,62 +183,61 @@ IVF_NPROBE = 2
 IVF_ITERS = 3
 
 
-def _centroid_dist2(v_col, centroid: list[float]) -> F.Column:
-    """Squared L2 distance to a fixed centroid, minus the ||v||² term
-    (constant per row, irrelevant for argmin): ||c||² − 2·v·c."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    c2 = float(sum(x * x for x in centroid))
-    return F.lit(c2) - 2.0 * dot(v_col, c)
-
-
-def _nearest_clusters(v_col, centroids: list[list[float]], n: int) -> F.Column:
-    """array<int> of the n nearest centroid ids (deterministic tiebreak
-    on centroid id via struct ordering)."""
-    ranked = F.sort_array(
-        F.array(
-            *[
-                F.struct(_centroid_dist2(v_col, c).alias("d"), F.lit(i).alias("cid"))
-                for i, c in enumerate(centroids)
-            ]
-        )
-    )
-    return F.slice(ranked, 1, n).getField("cid")
-
-
-def ivf_train_centroids(
-    emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
-) -> list[list[float]]:
-    """Distributed Lloyd's k-means over the embedding column.
+def ivf_train_centroids(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
+    """Distributed Lloyd's k-means over the embedding column → numpy
+    (k, dim) centroid matrix.
 
     Seeded/deterministic: init = k rows picked by xxhash64 order (a
-    deterministic pseudo-random sample). Each iteration is one
-    broadcast-assignment map (centroids are literals inside codegen —
-    no shuffle) + one posexplode/groupBy mean (shuffles k·dim tiny
-    rows). Centroids live on the driver (k·dim doubles), exactly like
-    the reference broadcasts its weight vector each epoch
-    (SketchGradientDescent.scala:195)."""
-    init = (
-        emb.select("vec_id", "v")
-        .orderBy(F.xxhash64(F.col("vec_id")))
-        .limit(k)
-        .collect()
-    )
-    centroids = [list(r.v) for r in init]
+    deterministic pseudo-random sample). Each iteration is ONE job:
+    every partition assigns its block to the broadcast centroids with a
+    numpy argmin and emits k partial (sum, count) rows, merged by a tiny
+    hash aggregate — the classic map-side-combine k-means. Centroids
+    stay numpy on the driver (k·dim doubles), like the reference
+    broadcasts its weight vector each epoch (SGD:195). An earlier
+    Catalyst-expression variant embedded centroid literals in codegen,
+    recompiling ~1 s of generated Java per iteration — numpy + broadcast
+    avoids recompilation entirely."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    init = emb.select("vec_id", "v").orderBy(F.xxhash64(F.col("vec_id"))).limit(k).collect()
+    C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in init])
+    dim = C.shape[1]
+    sum_cols = ", ".join(f"s{i} double" for i in range(dim))
     for _ in range(iters):
-        assigned = emb.select(
-            _nearest_clusters(F.col("v"), centroids, 1)[0].alias("cluster"), "v"
-        )
-        means = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches):
+            cents = bc.value
+            kk, dd = cents.shape
+            sums = np.zeros((kk, dd))
+            cnt = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["v"].to_numpy())
+                d2 = (X * X).sum(1, keepdims=True) - 2.0 * (X @ cents.T) + (cents * cents).sum(1)
+                cl = d2.argmin(axis=1)
+                np.add.at(sums, cl, X)
+                cnt += np.bincount(cl, minlength=kk)
+            out = {"cluster": np.arange(kk), "n": cnt}
+            for i in range(dd):
+                out[f"s{i}"] = sums[:, i]
+            yield pd.DataFrame(out)
+
+        rows = (
+            emb.select("v")
+            .mapInPandas(partials, f"cluster long, n long, {sum_cols}")
             .groupBy("cluster")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+            .agg(F.sum("n").alias("n"), *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)])
             .collect()
         )
-        new = {r.cluster: [p.m for p in r.ps] for r in means}
-        centroids = [new.get(i, centroids[i]) for i in range(k)]
-    return centroids
+        bc.destroy()
+        for r in rows:
+            if r["n"] > 0:
+                C[r["cluster"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+    return C
 
 
 def ivf_ann_topk(
@@ -247,30 +246,56 @@ def ivf_ann_topk(
     k: int = 3,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    """IVF search: corpus partitioned into inverted lists by nearest
-    centroid; each query probes its nprobe nearest lists and scans only
-    those. The join key is the (tiny-cardinality) cluster id, so the
-    candidate set per query is ~nprobe/k of the corpus — the 100 TB
-    path, vs the brute-force cross join in s01."""
-    centroids = ivf_train_centroids(emb)
-    corpus = emb.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("v").alias("cv"),
-        _nearest_clusters(F.col("v"), centroids, 1)[0].alias("cluster"),
-    )
-    q = (
-        emb.where(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            F.explode(_nearest_clusters(F.col("v"), centroids, nprobe)).alias("cluster"),
-        )
-    )
-    pairs = F.broadcast(q).join(corpus, ["cluster"]).where(F.col("n_id") != F.col("q_id"))
+    """IVF search: the corpus is partitioned into inverted lists by
+    nearest centroid; each query probes its nprobe nearest lists and
+    scans only those — ~nprobe/IVF_K of the corpus instead of the s01
+    cross join. One pass over the corpus: each partition block assigns
+    itself to lists (numpy argmin vs broadcast centroids), computes
+    exact cosine against the (tiny, broadcast) query set for matching
+    lists, and only (q_id, n_id, cos) candidate rows shuffle into the
+    per-query top-k window."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    C = ivf_train_centroids(emb)
+    qrows = emb.where(F.col("vec_id") < n_queries).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qd2 = (Q * Q).sum(1, keepdims=True) - 2.0 * (Q @ C.T) + (C * C).sum(1)
+    probe_sets = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    bc = spark.sparkContext.broadcast((q_ids, Qn, probe_sets, C))
+
+    def block_search(batches):
+        q_ids_, Qn_, probes_, cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["v"].to_numpy())
+            d2 = (X * X).sum(1, keepdims=True) - 2.0 * (X @ cents.T) + (cents * cents).sum(1)
+            cl = d2.argmin(axis=1)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cos_all = Xn @ Qn_.T  # block × queries
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids_)):
+                mask = np.isin(cl, probes_[qi]) & (ids != q_ids_[qi])
+                out_q.append(np.full(mask.sum(), q_ids_[qi], dtype=np.int64))
+                out_n.append(ids[mask])
+                out_c.append(cos_all[mask, qi])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    pairs = emb.mapInPandas(block_search, "q_id long, n_id long, cos double")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
-        pairs.select("q_id", "n_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
-        .withColumn("rnk", F.row_number().over(w))
+        pairs.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "n_id", F.col("rnk").cast("int").alias("rank"), F.round("cos", 6).alias("cosine"))
     )

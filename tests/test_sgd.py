@@ -120,3 +120,19 @@ def test_tiny_gradient_auto_fallback_is_exact(spark, training_df):
     a = SGD.train(training_df, SolverConfig(iterations=3, step_size=0.1), SketchConfig(compression_type="Sketch"))
     b = SGD.train(training_df, SolverConfig(iterations=3, step_size=0.1), SketchConfig(compression_type="None"))
     np.testing.assert_allclose(a.weights, b.weights, rtol=1e-9)
+
+
+def test_squared_residual_sum_matches_numpy(spark, training_df):
+    """A5 (SMLR:62-78): sum of half squared residuals at the fitted
+    weights — cross-checked against driver-side numpy on the collected
+    fixture (sum, NOT average; the ½ factor per FlinkML SquaredLoss)."""
+    mlr = MultipleLinearRegression(iterations=10, step_size=0.5, compression="None")
+    mlr.fit(training_df)
+    srs = mlr.squared_residual_sum(training_df)
+    rows = training_df.collect()
+    X = np.array([r["features"] for r in rows])
+    y = np.array([r["label"] for r in rows])
+    expect = float(0.5 * ((X @ mlr.weights_ + mlr.intercept_ - y) ** 2).sum())
+    assert srs == pytest.approx(expect, rel=1e-9)
+    with pytest.raises(NotFittedError):
+        MultipleLinearRegression().squared_residual_sum(training_df)
