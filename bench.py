@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "t01_token_stats_by_lang",
     "t04_fingerprints",
     "q21_event_type_stats_salted",
+    "q22_asof_click_to_view",
     "d01_dedup_exact",
     "d04_minhash_lsh_neardup",
     "d06_embed_cosine_neardup",

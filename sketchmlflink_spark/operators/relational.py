@@ -648,3 +648,59 @@ def q21_event_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.round(F.sum("pv"), 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q22 — as-of join: each click matched to the user's most recent prior view.
+# --------------------------------------------------------------------------
+@register(
+    "q22_asof_click_to_view",
+    oracle="""
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+    tags=("relational", "temporal", "asof-join"),
+)
+def q22_asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (inclusive: view.ts <= click.ts) without a range
+    join: union both sides with a marker, then one running
+    ``last(..., ignorenulls)`` window per user carries the latest view
+    timestamp forward onto every later click.
+
+    Scale shape: exactly ONE hash shuffle on user_id (+ in-partition
+    sort) — linear in input, no per-user quadratic inequality join, no
+    broadcast requirement on either side. Ties at equal ts resolve
+    view-before-click via the marker in the sort key, matching DuckDB
+    ASOF's inclusive bound; clicks with no prior view drop (inner
+    semantics). Output is the integer microsecond gap, so any tie
+    between two views at the same instant cannot change the hash.
+    """
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_click"), F.lit(None).cast("long").alias("view_us")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.unix_micros("ts").alias("view_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(views)
+        .withColumn("asof_view_us", F.last("view_us", ignorenulls=True).over(w))
+        .where((F.col("is_click") == 1) & F.col("asof_view_us").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_micros("ts") - F.col("asof_view_us")).alias("gap_us"),
+        )
+    )
