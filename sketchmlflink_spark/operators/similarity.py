@@ -183,20 +183,58 @@ IVF_NPROBE = 2
 IVF_ITERS = 3
 
 
-def ivf_train_centroids(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
-    """Distributed Lloyd's k-means over the embedding column → numpy
-    (k, dim) centroid matrix.
+IVF_TRAIN_CAP = 4096
 
-    Seeded/deterministic: init = k rows picked by xxhash64 order (a
-    deterministic pseudo-random sample). Each iteration is ONE job:
-    every partition assigns its block to the broadcast centroids with a
-    numpy argmin and emits k partial (sum, count) rows, merged by a tiny
-    hash aggregate — the classic map-side-combine k-means. Centroids
-    stay numpy on the driver (k·dim doubles), like the reference
-    broadcasts its weight vector each epoch (SGD:195). An earlier
-    Catalyst-expression variant embedded centroid literals in codegen,
-    recompiling ~1 s of generated Java per iteration — numpy + broadcast
-    avoids recompilation entirely."""
+
+def ivf_train_centroids(
+    emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS, sample_cap: int | None = IVF_TRAIN_CAP
+):
+    """k-means coarse quantizer → numpy (k, dim) centroid matrix.
+
+    Default path (``sample_cap`` set) is the faiss/IVF-standard design:
+    train on a BOUNDED deterministic sample (first ``sample_cap`` rows
+    by xxhash64 order) with Lloyd iterations running driver-side in
+    numpy. Centroid quality depends on sample size per centroid, not
+    corpus size, so at 100 TB the sample (cap·dim doubles, ~2 MB here)
+    is all that ever leaves the executors and training costs ONE Spark
+    job regardless of ``iters``. ``sample_cap=None`` switches to
+    full-corpus distributed Lloyd (one map-side-combine job per
+    iteration) for when the quantizer must see every row."""
+    import numpy as np
+
+    if sample_cap is not None:
+        rows = (
+            emb.select("vec_id", "v")
+            .orderBy(F.xxhash64(F.col("vec_id")))
+            .limit(int(sample_cap))
+            .collect()
+        )
+        # init = first k of the xxhash-ordered sample — identical to the
+        # distributed arm's init, so the two paths agree whenever the
+        # sample covers the corpus (pytest asserts this parity)
+        X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+        C = X[:k].copy()
+        for _ in range(iters):
+            d2 = (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)
+            cl = d2.argmin(axis=1)
+            for j in range(k):
+                mask = cl == j
+                if mask.any():
+                    C[j] = X[mask].mean(axis=0)
+        return C
+    return _ivf_train_centroids_distributed(emb, k, iters)
+
+
+def _ivf_train_centroids_distributed(emb: DataFrame, k: int, iters: int):
+    """Full-corpus distributed Lloyd: each iteration is ONE job — every
+    partition assigns its block to the broadcast centroids with a numpy
+    argmin and emits k partial (sum, count) rows, merged by a tiny hash
+    aggregate (classic map-side-combine k-means). Centroids stay numpy
+    on the driver (k·dim doubles), like the reference broadcasts its
+    weight vector each epoch (SGD:195). An earlier Catalyst-expression
+    variant embedded centroid literals in codegen, recompiling ~1 s of
+    generated Java per iteration — numpy + broadcast avoids
+    recompilation entirely."""
     import numpy as np
     import pandas as pd
 

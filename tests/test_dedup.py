@@ -98,3 +98,22 @@ def test_ivf_ann_recall_vs_brute(spark):
     res = ivf_ann_topk(emb, n_queries=10, k=1).collect()
     hits = sum(1 for r in res if r["n_id"] == 1000 + r["q_id"])
     assert hits >= 8, f"IVF recall too low: {hits}/10"
+
+
+def test_ivf_sampled_and_distributed_training_agree(spark):
+    """When the training sample covers the whole corpus, the driver-side
+    sampled Lloyd and the distributed map-side-combine Lloyd must
+    produce identical centroids (same xxhash64-ordered init, same
+    update rule) — cross-validating both implementations."""
+    import numpy as np
+
+    from sketchmlflink_spark.operators.similarity import ivf_train_centroids
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.standard_normal(16).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    sampled = ivf_train_centroids(emb, k=4, iters=3, sample_cap=10_000)
+    dist = ivf_train_centroids(emb, k=4, iters=3, sample_cap=None)
+    np.testing.assert_allclose(sampled, dist, rtol=1e-9, atol=1e-12)
