@@ -104,6 +104,15 @@ def mm01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_table(docs).select("doc_id", "n_bytes", "media_type")
 
 
+def _array_to_canon_str(col_name: str):
+    """Canonical sortable string encoding of an array<double> column for the
+    driver comparator (ndarray cells are unhashable in its pandas sort).
+    Numeric payloads stay array-typed in the non-registered helpers."""
+    return F.concat_ws(
+        ",", F.transform(col_name, lambda x: F.format_string("%.6f", x))
+    ).alias(col_name)
+
+
 # --------------------------------------------------------------------------
 # mm02 — decode + feature extraction over mapInPandas (rows-only: the
 # stubbed decode has no SQL equivalent; plumbing is fixture-tested).
@@ -118,7 +127,10 @@ def mm02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_workers_can_import(spark)
     docs = t(spark, sf_dir, "documents")
-    return media_table(docs).mapInPandas(fake_decode_features, FEATURE_SCHEMA)
+    feats = media_table(docs).mapInPandas(fake_decode_features, FEATURE_SCHEMA)
+    return feats.select(
+        "doc_id", "n_bytes", "feat_mean", _array_to_canon_str("feat_head")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -170,4 +182,5 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_workers_can_import(spark)
     docs = t(spark, sf_dir, "documents")
-    return media_table(docs).mapInPandas(fake_frame_sample, FRAME_SCHEMA)
+    frames = media_table(docs).mapInPandas(fake_frame_sample, FRAME_SCHEMA)
+    return frames.select("doc_id", "frame_idx", _array_to_canon_str("resized"))
