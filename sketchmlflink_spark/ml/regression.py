@@ -69,6 +69,9 @@ class MultipleLinearRegression:
     def predict(self, df: DataFrame, out_col: str = "prediction") -> DataFrame:
         if self.weights_ is None:
             raise NotFittedError("call fit() before predict() (SMLR:154-165)")
+        if "features" not in df.columns:  # sparse COO schema (SGD:198-217 dual repr)
+            udf = SGD.predict_udf_sparse_factory(df.sparkSession, self.weights_, self.intercept_)
+            return df.withColumn(out_col, udf(F.col("indices"), F.col("values")))
         udf = SGD.predict_udf_factory(df.sparkSession, self.weights_, self.intercept_)
         return df.withColumn(out_col, udf(F.col("features")))
 
@@ -97,12 +100,16 @@ class MultipleLinearRegression:
         train_fraction: float = 0.75,  # S5: 75/25 split (Test.scala:39)
         input_file: str = "embeddings",
         max_dim: int = -1,
+        dim: int | None = None,
     ) -> DataFrame:
         """Split → fit → evaluate → one metrics row in the reference's
-        CSV_Line schema (Test.scala:71-77)."""
+        CSV_Line schema (Test.scala:71-77). ``dim`` must be passed for
+        sparse COO inputs whose test split may hold indices above the
+        train split's max (the reference gets this from its global
+        dimension inference, Test.scala:157-160)."""
         t0 = time.monotonic()
         train, test = df.randomSplit([train_fraction, 1 - train_fraction], seed=self.solver.seed)
-        self.fit(train)
+        self.fit(train, dim=dim)
         err = (
             self.evaluate(test)
             .agg(

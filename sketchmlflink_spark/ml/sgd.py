@@ -77,6 +77,43 @@ def _blockify(batches):
         yield pd.DataFrame({"blob": [pickle.dumps((X, y), protocol=5)]})
 
 
+def _blockify_sparse(batches):
+    """(indices, values, label) Arrow batches → ONE pickled COO block per
+    partition: (row_ids, idx, val, y) flat numpy arrays. The sparse
+    analog of ``_blockify`` — never materializes a dim-wide row, so a
+    partition's memory is O(nnz), matching the reference's SparseVector
+    path (SketchGradientDescent.scala:198-217; SparseVector.fromCOO,
+    Test.scala:171). Duplicate indices within a row are legal (their
+    contributions sum — a multiset feature map)."""
+    import pickle
+
+    rid_parts, idx_parts, val_parts, y_parts = [], [], [], []
+    row_base = 0
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        lens = np.fromiter((len(a) for a in pdf["indices"]), dtype=np.int64, count=len(pdf))
+        rid_parts.append(np.repeat(np.arange(row_base, row_base + len(pdf)), lens))
+        idx_parts.append(
+            np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["indices"]])
+            if len(pdf)
+            else np.empty(0, dtype=np.int64)
+        )
+        val_parts.append(
+            np.concatenate([np.asarray(a, dtype=np.float64) for a in pdf["values"]])
+        )
+        y_parts.append(pdf["label"].to_numpy(dtype=np.float64))
+        row_base += len(pdf)
+    if y_parts:
+        blk = (
+            np.concatenate(rid_parts),
+            np.concatenate(idx_parts),
+            np.concatenate(val_parts),
+            np.concatenate(y_parts),
+        )
+        yield pd.DataFrame({"blob": [pickle.dumps(blk, protocol=5)]})
+
+
 def _make_partial_fn(bc, dim: int, sketch_cfg: SketchConfig):
     """Per-partition gradient pass over cached numpy blocks. Nested so
     cloudpickle ships it by value; touches only numpy + sketch codec."""
@@ -103,6 +140,49 @@ def _make_partial_fn(bc, dim: int, sketch_cfg: SketchConfig):
             "n": n,
             # "reduce"-mode averaging denominator: partitions whose
             # gradient was all-zero are excluded (SGD:261-270)
+            "live_n": n if sg is not None else 0,
+            "loss": loss,
+            "bytes": len(payload),
+        }
+
+    return fn
+
+
+def _make_partial_fn_sparse(bc, dim: int, sketch_cfg: SketchConfig):
+    """Per-partition gradient pass over cached COO blocks. The gradient
+    sum is accumulated SPARSELY (unique feature keys seen in this
+    partition only) and compressed via the codec's kv path — no
+    dim-sized buffer is ever allocated on an executor, so the arm holds
+    at dim 10^5-10^7 where the dense path's np.stack would blow memory
+    (the reference's actual workload: wide LibSVM swept over --maxDim,
+    runtest.sh:34-36)."""
+
+    def fn(blocks):
+        w, b = bc.value
+        idx_parts, contrib_parts = [], []
+        isum = 0.0
+        loss = 0.0
+        n = 0
+        for row_ids, idx, val, y in blocks:
+            # per-row prediction: scatter-sum of val * w[idx] by row
+            pred = np.bincount(row_ids, weights=val * w[idx], minlength=len(y))[: len(y)]
+            r = pred + b - y
+            idx_parts.append(idx)
+            contrib_parts.append(val * r[row_ids])  # d/dw of 0.5*r^2
+            isum += float(r.sum())
+            loss += 0.5 * float(r @ r)
+            n += len(y)
+        sg = None
+        if n > 0:
+            idx_cat = np.concatenate(idx_parts)
+            uk, inv = np.unique(idx_cat, return_inverse=True)
+            gv = np.bincount(inv, weights=np.concatenate(contrib_parts), minlength=uk.shape[0])
+            sg = SK.compress_kv(uk, gv, sketch_cfg, dim)  # None if all-zero (P8)
+        payload = SK.to_bytes(sg)
+        yield {
+            "payload": payload,
+            "intercept_sum": isum,
+            "n": n,
             "live_n": n if sg is not None else 0,
             "loss": loss,
             "bytes": len(payload),
@@ -192,8 +272,12 @@ def train(
     init_intercept: float = 0.0,
     epoch_offset: int = 0,
 ) -> TrainResult:
-    """Run the SGD loop. ``df`` needs columns ``features array<double>``
-    and ``label double``. Returns weights/intercept + per-epoch metrics.
+    """Run the SGD loop. ``df`` needs ``label double`` plus EITHER a
+    dense ``features array<double>`` column OR the sparse COO pair
+    ``indices array<int>`` + ``values array<double>`` (the LibSVM parse
+    output, FIXTURES.md §1) — the dual dense/sparse representation the
+    reference pattern-matches on (SGD:198-217). Returns
+    weights/intercept + per-epoch metrics.
 
     ``init_weights``/``init_intercept`` warm-start the model and
     ``epoch_offset`` shifts the eta0/sqrt(t) schedule — used by the
@@ -210,16 +294,29 @@ def train(
 
     import pickle
 
+    sparse = "features" not in df.columns
     # one numpy block per partition, cached deserialized (P5)
-    blocks = (
-        df.select("features", "label")
-        .mapInPandas(_blockify, "blob binary")
-        .rdd.map(lambda r: pickle.loads(r["blob"]))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # one job materializes the cache AND yields row count + dimension
-    # (S3 dimension inference, Test.scala:157-160, fused)
-    stats = blocks.map(lambda blk: (len(blk[1]), blk[0].shape[1])).collect()
+    if sparse:
+        blocks = (
+            df.select("indices", "values", "label")
+            .mapInPandas(_blockify_sparse, "blob binary")
+            .rdd.map(lambda r: pickle.loads(r["blob"]))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # (row count, local max index + 1) per partition
+        stats = blocks.map(
+            lambda blk: (len(blk[3]), int(blk[1].max()) + 1 if blk[1].size else 0)
+        ).collect()
+    else:
+        blocks = (
+            df.select("features", "label")
+            .mapInPandas(_blockify, "blob binary")
+            .rdd.map(lambda r: pickle.loads(r["blob"]))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # one job materializes the cache AND yields row count + dimension
+        # (S3 dimension inference, Test.scala:157-160, fused)
+        stats = blocks.map(lambda blk: (len(blk[1]), blk[0].shape[1])).collect()
     n_total = sum(s[0] for s in stats)
     if n_total == 0:
         blocks.unpersist()
@@ -239,7 +336,8 @@ def train(
         t0 = time.monotonic()
         bc = sc.broadcast((w, b))
         try:
-            partial_rdd = blocks.mapPartitions(_make_partial_fn(bc, dim, sketch_cfg))
+            mk = _make_partial_fn_sparse if sparse else _make_partial_fn
+            partial_rdd = blocks.mapPartitions(mk(bc, dim, sketch_cfg))
             if solver.aggregation == "reduce":
                 # distributed tree reduction; every combine hop ships a
                 # re-sketched partial (SGD:256-281 "Reduce" mode) — the
@@ -293,5 +391,29 @@ def predict_udf_factory(spark, weights: np.ndarray, intercept: float):
         w, b = bc.value
         X = np.stack(series.to_numpy())
         return pd.Series(X @ w + b)
+
+    return F.pandas_udf(_predict, "double")
+
+
+def predict_udf_sparse_factory(spark, weights: np.ndarray, intercept: float):
+    """Sparse-features prediction: x·w + b over (indices, values) COO
+    columns, vectorized per Arrow batch via one concat + scatter-sum —
+    no densified rows (the SparseVector dot of SMLR:166-171)."""
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    bc = spark.sparkContext.broadcast((np.asarray(weights, dtype=np.float64), float(intercept)))
+
+    def _predict(indices: pd.Series, values: pd.Series) -> pd.Series:
+        w, b = bc.value
+        n = len(indices)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        lens = np.fromiter((len(a) for a in indices), dtype=np.int64, count=n)
+        row_ids = np.repeat(np.arange(n), lens)
+        idx = np.concatenate([np.asarray(a, dtype=np.int64) for a in indices])
+        val = np.concatenate([np.asarray(a, dtype=np.float64) for a in values])
+        pred = np.bincount(row_ids, weights=val * w[idx], minlength=n)[:n] + b
+        return pd.Series(pred)
 
     return F.pandas_udf(_predict, "double")

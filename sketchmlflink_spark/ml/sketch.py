@@ -135,9 +135,22 @@ def compress(values: np.ndarray, cfg: SketchConfig, dim: int | None = None) -> S
     values = np.asarray(values, dtype=np.float64)
     dim = dim if dim is not None else values.shape[0]
     keys = np.nonzero(np.abs(values) > EPS)[0]
+    return compress_kv(keys, values[keys], cfg, dim)
+
+
+def compress_kv(keys: np.ndarray, vals: np.ndarray, cfg: SketchConfig, dim: int) -> SketchedGradient | None:
+    """Sparse (keys, values) gradient → sketched gradient, never touching
+    a dim-sized buffer — the SparseDoubleGradient branch of the reference
+    (SketchGradientDescent.scala:198-217). ``keys`` must be sorted and
+    unique (np.unique output qualifies); near-zero entries are elided
+    like the dense path's nnz test (SGD:356-362)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    live = np.abs(vals) > EPS
+    if not live.all():
+        keys, vals = keys[live], vals[live]
     if keys.size == 0:
         return None
-    vals = values[keys]
     key_buf = encode_keys(keys)
     if cfg.compression_type == "None" or keys.size < cfg.auto_fallback_nnz:
         return SketchedGradient(dim, key_buf, keys.size, vals.copy(), None, None, None)
@@ -161,6 +174,24 @@ def compress(values: np.ndarray, cfg: SketchConfig, dim: int | None = None) -> S
     return SketchedGradient(dim, key_buf, keys.size, None, splits, group_ids, sketches)
 
 
+def decompress_kv(sg: SketchedGradient) -> tuple[np.ndarray, np.ndarray]:
+    """Sketched gradient → sparse (keys, values) without a dim-sized
+    buffer. Keys come back sorted-unique (the codec stores them that
+    way)."""
+    keys = decode_keys(sg.key_buf)
+    if sg.exact_values is not None:
+        return keys, sg.exact_values.astype(np.float64, copy=True)
+    vals = np.zeros(keys.shape[0], dtype=np.float64)
+    bins = sg.splits.shape[0] - 1
+    for g, sketch in enumerate(sg.sketches):
+        mask = sg.group_ids == g
+        if not mask.any():
+            continue
+        b = sketch.query(keys[mask]).astype(np.int64)
+        vals[mask] = 0.5 * (sg.splits[b] + sg.splits[np.minimum(b + 1, bins)])
+    return keys, vals
+
+
 def decompress(sg: SketchedGradient | None, dim: int | None = None) -> np.ndarray:
     """Sketched gradient → dense float64 (``toAuto``/``toDense`` analog,
     SGD:244/276)."""
@@ -169,33 +200,33 @@ def decompress(sg: SketchedGradient | None, dim: int | None = None) -> np.ndarra
             raise ValueError("cannot densify ZeroGradient without dim")
         return np.zeros(dim, dtype=np.float64)
     out = np.zeros(sg.dim, dtype=np.float64)
-    keys = decode_keys(sg.key_buf)
-    if sg.exact_values is not None:
-        out[keys] = sg.exact_values
-        return out
-    bins = sg.splits.shape[0] - 1
-    for g, sketch in enumerate(sg.sketches):
-        mask = sg.group_ids == g
-        if not mask.any():
-            continue
-        b = sketch.query(keys[mask]).astype(np.int64)
-        out[keys[mask]] = 0.5 * (sg.splits[b] + sg.splits[np.minimum(b + 1, bins)])
+    keys, vals = decompress_kv(sg)
+    out[keys] = vals
     return out
 
 
 def merge(a: SketchedGradient | None, b: SketchedGradient | None, cfg: SketchConfig, dim: int, resketch: bool = True) -> SketchedGradient | None:
-    """Combine two in-transit gradients: decompress → dense add →
-    (optionally) re-compress, so every hop of the reduce tree ships a
-    sketch — the in-combiner re-sketch of SGD:274 (P1 in SURVEY.md §4)."""
+    """Combine two in-transit gradients: decompress → add → (optionally)
+    re-compress, so every hop of the reduce tree ships a sketch — the
+    in-combiner re-sketch of SGD:274 (P1 in SURVEY.md §4).
+
+    The add runs in sparse kv form (concat + unique-sum), so a combine
+    costs O(nnz_a + nnz_b), not O(dim) — the property that keeps the
+    reduce tree cheap on very wide sparse gradients (SGD:198-217's
+    SparseVector branch is the reference analog)."""
     if a is None:
         return b
     if b is None:
         return a
-    summed = decompress(a, dim) + decompress(b, dim)
+    ka, va = decompress_kv(a)
+    kb, vb = decompress_kv(b)
+    keys = np.concatenate([ka, kb])
+    uk, inv = np.unique(keys, return_inverse=True)
+    vals = np.bincount(inv, weights=np.concatenate([va, vb]), minlength=uk.shape[0])
     if not resketch:
         identity = cfg.with_(compression_type="None")
-        return compress(summed, identity, dim)
-    return compress(summed, cfg, dim)
+        return compress_kv(uk, vals, identity, dim)
+    return compress_kv(uk, vals, cfg, dim)
 
 
 def count_nnz(values: np.ndarray) -> int:

@@ -98,6 +98,56 @@ def m03_sgd_exact_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlr.fit_evaluate_report(spark, df)
 
 
+HASH_DIM = 1 << 17  # 131072 — wide-sparse regime (dim ≥ 1e5)
+
+
+def _sparse_training_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide sparse COO training set via the hashing trick over document
+    tokens: indices = hash(token) mod 2^17, values = 1.0 per occurrence
+    (a multiset feature map — duplicate indices sum downstream). The
+    label is linear in the features (0.01 per token) plus deterministic
+    vec_id-free 'noise', so the regression is learnable and the whole
+    construction is reproducible with no RNG.
+
+    Catalyst-only feature extraction; the sparse arm (ml/sgd.py
+    _blockify_sparse) consumes it without densifying — the reference's
+    wide-LibSVM workload shape (runtest.sh:34-36)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    noise = (F.pmod(F.col("doc_id") * 2654435761, F.lit(1000)) - 500) / 100000.0
+    return (
+        docs.select(
+            "doc_id",
+            F.transform(toks, lambda tk: F.pmod(F.hash(tk), F.lit(HASH_DIM)).cast("int")).alias(
+                "indices"
+            ),
+            F.transform(toks, lambda _: F.lit(1.0)).alias("values"),
+            (F.size(toks) * 0.01 + noise).alias("label"),
+        )
+        .where(F.size("indices") > 0)
+    )
+
+
+@register(
+    "m05_sgd_sparse_metrics",
+    oracle=None,
+    tags=("ml", "train", "sparse-arm"),
+)
+def m05_sgd_sparse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-features arm: wide COO (dim 131072) hashing-trick features
+    trained without densifying — the SparseVector branch of the
+    reference (SketchGradientDescent.scala:198-217) as a first-class
+    driver query. Rows-only (iterative training isn't SQL-expressible);
+    convergence/parity asserted in tests/test_sgd.py."""
+    from sketchmlflink_spark.ml.regression import MultipleLinearRegression
+
+    df = _sparse_training_df(spark, sf_dir)
+    mlr = MultipleLinearRegression(iterations=5, step_size=0.01, compression="Sketch")
+    return mlr.fit_evaluate_report(
+        spark, df, input_file="documents_hashing_trick", max_dim=HASH_DIM, dim=HASH_DIM
+    )
+
+
 @register(
     "m04_sgd_sketch_metrics",
     oracle=None,
