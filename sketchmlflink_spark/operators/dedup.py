@@ -336,6 +336,7 @@ def d05_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d06 — embedding-cosine near-duplicate pairs (exact, SQL-oracled).
 # --------------------------------------------------------------------------
 COSINE_DUP_THRESHOLD = 0.4
+D06_BLOCK_ROWS = 4096  # target rows per block: task memory = 2·block·dim doubles
 
 
 @register(
@@ -355,45 +356,83 @@ WHERE list_dot_product(a.v, b.v)
 def d06_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs with cosine ≥ 0.4.
 
-    Exact all-pairs, computed as a blocked matrix product: each
-    partition's rows are one numpy block multiplied against the
-    broadcast L2-normalized corpus matrix (BLAS dgemm inside Arrow-
-    batched mapInPandas), thresholded before anything materializes. The
-    O(n²) work spreads as O(n²/p) flops per partition with no shuffle —
-    vs the naive θ-join + per-pair array folds, which was measured 60×
-    slower at sf0.1. At 100 TB you don't run exact all-pairs at all:
-    d04/s03/s05 generate candidates and this same kernel verifies them
-    blockwise.
+    Exact all-pairs as a DISTRIBUTED block-pair matrix product: rows are
+    hashed into B blocks, each row is replicated to the B block-pairs it
+    participates in (ONE shuffle, replication factor B), and each
+    (i ≤ j) block-pair group computes its block×block dgemm inside
+    Arrow-batched ``applyInPandas``, thresholding before anything
+    materializes. Every unordered pair is examined exactly once (intra-
+    block pairs via the i == j triangle; cross-block via the i < j
+    rectangle).
+
+    Scale shape: no driver-side corpus materialization anywhere (the
+    plan-build runs one ``count`` to size B; tests/test_plans.py pins
+    the no-collect property). Task memory is bounded by
+    2·D06_BLOCK_ROWS·dim doubles regardless of corpus size; the O(n²)
+    flops spread over B(B+1)/2 independent tasks. At 100 TB you don't
+    run exact all-pairs at all — d04/s03/s05 generate candidates and
+    this same dgemm kernel verifies them blockwise — but when a user
+    asks for the exact operator, this is the shape that degrades
+    gracefully instead of OOMing the driver.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     from sketchmlflink_spark.functions.vector import as_double_array
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
-    rows = emb.collect()
-    ids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids_all, Mn))
+    n = emb.count()  # distributed scalar, not a collect
+    n_blocks = max(1, math.ceil(n / D06_BLOCK_ROWS))
 
-    def block_pairs(batches):
-        ids_c, Cn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids_b = pdf["vec_id"].to_numpy(dtype=np.int64)
-            X = np.stack(pdf["v"].to_numpy())
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            cos = Xn @ Cn.T
-            ii, jj = np.nonzero(cos >= COSINE_DUP_THRESHOLD)
-            keep = ids_b[ii] < ids_c[jj]  # each unordered pair once
-            yield pd.DataFrame(
-                {
-                    "id_a": ids_b[ii][keep],
-                    "id_b": ids_c[jj][keep],
-                    "cosine": np.round(cos[ii, jj][keep], 6),
-                }
-            )
+    blk = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    # replicate each row to every block-pair (least, greatest) it joins;
+    # for other == blk the (u, u) triangle group is emitted exactly once
+    replicated = (
+        emb.withColumn("blk", blk)
+        .select(
+            "vec_id",
+            "v",
+            "blk",
+            F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])).alias("other"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "blk",
+            F.least("blk", "other").alias("pi"),
+            F.greatest("blk", "other").alias("pj"),
+        )
+    )
 
-    return emb.mapInPandas(block_pairs, "id_a long, id_b long, cosine double")
+    def pair_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pi, pj = key
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.stack(pdf["v"].to_numpy())
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        side = pdf["blk"].to_numpy() == pi
+        if pi == pj:
+            A_ids, B_ids, An, Bn = ids, ids, Mn, Mn
+        else:
+            A_ids, B_ids = ids[side], ids[~side]
+            An, Bn = Mn[side], Mn[~side]
+        cos = An @ Bn.T
+        ii, jj = np.nonzero(cos >= COSINE_DUP_THRESHOLD)
+        if pi == pj:
+            # triangle: both sides are the same list, so every unordered
+            # pair shows up mirrored — keep one and drop self-pairs
+            keep = A_ids[ii] < B_ids[jj]
+        else:
+            # rectangle: each cross-block pair occurs exactly once
+            keep = np.ones(ii.shape[0], dtype=bool)
+        ia, ib = A_ids[ii][keep], B_ids[jj][keep]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(cos[ii, jj][keep], 6)}
+        )
+
+    return replicated.groupBy("pi", "pj").applyInPandas(
+        pair_block, "id_a long, id_b long, cosine double"
+    )

@@ -117,3 +117,35 @@ def test_ivf_sampled_and_distributed_training_agree(spark):
     sampled = ivf_train_centroids(emb, k=4, iters=3, sample_cap=10_000)
     dist = ivf_train_centroids(emb, k=4, iters=3, sample_cap=None)
     np.testing.assert_allclose(sampled, dist, rtol=1e-9, atol=1e-12)
+
+
+def test_d06_block_pairs_match_bruteforce(spark, monkeypatch):
+    """Distributed block-pair all-pairs (d06) against driver-side numpy
+    brute force, with the block size forced small so the sf0.001 corpus
+    spans multiple blocks (exercising triangle AND rectangle groups)."""
+    import numpy as np
+
+    from sketchmlflink_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "D06_BLOCK_ROWS", 120)  # 500 rows -> 5 blocks
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.d06_embed_cosine_neardup(spark, "/root/testdata/sf0.001").collect()
+    }
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    M = np.stack([np.asarray(r[1]) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = Mn @ Mn.T
+    ii, jj = np.nonzero(np.triu(cos >= D.COSINE_DUP_THRESHOLD, k=1))
+    expect = {(int(ids[i]), int(ids[j])): round(float(cos[i, j]), 6) for i, j in zip(ii, jj)}
+
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=1e-6)

@@ -67,3 +67,27 @@ def test_relational_queries_have_no_python_udfs(spark, queries):
         plan = formatted_plan(spark, queries[name].build(spark, SF_SMALL))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} unexpectedly crosses to Python"
+
+
+def test_d06_builds_without_driver_collect(spark, queries):
+    """d06's plan-build must never materialize the corpus on the driver
+    (the 100 TB scale-killer fixed in round 2): patch DataFrame.collect
+    and RDD.collect to raise, then build the query. A distributed
+    ``count`` to size the blocks is allowed; ``collect`` is not."""
+    import pyspark.rdd
+    import pyspark.sql.dataframe as dfmod
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side collect during d06 plan build")
+
+    orig_df, orig_rdd = dfmod.DataFrame.collect, pyspark.rdd.RDD.collect
+    dfmod.DataFrame.collect = boom
+    pyspark.rdd.RDD.collect = boom
+    try:
+        df = queries["d06_embed_cosine_neardup"].build(spark, SF_SMALL)
+    finally:
+        dfmod.DataFrame.collect = orig_df
+        pyspark.rdd.RDD.collect = orig_rdd
+    # and the computed plan is the grouped Arrow kernel, one shuffle
+    plan = formatted_plan(spark, df)
+    assert "FlatMapGroupsInPandas" in plan
