@@ -1,0 +1,99 @@
+"""Sketch-typed relational aggregations (SURVEY.md §7.1 M5's "sketch
+half" applied to the query surface): re-aggregatable HyperLogLog
+distinct sketches and CountMin frequency sketches over `events`.
+
+These are the relational cousins of the gradient codec (ml/sketch.py):
+at 100 TB you don't count distinct users exactly per cell — you build a
+fixed-size sketch per partition-cell, merge sketches up the tree
+(exactly the re-sketch-per-combine shape of the SGD reduce,
+SketchGradientDescent.scala:256-281), and estimate once at the end.
+Both entries below keep the build/merge distributed (JVM-side Datasketches
+/ CountMinSketch aggregates, one shuffle on the group key) and only move
+estimates to the driver.
+
+Correctness: at the driver's check scale the estimators are empirically
+exact (HLL sparse mode below its promotion threshold; CMS with ~5
+distinct keys and width 2.7e4 has collision probability ~1e-14), so both
+carry real hash-checked oracles; the *tolerance* behavior at other
+scales is pinned by tests/test_sketch_aggs.py bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketchmlflink_spark.operators.relational import t
+from sketchmlflink_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# sk01 — HLL sketch build + MERGE re-aggregation (day sketches → type
+# totals). The merge step is the point: day-level sketches are the
+# stored rollup; any coarser grain is a cheap hll_union_agg over them,
+# never a re-scan of the fact table.
+# --------------------------------------------------------------------------
+@register(
+    "sk01_hll_user_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+FROM events
+GROUP BY event_type
+""",
+    tags=("sketch", "hll", "rollup"),
+)
+def sk01_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(day, type) HLL sketches of user_id, merged per type with
+    hll_union_agg — the estimate equals the exact distinct count at this
+    cardinality (Datasketches HLL is exact in sparse mode; the band at
+    cardinalities past the sparse threshold is pytest-pinned), which is
+    what makes the oracle hash-checkable; the scale win is that the
+    rollup never re-reads events."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("user_sk"),
+    )
+    return daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(user_sk))").alias("est_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sk02 — CountMin frequency sketch: one fixed-size (depth×width) sketch
+# aggregated over the fact table, point-queried for item frequencies.
+# --------------------------------------------------------------------------
+CMS_EPS = 1e-4  # width = ceil(e/eps) ≈ 27183 counters per row
+CMS_CONF = 0.99  # depth = ceil(ln(1/(1-conf))) = 5 rows
+CMS_SEED = 42
+
+
+@register(
+    "sk02_cms_event_type_freq",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
+FROM events
+GROUP BY event_type
+""",
+    tags=("sketch", "countmin", "frequency"),
+)
+def sk02_cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed count_min_sketch aggregate over event_type, then
+    driver-side point queries against the (tiny, fixed-size) merged
+    sketch — the item list comes from a distinct scan, the counts from
+    the sketch only. At these parameters the CMS overestimate
+    probability is ~1e-14, so the estimates hash-match the exact oracle;
+    the eps·n error band is pinned in tests/test_sketch_aggs.py."""
+    ev = t(spark, sf_dir, "events")
+    row = ev.agg(
+        F.expr(
+            f"count_min_sketch(event_type, {CMS_EPS}d, {CMS_CONF}d, {CMS_SEED})"
+        ).alias("cms")
+    ).first()
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row["cms"]))
+    )
+    types = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
+    est = [(tp, int(cms.estimateCount(tp))) for tp in types]
+    return spark.createDataFrame(est, "event_type string, est_count long")

@@ -67,6 +67,7 @@ def _load_operator_modules() -> None:
         multimodal,
         relational,
         similarity,
+        sketch_aggs,
         textops,
     )
     from sketchmlflink_spark import ml_queries  # noqa: F401

@@ -149,6 +149,23 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def sketch_profile(events: DataFrame) -> DataFrame:
+    """Sketch-typed windowed aggregation (the M5 promise): per tumbling
+    hour, HLL distinct-user estimate + approximate median value. The
+    sketch state per window is FIXED-SIZE regardless of event volume —
+    on an unbounded stream this is what replaces the unbounded distinct
+    set / full value list a 100 TB/day exact operator would need."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "n_events", "approx_users", "p50_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # custom stateful operator: applyInPandasWithState
 # --------------------------------------------------------------------------

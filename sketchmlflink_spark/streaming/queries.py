@@ -161,6 +161,29 @@ def st05_stream_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# st07 — sketch-typed windowed aggregation (HLL + approximate median)
+# --------------------------------------------------------------------------
+@register(
+    "st07_stream_sketch_profile",
+    oracle=None,  # approximate estimators; tolerance bands in tests/test_sketch_aggs.py
+    tags=("streaming", "sketch", "hll", "percentile"),
+)
+def st07_stream_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window: HLL++ distinct users + approx p50 of value —
+    fixed-size sketch state per window (the streaming face of the
+    engine's sketch identity). Rows-only by contract: HLL++/quantile-
+    summary estimates aren't ANSI-SQL-reproducible; the error bands vs
+    exact are pytest-pinned."""
+    out = P.run_to_batch(P.sketch_profile(P.events_stream(spark, sf_dir)))
+    return out.select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "n_events",
+        "approx_users",
+        "p50_value",
+    )
+
+
+# --------------------------------------------------------------------------
 # st06 — foreachBatch incremental SGD (M5 training glue)
 # --------------------------------------------------------------------------
 @register(
