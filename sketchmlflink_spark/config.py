@@ -49,7 +49,14 @@ class SolverConfig:
     convergence_threshold: float | None = None
     regularization: str = "none"  # {"none", "l1", "l2"}
     reg_lambda: float = 0.0
+    # FlinkML LearningRateMethod parity (FlinkMultipleLinearRegression
+    # .scala:116-119,162-166; calculateLearningRate FlinkGradientDescent
+    # .scala:242-245): {"inv_sqrt" (Default), "constant", "bottou",
+    # "inv_scaling", "xu"}
     lr_schedule: str = "inv_sqrt"  # eta_t = eta0 / sqrt(t) (FMLR:46)
+    lr_decay: float = 0.5  # InvScaling / Xu decay exponent
+    # Bottou's optimalInit; None → FlinkML's recommended 1/(eta0·lambda)
+    bottou_optimal_init: float | None = None
     # Aggregation strategy parity with SketchConfig.ReduceOurReduceGroup
     # (SketchConfig.scala:17): "reduce" = tree aggregation with
     # re-sketch-per-combine; "reduce_group" = single-reducer sum.

@@ -40,6 +40,8 @@ class MultipleLinearRegression:
         reg_lambda: float = 0.0,
         aggregation: str = "reduce",  # vs "reduce_group" (SketchConfig.scala:17)
         lr_schedule: str = "inv_sqrt",
+        lr_decay: float = 0.5,
+        bottou_optimal_init: float | None = None,
         seed: int = 42,
         sketch_cfg: SketchConfig | None = None,
     ):
@@ -50,6 +52,8 @@ class MultipleLinearRegression:
             regularization=regularization,
             reg_lambda=reg_lambda,
             lr_schedule=lr_schedule,
+            lr_decay=lr_decay,
+            bottou_optimal_init=bottou_optimal_init,
             aggregation=aggregation,
             seed=seed,
         )

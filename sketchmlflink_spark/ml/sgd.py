@@ -253,9 +253,24 @@ def _take_step(w: np.ndarray, grad: np.ndarray, eta: float, cfg: SolverConfig) -
 
 
 def _learning_rate(cfg: SolverConfig, t: int) -> float:
+    """FlinkML LearningRateMethod parity (the reference exposes the full
+    pluggable trait, FlinkMultipleLinearRegression.scala:116-119;
+    evaluated per superstep, FlinkGradientDescent.scala:242-245).
+    Closed forms match flink-ml 1.7 IterativeSolver.LearningRateMethod.
+    """
+    eta0, lam = cfg.step_size, cfg.reg_lambda
     if cfg.lr_schedule == "constant":
-        return cfg.step_size
-    return cfg.step_size / math.sqrt(t)  # FlinkML Default (FMLR:46)
+        return eta0
+    if cfg.lr_schedule == "bottou":
+        # 1 / (λ·(optimalInit + t − 1)); optimalInit defaults to 1/(η₀λ),
+        # which makes the first step exactly η₀
+        opt = cfg.bottou_optimal_init if cfg.bottou_optimal_init is not None else 1.0 / (eta0 * lam)
+        return 1.0 / (lam * (opt + t - 1))
+    if cfg.lr_schedule == "inv_scaling":
+        return eta0 / math.pow(t, cfg.lr_decay)
+    if cfg.lr_schedule == "xu":
+        return eta0 * math.pow(1.0 + lam * eta0 * t, -cfg.lr_decay)
+    return eta0 / math.sqrt(t)  # FlinkML Default (FMLR:46)
 
 
 def infer_dim(df: DataFrame) -> int:

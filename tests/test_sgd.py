@@ -237,3 +237,55 @@ def test_squared_residual_sum_matches_numpy(spark, training_df):
     assert srs == pytest.approx(expect, rel=1e-9)
     with pytest.raises(NotFittedError):
         MultipleLinearRegression().squared_residual_sum(training_df)
+
+
+def test_learning_rate_schedules_closed_form():
+    """Every FlinkML LearningRateMethod variant against its closed form
+    (flink-ml 1.7 IterativeSolver.LearningRateMethod; wired per
+    superstep at FlinkGradientDescent.scala:242-245)."""
+    from sketchmlflink_spark.ml.sgd import _learning_rate
+
+    eta0, lam, decay = 0.4, 0.03, 0.7
+    for t in (1, 2, 5, 17):
+        base = SolverConfig(step_size=eta0, reg_lambda=lam, lr_decay=decay)
+        assert _learning_rate(base, t) == pytest.approx(eta0 / np.sqrt(t))
+        assert _learning_rate(
+            SolverConfig(step_size=eta0, lr_schedule="constant"), t
+        ) == pytest.approx(eta0)
+        # Bottou with default optimalInit = 1/(eta0*lam): first step == eta0
+        got = _learning_rate(
+            SolverConfig(step_size=eta0, reg_lambda=lam, lr_schedule="bottou"), t
+        )
+        assert got == pytest.approx(1.0 / (lam * (1.0 / (eta0 * lam) + t - 1)))
+        # explicit optimalInit
+        got = _learning_rate(
+            SolverConfig(
+                step_size=eta0, reg_lambda=lam, lr_schedule="bottou", bottou_optimal_init=50.0
+            ),
+            t,
+        )
+        assert got == pytest.approx(1.0 / (lam * (50.0 + t - 1)))
+        assert _learning_rate(
+            SolverConfig(step_size=eta0, lr_schedule="inv_scaling", lr_decay=decay), t
+        ) == pytest.approx(eta0 / t**decay)
+        assert _learning_rate(
+            SolverConfig(step_size=eta0, reg_lambda=lam, lr_schedule="xu", lr_decay=decay), t
+        ) == pytest.approx(eta0 * (1.0 + lam * eta0 * t) ** -decay)
+    assert _learning_rate(SolverConfig(step_size=eta0, lr_schedule="bottou", reg_lambda=lam), 1) == pytest.approx(eta0)
+
+
+def test_all_schedules_train(spark, training_df):
+    """Each schedule trains end-to-end and decreases the loss."""
+    for sched, kw in [
+        ("inv_sqrt", {}),
+        ("constant", {}),
+        ("bottou", {"reg_lambda": 0.01, "regularization": "l2"}),
+        ("inv_scaling", {}),
+        ("xu", {"reg_lambda": 0.01, "regularization": "l2"}),
+    ]:
+        res = SGD.train(
+            training_df,
+            SolverConfig(iterations=5, step_size=0.5, lr_schedule=sched, **kw),
+            SketchConfig(compression_type="None"),
+        )
+        assert res.losses[-1] < res.losses[0], f"{sched} did not decrease loss"
