@@ -23,6 +23,19 @@ if REPO_ROOT not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _sf_of(sf_dir: str) -> float:
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(sf)
+    except ValueError:
+        return 0.0
+
+
+# The 21-query round-1 core (regression anchor in BASELINE.md) + the
+# round-2 additions (sparse SGD arm, HLL/CMS sketch aggs, streaming
+# sketch profile). Keep the core list stable — per-query times are
+# compared round-over-round.
 BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -45,7 +58,19 @@ BENCH_QUERIES = [
     "st01_stream_hourly_counts",
     "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics",
+    # round-2 additions
+    "m05_sgd_sparse_metrics",
+    "sk01_hll_user_rollup",
+    "sk02_cms_event_type_freq",
+    "st07_stream_sketch_profile",
 ]
+
+# Brute-force correctness anchors are O(n·q)/O(n²) by definition; past
+# sf1 they would dominate the suite while saying nothing new — the LSH
+# (s03) and IVF (s05) scale paths stay in. (VERDICT r1 item 7.)
+QUADRATIC_ANCHORS = {"s01_knn_cosine_brute", "s02_top_similar_pairs"}
+if _sf_of(SF_DIR) >= 1.0:
+    BENCH_QUERIES = [q for q in BENCH_QUERIES if q not in QUADRATIC_ANCHORS]
 
 
 def main() -> None:
@@ -56,13 +81,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm up every benchmarked query once at the smallest SF so the
-    # timed runs measure the plan at scale, not first-touch costs that a
-    # long-lived cluster session never pays again: whole-stage-codegen
-    # compilation of each query's operator graph, Arrow/pandas imports
-    # in the Python workers, and broadcast-thread start.
+    # Warm-up pass 1 (sf0.001): Python-worker imports, broadcast-thread
+    # start, Arrow init. Pass 2 (untimed, at SF_DIR itself): AQE picks
+    # join strategies per scale, so only a same-SF run actually compiles
+    # the codegen stages the timed run will execute — warming at a
+    # smaller SF leaves 1-2 s of Janino compile noise in first timed
+    # runs (observed in this repo; ADVICE r1).
     for name in BENCH_QUERIES:
         queries[name].build(spark, "/root/testdata/sf0.001").count()
+    for name in BENCH_QUERIES:
+        queries[name].build(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     total = 0.0

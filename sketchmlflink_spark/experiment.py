@@ -71,6 +71,16 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
     data = read_libsvm(spark, args.inputTrain, max_dim=max_dim)
     features = to_dense_features(data)
 
+    # --parallelism governs actual training parallelism, like the
+    # reference's env.setParallelism (Test:24-25): the SGD loop builds
+    # one gradient block per partition, so repartitioning the training
+    # frame IS the data-parallelism axis; shuffle partitions follow for
+    # the split/evaluate stages. (ADVICE r1: previously only main() set
+    # the conf, so sweep.py's parallelism loop changed nothing.)
+    if args.parallelism and args.parallelism > 0:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
+        features = features.repartition(args.parallelism)
+
     # arm → compression mapping (SURVEY.md §0): the exact/Flink arm is the
     # same driver loop with identity compression and no codec loss.
     compression = args.compressionType if args.sketchOrFlink == "Sketch" else "None"
@@ -122,9 +132,7 @@ def main(argv: list[str] | None = None) -> int:
     from sketchmlflink_spark.session import get_spark
 
     spark = get_spark("sketchmlflink-experiment")
-    if args.parallelism and args.parallelism > 0:
-        spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
-    row = run_experiment(spark, args)
+    row = run_experiment(spark, args)  # applies --parallelism itself
     text = format_log(row)
     out = args.outputPathSketch if args.sketchOrFlink == "Sketch" else args.outputPathFlink
     if out:

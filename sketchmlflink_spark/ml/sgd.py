@@ -195,8 +195,9 @@ def _make_combine_fn(dim: int, sketch_cfg: SketchConfig):
     """treeReduce combiner: decompress both sides, dense-add, RE-SKETCH
     the partial sum (SGD:274) — so every hop of the distributed reduce
     tree ships a sketch, which is the system's raison d'être (P1).
-    ``bytes`` accumulates the payload sizes that crossed an executor
-    boundary (leaf payloads + every re-sketched partial)."""
+    ``bytes`` accumulates every combine-hop payload (leaf payloads +
+    each re-sketched partial) — an upper bound on cross-executor
+    traffic, since treeReduce also counts partition-local merges."""
 
     def combine(p: dict, q: dict) -> dict:
         merged = SK.merge(SK.from_bytes(p["payload"]), SK.from_bytes(q["payload"]), sketch_cfg, dim)

@@ -98,6 +98,62 @@ def m03_sgd_exact_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlr.fit_evaluate_report(spark, df)
 
 
+@register(
+    "m06_libsvm_cli_e2e",
+    oracle=None,
+    tags=("ml", "e2e", "libsvm", "cli"),
+)
+def m06_libsvm_cli_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL CLI pipeline end-to-end (Test.scala:38-77):
+    LibSVM text scan → parse (comment/1-based/strict) → dimension
+    inference → 75/25 split → sketch-arm fit → evaluate → the CSV_Line
+    metrics row. Runs through experiment.run_experiment, i.e. the same
+    code path as ``python -m sketchmlflink_spark.experiment``.
+
+    The LibSVM fixture is the embeddings training frame serialized once
+    to text under a deterministic temp path (Spark write, no driver
+    collect) — fixture plumbing, not an operator; the operator under
+    test is the ingest+train pipeline. Rows-only by contract (iterative
+    training; timing columns are inherently run-varying)."""
+    import os
+    import tempfile
+
+    from sketchmlflink_spark.experiment import build_arg_parser, run_experiment
+
+    fixture_dir = os.path.join(
+        tempfile.gettempdir(),
+        "libsvm_fixture_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    marker = os.path.join(fixture_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = _training_df(spark, sf_dir)
+        pairs = F.transform(
+            "features",
+            lambda x, i: F.concat((i + 1).cast("string"), F.lit(":"), x.cast("string")),
+        )
+        lines = df.select(
+            F.concat_ws(" ", F.col("label").cast("string"), F.array_join(pairs, " ")).alias(
+                "value"
+            )
+        )
+        lines.coalesce(1).write.mode("overwrite").text(fixture_dir)
+    args = build_arg_parser().parse_args(
+        [
+            "--inputTrain", fixture_dir,
+            "--iterations", "5",
+            "--stepSize", "0.5",
+            "--compressionType", "Sketch",
+            "--sketchOrFlink", "Sketch",
+        ]
+    )
+    row = run_experiment(spark, args)
+    return spark.createDataFrame([row]).select(
+        "sketch_or_flink", "parallelism", "iterations", "step_size",
+        "compression_type", "input_file", "max_dim", "total_time_ms",
+        "time_per_epoch_ms", "absolute_error", "avg_error",
+    )
+
+
 HASH_DIM = 1 << 17  # 131072 — wide-sparse regime (dim ≥ 1e5)
 
 

@@ -55,3 +55,28 @@ def test_experiment_maxdim_truncation(spark, libsvm_file):
     )
     row = run_experiment(spark, args)
     assert row["max_dim"] == 1  # feature 2 dropped at parse time (Test:150)
+
+
+def test_parallelism_governs_training_partitions(spark, libsvm_file, monkeypatch):
+    """--parallelism must change actual execution (the reference's
+    env.setParallelism axis, Test:24-25), not just the CSV record:
+    the training frame reaching fit() carries exactly that many
+    partitions (ADVICE r1: the sweep loop was a no-op before)."""
+    from sketchmlflink_spark.ml.regression import MultipleLinearRegression
+
+    seen = []
+    orig_fit = MultipleLinearRegression.fit
+
+    def spy_fit(self, df, dim=None):
+        seen.append(df.rdd.getNumPartitions())
+        return orig_fit(self, df, dim=dim)
+
+    monkeypatch.setattr(MultipleLinearRegression, "fit", spy_fit)
+    for par in (2, 5):
+        args = build_arg_parser().parse_args(
+            ["--inputTrain", libsvm_file, "--iterations", "1",
+             "--parallelism", str(par), "--sketchOrFlink", "Flink"]
+        )
+        row = run_experiment(spark, args)
+        assert row["parallelism"] == par
+    assert seen == [2, 5], f"training partitions {seen}"
