@@ -59,6 +59,20 @@ def rolling_fingerprint(toks: Column) -> Column:
     return F.aggregate(toks, F.lit(0).cast("long"), step)
 
 
+# GPT-2-style pre-tokenizer shape (contraction tail | space?+letters |
+# space?+digits | space?+punct-run) restricted to the Java∩RE2 common
+# regex subset so Spark and DuckDB extract identical token streams.
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex — the
+    budget estimator a training-data pipeline uses when real BPE merges
+    are too expensive for a scan-side pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)).cast("long")
+
+
 def normalized_text(col: Column | str) -> Column:
     """lower + collapse runs of whitespace to single spaces + trim."""
     c = F.col(col) if isinstance(col, str) else col

@@ -160,3 +160,37 @@ def t04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB agree without 64-bit overflow divergence)."""
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", T.rolling_fingerprint(T.tokens("text")).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting (subword budget estimation)
+# --------------------------------------------------------------------------
+_BPE_SQL_PAT = T.BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "t05_bpe_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_duck_tokens()}) AS BIGINT)                          AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS BIGINT) AS n_bpe_tokens,
+       round(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) * 1.0
+             / len({_duck_tokens()}), 4)                               AS bpe_per_word
+FROM documents
+WHERE len({_duck_tokens()}) > 0
+""",
+    tags=("text", "tokens", "bpe"),
+)
+def t05_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-pre-tokenizer token counts per document — the
+    token-budget estimate an LLM-data pipeline needs scan-side. The
+    regex stays inside the Java∩RE2 subset so the DuckDB oracle extracts
+    the identical token stream (functions/text.py BPE_PATTERN)."""
+    docs = t(spark, sf_dir, "documents")
+    ws = T.token_count("text")
+    bpe = T.bpe_token_count("text")
+    return (
+        docs.select("doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))
+        .where(F.col("n_ws_tokens") > 0)
+        .withColumn("bpe_per_word", F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4))
+    )

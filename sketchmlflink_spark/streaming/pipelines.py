@@ -149,6 +149,38 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def click_view_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval self-join: every (click, view) pair for
+    the same user where the view happened within the 3 hours up to
+    the click. Both sides carry the event-time watermark, and the range
+    condition bounds join state to the interval + watermark horizon —
+    the property that keeps a stream-stream join viable on an unbounded
+    stream (without it, each side's state grows forever). Inner join ⇒
+    matches emit immediately; append mode."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("view_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") > F.col("click_ts") - F.expr("INTERVAL 3 HOURS")),
+    )
+    return joined.select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
 def sketch_profile(events: DataFrame) -> DataFrame:
     """Sketch-typed windowed aggregation (the M5 promise): per tumbling
     hour, HLL distinct-user estimate + approximate median value. The

@@ -184,6 +184,34 @@ def st07_stream_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# st08 — stream-stream interval join (watermark-bounded join state)
+# --------------------------------------------------------------------------
+@register(
+    "st08_stream_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id,
+       v.event_id AS view_id,
+       c.user_id  AS user_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events c
+JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click'
+ AND v.event_type = 'view'
+ AND v.ts <= c.ts
+ AND v.ts > c.ts - INTERVAL 3 HOUR
+""",
+    tags=("streaming", "stream-stream-join"),
+)
+def st08_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream self-join (clicks × views ≤ 3 h apart, same user): exact and deterministic, so the streaming engine
+    must hash-match DuckDB's batch interval join — the strongest check a
+    stream-stream join can get."""
+    ev = P.events_stream(spark, sf_dir)
+    return P.run_to_batch(P.click_view_interval_join(ev), output_mode="append")
+
+
+# --------------------------------------------------------------------------
 # st06 — foreachBatch incremental SGD (M5 training glue)
 # --------------------------------------------------------------------------
 @register(
