@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "m05_sgd_sparse_metrics",
     "sk01_hll_user_rollup",
     "sk02_cms_event_type_freq",
+    "sk03_approx_percentiles",
     "st07_stream_sketch_profile",
 ]
 

@@ -97,3 +97,34 @@ def sk02_cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
     est = [(tp, int(cms.estimateCount(tp))) for tp in types]
     return spark.createDataFrame(est, "event_type string, est_count long")
+
+
+# --------------------------------------------------------------------------
+# sk03 — quantile-summary approximate percentiles. percentile_approx
+# keeps a bounded Greenwald-Khanna-style summary per group (vs sorting
+# the full value set), and at accuracy 10000 over 2-decimal-grain values
+# it returns exactly DuckDB's discrete quantile — so the approximate
+# operator carries a full hash-checked oracle.
+# --------------------------------------------------------------------------
+@register(
+    "sk03_approx_percentiles",
+    oracle="""
+SELECT event_type,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.75) AS p75
+FROM events
+GROUP BY event_type
+""",
+    tags=("sketch", "quantile", "percentile"),
+)
+def sk03_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p25/p50/p75 via percentile_approx (bounded-memory
+    quantile summary — the scale replacement for q18's exact sort-based
+    percentiles)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.25, 10000).alias("p25"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.75, 10000).alias("p75"),
+    )
