@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics",
     # round-2 additions
+    "d07_embed_lsh_candidate_verify",
     "m05_sgd_sparse_metrics",
     "sk01_hll_user_rollup",
     "sk02_cms_event_type_freq",

@@ -534,7 +534,8 @@ def q17_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q18 — exact percentiles per group (scale note: at 100 TB swap the exact
 # percentile for approx_percentile — same API shape, sketch-backed (KLL),
-# one pass, mergeable across partitions).
+# one pass, mergeable across partitions; that sketch-backed form is a
+# first-class query at sketch_aggs.py:sk03_approx_percentiles).
 # --------------------------------------------------------------------------
 @register(
     "q18_price_percentiles",
