@@ -163,6 +163,94 @@ def t04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# composite quality filter (Gopher/C4-style keep/drop rules)
+# --------------------------------------------------------------------------
+# Thresholds picked against the synthetic corpus distribution so each
+# rule actually fires on a real slice (sf0.01 deciles: stopword_ratio
+# p10=0.013, distinct_ratio p10=0.32, n_tokens p10=21): a filter where
+# every rule passes 100% of rows tests nothing.
+QF_MIN_TOKENS = 25
+QF_MIN_DISTINCT = 0.35
+QF_MIN_STOPWORD = 0.02
+QF_TOKEN_LEN_LO = 3.0
+QF_TOKEN_LEN_HI = 8.0
+
+
+@register(
+    "t06_quality_filter",
+    oracle=f"""
+WITH sig AS (
+    SELECT doc_id,
+           len(tk)                                                   AS n_tokens,
+           len(list_distinct(tk)) * 1.0 / len(tk)                    AS dr,
+           len(list_filter(tk, x -> x IN {T.EN_STOPWORDS!r})) * 1.0
+             / len(tk)                                               AS sr,
+           list_sum(list_transform(tk, x -> length(x))) * 1.0
+             / len(tk)                                               AS atl
+    FROM (SELECT doc_id, {_duck_tokens()} AS tk FROM documents)
+    WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       concat_ws(',',
+         CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+         CASE WHEN dr < {QF_MIN_DISTINCT} THEN 'repetitive' END,
+         CASE WHEN sr < {QF_MIN_STOPWORD} THEN 'low_stopword' END,
+         CASE WHEN atl < {QF_TOKEN_LEN_LO} OR atl > {QF_TOKEN_LEN_HI}
+              THEN 'token_len' END) AS drop_reasons,
+       (n_tokens >= {QF_MIN_TOKENS} AND dr >= {QF_MIN_DISTINCT}
+        AND sr >= {QF_MIN_STOPWORD}
+        AND atl BETWEEN {QF_TOKEN_LEN_LO} AND {QF_TOKEN_LEN_HI}) AS keep
+FROM sig
+""",
+    tags=("text", "quality", "filter"),
+)
+def t06_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop quality gate over the t02 signals — the
+    C4/Gopher-style rule stack (length, repetition, stopword density,
+    token-length band) an LLM-data pipeline applies before dedup. Emits
+    per-document verdict + comma-joined reasons so downstream can audit
+    drop rates per rule. One scan, pure Catalyst, no shuffle at all
+    (per-row projection); at 100 TB this is the cheapest stage in the
+    pipeline and the reasons column aggregates into the drop-rate
+    dashboard with a single groupBy."""
+    docs = t(spark, sf_dir, "documents")
+    sig = (
+        docs.select("doc_id", T.tokens("text").alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            F.size("tk").alias("n_tokens"),
+            T.distinct_token_ratio(F.col("tk")).alias("dr"),
+            (T.marker_hits(F.col("tk"), T.EN_STOPWORDS) / F.size("tk")).alias("sr"),
+            T.avg_token_len(F.col("tk")).alias("atl"),
+        )
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, "too_short"),
+        F.when(F.col("dr") < QF_MIN_DISTINCT, "repetitive"),
+        F.when(F.col("sr") < QF_MIN_STOPWORD, "low_stopword"),
+        F.when(
+            (F.col("atl") < QF_TOKEN_LEN_LO) | (F.col("atl") > QF_TOKEN_LEN_HI),
+            "token_len",
+        ),
+    )
+    keep = (
+        (F.col("n_tokens") >= QF_MIN_TOKENS)
+        & (F.col("dr") >= QF_MIN_DISTINCT)
+        & (F.col("sr") >= QF_MIN_STOPWORD)
+        & F.col("atl").between(QF_TOKEN_LEN_LO, QF_TOKEN_LEN_HI)
+    )
+    return sig.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        reasons.alias("drop_reasons"),
+        keep.alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE-ish token counting (subword budget estimation)
 # --------------------------------------------------------------------------
 _BPE_SQL_PAT = T.BPE_PATTERN.replace("'", "''")
