@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "sk02_cms_event_type_freq",
     "sk03_approx_percentiles",
     "st07_stream_sketch_profile",
+    "s06_ivfpq_ann_cosine",
+    "t06_quality_filter",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past

@@ -347,3 +347,200 @@ def ivf_ann_topk(
 def s05_ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
     return ivf_ann_topk(emb)
+
+
+# --------------------------------------------------------------------------
+# s06 — IVF-PQ: product-quantized codes + ADC scan + exact re-rank.
+#
+# The memory-scale path beyond s05: the corpus is stored as PQ codes
+# (PQ_M uint8 codes per vector = 8 bytes vs 256 bytes of floats, 32×),
+# so at 100 TB of raw embeddings the scanned representation is ~3 TB and
+# fits the cluster's page cache. Search is faiss-IVFPQ-shaped:
+#   1. coarse k-means quantizer (bounded-sample training, one collect);
+#   2. per-subspace codebooks trained on COARSE RESIDUALS (x − C[list]),
+#      the faiss default — residuals are smaller-variance than raw
+#      vectors, so 4-bit codebooks spend their 16 cells where the data
+#      actually is;
+#   3. encode: one corpus pass → (vec_id, list_id, codes) — the stored
+#      compressed index;
+#   4. ADC scan: per (query, probed list) look-up tables of
+#      q·(C[l] + codeword); each code block scores as PQ_M table
+#      lookups, emits only its block-local top-PQ_CAND per query;
+#   5. exact re-rank: the ≤ n_queries·PQ_CAND candidate ids join back
+#      to the raw vectors (broadcast — candidates are tiny) for true
+#      cosine, then the per-query top-k window.
+# Shuffle: candidates only — never vectors, never the code table.
+# --------------------------------------------------------------------------
+PQ_M = 8  # subspaces (64 dims → 8 dims each)
+PQ_KSUB = 16  # centroids per subspace (4-bit codes)
+PQ_ITERS = 5
+PQ_CAND = 32  # ADC candidates per query fed to exact re-rank
+
+
+def pq_train(X, C, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS):
+    """Per-subspace Lloyd on coarse residuals → (m, ksub, dsub) codebooks.
+
+    Trains on the same bounded sample as the coarse quantizer (one
+    driver-side numpy pass; cost is sample-size-bound, corpus-size-free).
+    Deterministic init: first ksub distinct rows of each subspace.
+    """
+    import numpy as np
+
+    n, dim = X.shape
+    dsub = dim // m
+    d2 = (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)
+    R = X - C[d2.argmin(axis=1)]
+    books = np.empty((m, ksub, dsub))
+    for mi in range(m):
+        S = R[:, mi * dsub : (mi + 1) * dsub]
+        B = S[:ksub].copy()
+        for _ in range(iters):
+            dd = (S * S).sum(1, keepdims=True) - 2.0 * (S @ B.T) + (B * B).sum(1)
+            cl = dd.argmin(axis=1)
+            for j in range(ksub):
+                mask = cl == j
+                if mask.any():
+                    B[j] = S[mask].mean(axis=0)
+        books[mi] = B
+    return books
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = 3,
+    nprobe: int = IVF_NPROBE,
+    cand: int = PQ_CAND,
+) -> DataFrame:
+    """IVF-PQ ANN (see module-level block comment). All vectors are
+    L2-normalized before encoding so PQ-approximated inner product ≈
+    cosine; the final answer is EXACT cosine on re-ranked candidates, so
+    PQ error only costs recall, never wrong similarity values."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    # --- train (single bounded-sample collect feeds both quantizers) ---
+    rows = (
+        emb.select("vec_id", "v")
+        .orderBy(F.xxhash64(F.col("vec_id")))
+        .limit(int(IVF_TRAIN_CAP))
+        .collect()
+    )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[:IVF_K].copy()
+    for _ in range(IVF_ITERS):
+        d2 = (Xn * Xn).sum(1, keepdims=True) - 2.0 * (Xn @ C.T) + (C * C).sum(1)
+        cl = d2.argmin(axis=1)
+        for j in range(IVF_K):
+            mask = cl == j
+            if mask.any():
+                C[j] = Xn[mask].mean(axis=0)
+    books = pq_train(Xn, C)
+    dsub = Xn.shape[1] // PQ_M
+
+    # --- queries: normalize, pick probe lists, build per-(query, list)
+    # ADC tables of q·(C[l] + codeword) decomposed as q·C[l] + q·codeword
+    qrows = emb.where(F.col("vec_id") < n_queries).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qc = Qn @ C.T  # (nq, IVF_K): q · C[l]
+    probe_sets = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+    # luts[qi, mi, code] = q_sub · codeword  (list-independent part)
+    luts = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), PQ_M, dsub), books)
+    bc = spark.sparkContext.broadcast((q_ids, qc, probe_sets, luts, C, books))
+
+    # --- encode: corpus pass → compressed code table ---
+    def encode(batches):
+        _, _, _, _, cents, bks = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["v"].to_numpy())
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            d2 = (Vn * Vn).sum(1, keepdims=True) - 2.0 * (Vn @ cents.T) + (cents * cents).sum(1)
+            lst = d2.argmin(axis=1)
+            R = Vn - cents[lst]
+            codes = np.empty((len(Vn), PQ_M), dtype=np.int64)
+            for mi in range(PQ_M):
+                S = R[:, mi * dsub : (mi + 1) * dsub]
+                B = bks[mi]
+                dd = (S * S).sum(1, keepdims=True) - 2.0 * (S @ B.T) + (B * B).sum(1)
+                codes[:, mi] = dd.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": ids, "list_id": lst, "codes": list(codes)}
+            )
+
+    code_table = emb.select("vec_id", "v").mapInPandas(
+        encode, "vec_id long, list_id long, codes array<long>"
+    )
+
+    # --- ADC scan over codes: block-local top-cand per query ---
+    def adc_scan(batches):
+        q_ids_, qc_, probes_, luts_, _, _ = bc.value
+        nq = len(q_ids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            lst = pdf["list_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, PQ_M)
+            # q·codeword summed over subspaces, for every row at once
+            sub_scores = np.zeros((len(ids), nq))
+            for mi in range(PQ_M):
+                sub_scores += luts_[:, mi, codes[:, mi]].T  # (n, nq)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                mask = np.isin(lst, probes_[qi]) & (ids != q_ids_[qi])
+                if not mask.any():
+                    continue
+                score = qc_[qi, lst[mask]] + sub_scores[mask, qi]
+                idx = np.argsort(-score, kind="stable")[:cand]
+                out_q.append(np.full(len(idx), q_ids_[qi], dtype=np.int64))
+                out_n.append(ids[mask][idx])
+                out_s.append(score[idx])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_n),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    adc = code_table.mapInPandas(adc_scan, "q_id long, n_id long, adc double")
+    wq = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("n_id"))
+    cand_ids = (
+        adc.withColumn("r", F.row_number().over(wq)).where(F.col("r") <= cand).select("q_id", "n_id")
+    )
+
+    # --- exact re-rank: candidates (tiny) broadcast back onto vectors ---
+    qdf = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    rerank = (
+        F.broadcast(cand_ids)
+        .join(emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv")), "n_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", F.col("rnk").cast("int").alias("rank"), F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "s06_ivfpq_ann_cosine",
+    oracle=None,  # PQ quantization isn't oracle-expressible; recall vs s01 is pytest-checked
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def s06_ivfpq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
+    return ivf_pq_topk(emb)

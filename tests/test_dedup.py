@@ -100,6 +100,72 @@ def test_ivf_ann_recall_vs_brute(spark):
     assert hits >= 8, f"IVF recall too low: {hits}/10"
 
 
+def test_ivfpq_recall_vs_brute(spark):
+    """IVF-PQ (4-bit residual codes + ADC + exact re-rank) must recover
+    planted exact near-neighbors: a vector and its small perturbation
+    share a coarse list and near-identical PQ codes, so the neighbor
+    survives the ADC cut and exact re-rank ranks it first."""
+    import numpy as np
+
+    from sketchmlflink_spark.operators.similarity import ivf_pq_topk
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((100, 64))
+    vecs = []
+    for i in range(10):
+        vecs.append((i, base[i].tolist()))
+        vecs.append((1000 + i, (base[i] + rng.normal(0, 0.05, 64)).tolist()))
+    for j in range(20, 100):
+        vecs.append((j, base[j].tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    res = ivf_pq_topk(emb, n_queries=10, k=1).collect()
+    hits = sum(1 for r in res if r["n_id"] == 1000 + r["q_id"])
+    assert hits >= 8, f"IVF-PQ recall too low: {hits}/10"
+
+
+def test_pq_codebooks_shape_and_reconstruction(spark):
+    """pq_train returns (M, KSUB, dsub) codebooks whose nearest-codeword
+    reconstruction error on the training residuals is far below the
+    residual norm — the quantizer must actually compress, not memorize
+    or degenerate."""
+    import numpy as np
+
+    from sketchmlflink_spark.operators.similarity import (
+        IVF_ITERS,
+        IVF_K,
+        PQ_KSUB,
+        PQ_M,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((512, 64))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[:IVF_K].copy()
+    for _ in range(IVF_ITERS):
+        d2 = (Xn * Xn).sum(1, keepdims=True) - 2.0 * (Xn @ C.T) + (C * C).sum(1)
+        cl = d2.argmin(axis=1)
+        for j in range(IVF_K):
+            m = cl == j
+            if m.any():
+                C[j] = Xn[m].mean(axis=0)
+    books = pq_train(Xn, C)
+    assert books.shape == (PQ_M, PQ_KSUB, 64 // PQ_M)
+    d2 = (Xn * Xn).sum(1, keepdims=True) - 2.0 * (Xn @ C.T) + (C * C).sum(1)
+    R = Xn - C[d2.argmin(axis=1)]
+    dsub = 64 // PQ_M
+    err = 0.0
+    base = float((R**2).sum())
+    for mi in range(PQ_M):
+        S = R[:, mi * dsub : (mi + 1) * dsub]
+        B = books[mi]
+        dd = (S * S).sum(1, keepdims=True) - 2.0 * (S @ B.T) + (B * B).sum(1)
+        err += float(((S - B[dd.argmin(axis=1)]) ** 2).sum())
+    assert err < 0.75 * base, f"PQ reconstruction barely better than zero codebook: {err}/{base}"
+
+
 def test_ivf_sampled_and_distributed_training_agree(spark):
     """When the training sample covers the whole corpus, the driver-side
     sampled Lloyd and the distributed map-side-combine Lloyd must
