@@ -705,3 +705,97 @@ def q22_asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ts") - F.col("asof_view_us")).alias("gap_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q23 — pivot: daily event counts, one column per event type.
+# --------------------------------------------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q23_pivot_daily_events",
+    oracle=f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       {", ".join(f"CAST(count(*) FILTER (event_type = '{et}') AS BIGINT) AS n_{et}" for et in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+""",
+    tags=("relational", "pivot"),
+)
+def q23_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list: passing the values up front
+    skips the extra distinct-collect job Spark otherwise runs to
+    discover pivot columns (a full scan + driver round-trip at 100 TB)
+    and keeps the plan a single hash aggregate with one shuffle on the
+    day key — same shape as a plain groupBy. Fixed values also make the
+    output schema static, which the driver's hash comparator (and any
+    downstream consumer) requires."""
+    ev = t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    # pivot leaves null where a (day, type) cell had no rows; counts are 0
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(et), F.lit(0)).cast("long").alias(f"n_{et}") for et in EVENT_TYPES],
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — moving-average window frame (RANGE, not ROWS).
+# --------------------------------------------------------------------------
+@register(
+    "q24_revenue_moving_avg",
+    oracle="""
+WITH daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_nr,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY 1, 2
+)
+SELECT day,
+       round(cents / 100.0, 2) AS revenue,
+       floor((2 * sum(cents) OVER w + count(*) OVER w)
+             / (2.0 * count(*) OVER w)) / 100.0 AS ma7
+FROM daily
+WINDOW w AS (ORDER BY day_nr RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    tags=("relational", "window", "frame"),
+)
+def q24_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue using a RANGE frame keyed
+    on epoch-day, so calendar gaps shorten the window (ROWS BETWEEN 6
+    PRECEDING would silently average the last 7 *present* days — a
+    different, usually wrong, answer). Two-step shape: the daily
+    pre-aggregate shuffles on day (map-side combined), then ONE global
+    ordered window over ~2.4k day rows — a deliberately tiny single
+    partition, which is the right trade at any scale because the window
+    input is bounded by the calendar, not the fact table.
+
+    The daily totals are carried as integer cents through the window
+    (sum of longs is order-independent; a double window-sum rounds
+    differently per merge order, flipping 2-dp cells at .005
+    boundaries), and the mean rounds to whole cents with explicit
+    half-up integer arithmetic — floor((2s+n)/2n) — because the
+    engines' round() builtins disagree on exact .5 (HALF_UP vs
+    nearest-even). Identical integer inputs + identical IEEE ops =
+    identical hash."""
+    orders = t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
+        .withColumn("day_nr", F.datediff("d", F.lit("1970-01-01").cast("date")))
+        .withColumn("day", F.date_format("d", "yyyy-MM-dd"))
+    )
+    w = Window.orderBy("day_nr").rangeBetween(-6, 0)
+    s = F.sum("cents").over(w)
+    n = F.count(F.lit(1)).over(w)
+    return daily.select(
+        "day",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        (F.floor((2 * s + n) / (2.0 * n)) / 100.0).alias("ma7"),
+    )
