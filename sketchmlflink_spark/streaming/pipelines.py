@@ -308,3 +308,70 @@ def run_foreach_batch(
         q.awaitTermination(timeout_s)
     finally:
         q.stop()
+
+
+# --------------------------------------------------------------------------
+# streaming JSONL ingestion (the corpus-intake path, streamed)
+# --------------------------------------------------------------------------
+N_CORRUPT_LINES = 3  # deterministic torn lines injected into the stream dir
+
+
+def jsonl_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the documents table as a JSONL ingest directory
+    (once per sf_dir, marker-guarded) plus a file of torn lines, so the
+    streaming reader exercises the quarantine path. A real deployment
+    points at the crawler's drop directory instead."""
+    from sketchmlflink_spark.sources.jsonl import write_jsonl
+    from sketchmlflink_spark.sources.tables import load_table
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "stream_jsonl_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    marker = os.path.join(d, "_INGEST_READY")
+    if not os.path.exists(marker):
+        write_jsonl(load_table(spark, sf_dir, "documents"), d)
+        with open(os.path.join(d, "corrupt.jsonl"), "w") as f:
+            f.write('{"doc_id": 900001, "text": "torn\n')
+            f.write("not json at all\n")
+            f.write('{"doc_id": "type-clash", "text": 7}\n')
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def documents_jsonl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded text-file stream over the JSONL ingest dir, parsed with
+    the same explicit-schema + corrupt-record contract as the batch
+    reader (sources/jsonl.py) — streaming and batch ingestion share one
+    schema and one quarantine policy."""
+    from sketchmlflink_spark.session import tune_for_session
+    from sketchmlflink_spark.sources.jsonl import CORRUPT_COL, DOCUMENT_SCHEMA
+
+    tune_for_session(spark)  # right-size the state shuffle (32, not 200)
+    read_schema = StructType(
+        list(DOCUMENT_SCHEMA.fields) + [StructField(CORRUPT_COL, StringType())]
+    )
+    raw = spark.readStream.format("text").load(jsonl_stream_dir(spark, sf_dir))
+    return raw.select(
+        "value",
+        F.from_json(
+            "value",
+            read_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("j"),
+    )
+
+
+def jsonl_ingest_counts(parsed: DataFrame) -> DataFrame:
+    """Per-language clean-document counts with malformed lines folded
+    into a '__corrupt__' bucket — the intake dashboard aggregate. State
+    is one row per language; no watermark needed (no event time)."""
+    from sketchmlflink_spark.sources.jsonl import CORRUPT_COL
+
+    bucket = (
+        F.when(F.col(f"j.{CORRUPT_COL}").isNotNull(), F.lit("__corrupt__"))
+        .otherwise(F.col("j.lang"))
+        .alias("bucket")
+    )
+    return parsed.select(bucket).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))

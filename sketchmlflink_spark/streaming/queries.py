@@ -275,3 +275,27 @@ def st06_stream_incremental_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="batches long, rows_seen long, final_loss double, weight_norm double, intercept double",
     )
+
+
+# --------------------------------------------------------------------------
+# st09 — streaming JSONL corpus intake with quarantine buckets
+# --------------------------------------------------------------------------
+@register(
+    "st09_stream_jsonl_ingest",
+    oracle=f"""
+SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+UNION ALL
+SELECT '__corrupt__' AS bucket, CAST({P.N_CORRUPT_LINES} AS BIGINT) AS n_docs
+""",
+    tags=("streaming", "jsonl", "ingest", "quarantine"),
+)
+def st09_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus intake: the documents table replayed as a JSONL
+    drop directory (plus deterministic torn lines), parsed in-stream
+    with the batch reader's schema/quarantine contract, counted per
+    language — the malformed lines must land in '__corrupt__', and the
+    clean counts must equal the batch answer on the same table."""
+    parsed = P.documents_jsonl_stream(spark, sf_dir)
+    return P.run_to_batch(P.jsonl_ingest_counts(parsed))
