@@ -18,6 +18,7 @@ import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sketchmlflink_spark.functions import text as T
 from sketchmlflink_spark.operators.relational import t
@@ -515,3 +516,67 @@ def d07_embed_lsh_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFram
         verify_bucket, "id_a long, id_b long, cosine double"
     )
     return pairs.distinct()
+
+
+# --------------------------------------------------------------------------
+# d08 — incremental dedup: a new batch against the existing corpus.
+# --------------------------------------------------------------------------
+INC_MOD = 10
+INC_CUT = 8  # doc_id % 10 >= 8 plays the "incoming batch" (20%)
+
+
+@register(
+    "d08_incremental_dedup",
+    oracle=rf"""
+WITH h AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+           doc_id % {INC_MOD} >= {INC_CUT} AS is_inc
+    FROM documents
+),
+corpus_hashes AS (SELECT DISTINCT norm_hash FROM h WHERE NOT is_inc),
+inc AS (
+    SELECT doc_id, norm_hash,
+           row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn
+    FROM h WHERE is_inc
+)
+SELECT i.doc_id, i.norm_hash,
+       (c.norm_hash IS NULL AND i.rn = 1) AS is_new
+FROM inc i LEFT JOIN corpus_hashes c USING (norm_hash)
+""",
+    tags=("dedup", "incremental"),
+)
+def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the recurring-crawl shape:
+    each incoming batch is admitted only where its normalized content
+    hash is absent from the existing corpus AND it is the first holder
+    of that hash within the batch itself. Here the corpus/batch split is
+    simulated on doc_id; a deployment feeds two tables.
+
+    Scale shape: everything joins/groups on the 16-byte digest, never
+    text. The batch side dedups itself with one window over its own
+    (small) hash partition; the corpus probe is a left join on digest —
+    at 100 TB keep the corpus hash index as a bucketed table
+    (sources/sinks.py::write_bucketed on norm_hash) so the daily probe
+    joins bucket-to-bucket with no corpus shuffle, and append the
+    admitted hashes back to the same layout."""
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5(T.normalized_text("text")).alias("norm_hash"),
+        (F.col("doc_id") % INC_MOD >= INC_CUT).alias("is_inc"),
+    )
+    corpus_hashes = h.where(~F.col("is_inc")).select("norm_hash").distinct()
+    w = Window.partitionBy("norm_hash").orderBy("doc_id")
+    inc = (
+        h.where(F.col("is_inc"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    joined = inc.join(
+        corpus_hashes.withColumn("in_corpus", F.lit(True)), "norm_hash", "left"
+    )
+    return joined.select(
+        "doc_id",
+        "norm_hash",
+        (F.col("in_corpus").isNull() & (F.col("rn") == 1)).alias("is_new"),
+    )

@@ -277,3 +277,45 @@ def test_d07_finds_planted_high_sim_pairs(spark):
         D.t = orig_t
     for i in range(40):
         assert (i, 1000 + i) in got, f"planted near-dup pair {i} missed"
+
+
+def test_d08_incremental_dedup_semantics(spark):
+    """Crafted duplicates must exercise both rejection paths (the
+    synthetic table is duplicate-free, so the registered query alone
+    never takes them): a batch doc whose hash exists in the corpus is
+    rejected; within-batch copies admit only the lowest doc_id."""
+    import sketchmlflink_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        # corpus (doc_id % 10 < 8)
+        (1, "alpha beta gamma"),
+        (2, "unique corpus text"),
+        # incoming (doc_id % 10 >= 8)
+        (8, "ALPHA   beta gamma"),   # dup of corpus doc 1 after normalize
+        (9, "fresh new document"),   # genuinely new
+        (18, "fresh new document"),  # within-batch copy of 9 -> rejected
+        (19, "another new one"),     # genuinely new
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # same plan as d08, on the crafted frame
+    from sketchmlflink_spark.functions import text as T
+
+    h = docs.select(
+        "doc_id",
+        F.md5(T.normalized_text("text")).alias("norm_hash"),
+        (F.col("doc_id") % D.INC_MOD >= D.INC_CUT).alias("is_inc"),
+    )
+    corpus_hashes = h.where(~F.col("is_inc")).select("norm_hash").distinct()
+    w = Window.partitionBy("norm_hash").orderBy("doc_id")
+    inc = h.where(F.col("is_inc")).withColumn("rn", F.row_number().over(w))
+    out = {
+        r["doc_id"]: r["is_new"]
+        for r in inc.join(
+            corpus_hashes.withColumn("in_corpus", F.lit(True)), "norm_hash", "left"
+        )
+        .select("doc_id", (F.col("in_corpus").isNull() & (F.col("rn") == 1)).alias("is_new"))
+        .collect()
+    }
+    assert out == {8: False, 9: True, 18: False, 19: True}
