@@ -97,3 +97,38 @@ def test_st07_sketch_profile_bands(spark, queries, duck):
     assert rel.max() <= 0.25, f"worst HLL++ window rel err {rel.max()}"
     assert rel.mean() <= 0.05, f"mean HLL++ rel err {rel.mean()}"
     assert (m.p50_value == m.p50_exact).mean() >= 0.99
+
+
+def test_hll_sketch_table_parquet_roundtrip(spark, duck, tmp_path):
+    """The 100 TB rollup pattern end-to-end: per-(day, type) HLL
+    sketches PERSISTED as binary columns in parquet (the stored sketch
+    table), read back in a separate scan, and union-merged to answer a
+    coarser-grain question — the estimate must equal building the
+    sketch directly from the facts. This is what lets any later rollup
+    skip the fact table entirely."""
+    import os
+
+    from sketchmlflink_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_MID, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("user_sk")
+    )
+    path = os.path.join(str(tmp_path), "sketch_table")
+    daily.write.mode("overwrite").parquet(path)
+
+    stored = spark.read.parquet(path)
+    assert dict(stored.dtypes)["user_sk"] == "binary"
+    merged = {
+        r["event_type"]: r["est"]
+        for r in stored.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(user_sk))").alias("est"))
+        .collect()
+    }
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+        .collect()
+    }
+    assert merged == direct
