@@ -66,6 +66,8 @@ def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     NOT installed in this container — replace this function body (only)
     when they are. Arrow-batched: one pandas frame per partition chunk.
     """
+    import math
+
     import numpy as np
 
     for pdf in batches:
@@ -73,14 +75,22 @@ def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         for payload in pdf["payload"]:
             arr = np.frombuffer(payload, dtype=np.uint8)
             head = (arr[:8].astype("float64") / 255.0) if arr.size else np.zeros(8)
-            feats.append(
-                (float(arr.mean()) if arr.size else 0.0, [round(x, 6) for x in head.tolist()])
-            )
+            # mean rounded to 4dp with explicit integer half-up —
+            # floor((2s·10⁴+n)/2n)/10⁴ — because round() builtins
+            # disagree across engines on exact .5 (power-of-two byte
+            # counts make those ties real), and the oracle replays the
+            # identical integer arithmetic
+            if arr.size:
+                s, n = int(arr.sum()), int(arr.size)
+                mean4 = math.floor((2 * s * 10_000 + n) / (2 * n)) / 10_000.0
+            else:
+                mean4 = 0.0
+            feats.append((mean4, [round(x, 6) for x in head.tolist()]))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": pdf["n_bytes"],
-                "feat_mean": [round(f[0], 4) for f in feats],
+                "feat_mean": [f[0] for f in feats],
                 "feat_head": [f[1] for f in feats],
             }
         )
@@ -114,12 +124,28 @@ def _array_to_canon_str(col_name: str):
 
 
 # --------------------------------------------------------------------------
-# mm02 — decode + feature extraction over mapInPandas (rows-only: the
-# stubbed decode has no SQL equivalent; plumbing is fixture-tested).
+# mm02 — decode + feature extraction over mapInPandas. The stub decode
+# is deterministic byte stats and the corpus is pure ASCII (bytes ==
+# codepoints, driver-data invariant), so the whole Arrow decode path is
+# hash-checked against a DuckDB byte-level reimplementation — the
+# strongest check a stub can get. A real codec swap reverts the oracle
+# to None (rows-only).
 # --------------------------------------------------------------------------
 @register(
     "mm02_media_features",
-    oracle=None,
+    oracle="""
+WITH b AS (
+    SELECT doc_id,
+           list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS bytes
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(bytes) AS BIGINT) AS n_bytes,
+       floor((2 * list_sum(bytes) * 10000 + len(bytes))
+             / (2.0 * len(bytes))) / 10000.0 AS feat_mean,
+       array_to_string(list_transform(bytes[1:8], x -> printf('%.6f', x / 255.0)), ',') AS feat_head
+FROM b
+""",
     tags=("multimodal", "features"),
 )
 def mm02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +200,29 @@ def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 @register(
     "mm03_frame_sample",
-    oracle=None,  # stubbed decode; row-explosion plumbing fixture-tested
+    # deterministic stub ⇒ byte-level DuckDB oracle (see mm02 note):
+    # every 4th 32-byte frame, 4 block means of 8 bytes each / 255
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id, list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS bytes
+    FROM documents
+),
+f AS (
+    SELECT doc_id, bytes,
+           unnest(range(0, len(bytes) // {FRAME_BYTES}, {FRAME_STRIDE})) AS frame_idx
+    FROM b
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       array_to_string(
+         list_transform(range(0, {RESIZE_DIM}),
+           k -> printf('%.6f',
+                list_sum(bytes[frame_idx*{FRAME_BYTES} + k*{FRAME_BYTES // RESIZE_DIM} + 1
+                               : frame_idx*{FRAME_BYTES} + k*{FRAME_BYTES // RESIZE_DIM} + {FRAME_BYTES // RESIZE_DIM}])
+                / {(FRAME_BYTES // RESIZE_DIM) * 255}.0)),
+         ',') AS resized
+FROM f
+""",
     tags=("multimodal", "frames"),
 )
 def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
