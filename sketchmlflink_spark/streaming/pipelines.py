@@ -375,3 +375,22 @@ def jsonl_ingest_counts(parsed: DataFrame) -> DataFrame:
         .alias("bucket")
     )
     return parsed.select(bucket).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# stream-static dimension join (enrichment)
+# --------------------------------------------------------------------------
+def static_segment_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Enrich the event stream with a STATIC dimension (broadcast into
+    every micro-batch — no state, no watermark interplay; the canonical
+    stream-side-input pattern) and aggregate per segment. The decimal
+    cast keeps the running sum exact across micro-batches, so the
+    streaming answer is bit-identical to the batch oracle."""
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )

@@ -299,3 +299,31 @@ def st09_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean counts must equal the batch answer on the same table."""
     parsed = P.documents_jsonl_stream(spark, sf_dir)
     return P.run_to_batch(P.jsonl_ingest_counts(parsed))
+
+
+# --------------------------------------------------------------------------
+# st10 — stream-static dimension join (enrichment against customer)
+# --------------------------------------------------------------------------
+@register(
+    "st10_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+    tags=("streaming", "stream-static-join", "enrichment"),
+)
+def st10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched with the static customer dimension
+    (user_id → market segment) via a per-micro-batch broadcast join,
+    aggregated per segment — the side-input pattern every event
+    pipeline needs; hash-matches the batch join on the same data."""
+    from sketchmlflink_spark.sources.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    out = P.run_to_batch(P.static_segment_counts(P.events_stream(spark, sf_dir), dim))
+    return out
