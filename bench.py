@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "st07_stream_sketch_profile",
     "s06_ivfpq_ann_cosine",
     "t06_quality_filter",
+    "p01_corpus_pipeline",
+    "d08_incremental_dedup",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past

@@ -1,0 +1,108 @@
+"""The end-to-end training-data pipeline as ONE declarative plan
+(quality gate → dedup → token budget), the composition the individual
+d/t operators exist for.
+
+Why one plan instead of three jobs: expressed as a single DataFrame,
+Catalyst fuses the quality signals and the dedup digest into the same
+scan-side projection (one pass over text), the only shuffle is the
+digest groupBy, and the final per-language rollup rides the AQE-sized
+output of that shuffle. Three chained jobs would scan the corpus three
+times and materialize two intermediates; at 100 TB that difference IS
+the pipeline's cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sketchmlflink_spark.functions import text as T
+from sketchmlflink_spark.operators.relational import t
+from sketchmlflink_spark.operators.textops import (
+    QF_MIN_DISTINCT,
+    QF_MIN_STOPWORD,
+    QF_MIN_TOKENS,
+    QF_TOKEN_LEN_HI,
+    QF_TOKEN_LEN_LO,
+    _duck_tokens,
+)
+from sketchmlflink_spark.registry import register
+
+
+@register(
+    "p01_corpus_pipeline",
+    oracle=rf"""
+WITH sig AS (
+    SELECT doc_id, lang,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+           len(tk) AS n_tokens,
+           len(list_distinct(tk)) * 1.0 / len(tk) AS dr,
+           len(list_filter(tk, x -> x IN {T.EN_STOPWORDS!r})) * 1.0 / len(tk) AS sr,
+           list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk) AS atl,
+           len(regexp_extract_all(text, '{T.BPE_PATTERN.replace("'", "''")}')) AS bpe
+    FROM (SELECT doc_id, lang, text, {_duck_tokens()} AS tk FROM documents)
+    WHERE len(tk) > 0
+),
+q AS (
+    SELECT *,
+           (n_tokens >= {QF_MIN_TOKENS} AND dr >= {QF_MIN_DISTINCT}
+            AND sr >= {QF_MIN_STOPWORD}
+            AND atl BETWEEN {QF_TOKEN_LEN_LO} AND {QF_TOKEN_LEN_HI}) AS keep
+    FROM sig
+),
+d AS (
+    SELECT *,
+           CASE WHEN keep
+                THEN row_number() OVER (PARTITION BY keep, norm_hash ORDER BY doc_id)
+           END AS rn
+    FROM q
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)                          AS n_raw,
+       CAST(count(*) FILTER (keep) AS BIGINT)            AS n_quality,
+       CAST(count(*) FILTER (rn = 1) AS BIGINT)          AS n_unique,
+       CAST(coalesce(sum(bpe) FILTER (rn = 1), 0) AS BIGINT) AS bpe_tokens
+FROM d
+GROUP BY lang
+""",
+    tags=("pipeline", "quality", "dedup", "tokens"),
+)
+def p01_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language pipeline funnel: raw docs → quality survivors →
+    dedup keepers (lowest doc_id per normalized digest among survivors)
+    → BPE token budget of the final set. Plan shape: one text scan
+    computing signals + digest together, one window/shuffle on the
+    digest, one tiny rollup."""
+    docs = t(spark, sf_dir, "documents")
+    sig = (
+        docs.select("doc_id", "lang", "text", T.tokens("text").alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(T.normalized_text("text")).alias("norm_hash"),
+            F.size("tk").alias("n_tokens"),
+            T.distinct_token_ratio(F.col("tk")).alias("dr"),
+            (T.marker_hits(F.col("tk"), T.EN_STOPWORDS) / F.size("tk")).alias("sr"),
+            T.avg_token_len(F.col("tk")).alias("atl"),
+            T.bpe_token_count("text").alias("bpe"),
+        )
+    )
+    keep = (
+        (F.col("n_tokens") >= QF_MIN_TOKENS)
+        & (F.col("dr") >= QF_MIN_DISTINCT)
+        & (F.col("sr") >= QF_MIN_STOPWORD)
+        & F.col("atl").between(QF_TOKEN_LEN_LO, QF_TOKEN_LEN_HI)
+    )
+    q = sig.withColumn("keep", keep)
+    w = Window.partitionBy("keep", "norm_hash").orderBy("doc_id")
+    d = q.withColumn(
+        "rn", F.when(F.col("keep"), F.row_number().over(w))
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_quality"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_unique"),
+        F.coalesce(F.sum(F.when(F.col("rn") == 1, F.col("bpe"))), F.lit(0)).cast("long").alias("bpe_tokens"),
+    )

@@ -65,6 +65,7 @@ def _load_operator_modules() -> None:
     from sketchmlflink_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         sketch_aggs,

@@ -62,7 +62,7 @@ def test_relational_queries_have_no_python_udfs(spark, queries):
     """The relational/text surface must stay JVM-side (whole-stage
     codegen); Python is allowed only in ML/multimodal/streaming paths."""
     for name in sorted(queries):
-        if not re.match(r"^(q|t|d0[1238]|s0[124]|sk0\d)", name):
+        if not re.match(r"^(q|t|d0[1238]|s0[124]|sk0\d|p0\d)", name):
             continue
         plan = formatted_plan(spark, queries[name].build(spark, SF_SMALL))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
