@@ -799,3 +799,60 @@ def q24_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
         (F.floor((2 * s + n) / (2.0 * n)) / 100.0).alias("ma7"),
     )
+
+
+# --------------------------------------------------------------------------
+# q25 — batch sessionization: gaps-and-islands (lag + running sum).
+# --------------------------------------------------------------------------
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@register(
+    "q25_batch_sessionize",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts,
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_nr
+    FROM o
+)
+SELECT user_id,
+       CAST(session_nr AS BIGINT)                     AS session_nr,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S')         AS session_start,
+       CAST(count(*) AS BIGINT)                       AS n_events
+FROM s
+GROUP BY user_id, session_nr
+""",
+    tags=("relational", "sessionize", "gaps-and-islands"),
+)
+def q25_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) as gaps-and-islands: lag marks
+    session starts, a running sum numbers them, one groupBy rolls up —
+    the batch twin of st04's streaming session_window. Scale shape: ONE
+    hash shuffle on user_id feeds both windows AND the final aggregate
+    (same partitioning, no re-shuffle); per-user in-partition sort is
+    the only extra cost, exactly how sessionization is done on
+    petabyte clickstreams. Ties on ts break by event_id on both engines
+    so the island numbering is deterministic."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    is_start = F.when(
+        prev_us.isNull() | ((F.unix_micros("ts") - prev_us) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    s = ev.withColumn("is_start", is_start).withColumn(
+        "session_nr",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return s.groupBy("user_id", "session_nr").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", F.col("session_nr").cast("long").alias("session_nr"), "session_start", "n_events")

@@ -544,3 +544,43 @@ def ivf_pq_topk(
 def s06_ivfpq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
     return ivf_pq_topk(emb)
+
+
+# --------------------------------------------------------------------------
+# s07 — per-dimension embedding statistics (drift / normalization audit).
+# --------------------------------------------------------------------------
+@register(
+    "s07_embedding_dim_stats",
+    oracle="""
+SELECT label,
+       CAST(dim - 1 AS INT)            AS dim_idx,
+       round(avg(x), 6)                AS dim_mean,
+       round(min(x), 6)                AS dim_min,
+       round(max(x), 6)                AS dim_max
+FROM (
+    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+)
+GROUP BY label, dim
+""",
+    tags=("similarity", "embedding", "stats"),
+)
+def s07_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) mean/min/max over the embedding column —
+    the drift/normalization audit a feature store runs before ANN
+    indexing. posexplode is a row-explosion, not a Python UDF: the
+    64× row blowup stays JVM-side and collapses in the same stage's
+    partial aggregate, so the shuffle carries only (label·dim) partial
+    rows, never the exploded data. avg is the only float agg computed
+    from a sum whose operand count per (label,dim) cell is fixed by the
+    grouping, and 6-dp rounding on float32-origin values is far from
+    any representability boundary, so the hash matches without integer
+    tricks."""
+    emb = t(spark, sf_dir, "embeddings").select("label", as_double_array("embedding").alias("v"))
+    ex = emb.select("label", F.posexplode("v").alias("dim_idx", "x"))
+    return ex.groupBy("label", "dim_idx").agg(
+        F.round(F.avg("x"), 6).alias("dim_mean"),
+        F.round(F.min("x"), 6).alias("dim_min"),
+        F.round(F.max("x"), 6).alias("dim_max"),
+    )
