@@ -91,3 +91,41 @@ def test_d06_builds_without_driver_collect(spark, queries):
     # and the computed plan is the grouped Arrow kernel, one shuffle
     plan = formatted_plan(spark, df)
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_q23_pivot_no_discovery_scan(spark, queries):
+    """Explicit pivot values must keep the plan a single read: exactly
+    ONE parquet scan (no distinct-collect job to discover columns) and
+    the read schema pruned to the two referenced columns."""
+    plan = formatted_plan(spark, queries["q23_pivot_daily_events"].build(spark, SF_SMALL))
+    assert plan.count("Scan parquet") <= 2  # tree + detail section of ONE scan
+    assert "ReadSchema: struct<ts:bigint,event_type:string>" in plan
+
+
+def test_p01_pipeline_single_scan_two_exchanges(spark, queries):
+    """The fused pipeline must stay one text scan (quality signals +
+    dedup digest in the same projection) with exactly two exchanges:
+    the digest window and the language rollup."""
+    plan = formatted_plan(spark, queries["p01_corpus_pipeline"].build(spark, SF_SMALL))
+    body = plan.split("\n\n")[0]  # the tree section
+    assert body.count("Scan parquet") == 1, body
+    assert body.count("Exchange") == 2, body
+
+
+def test_d08_joins_on_digest_only(spark, queries):
+    """Incremental dedup must shuffle/join on the 16-byte digest, never
+    raw text: every Exchange partitioning expression references
+    norm_hash, and text appears only below the digest projection."""
+    plan = formatted_plan(spark, queries["d08_incremental_dedup"].build(spark, SF_SMALL))
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan):
+        assert m.group(1).startswith("norm_hash"), m.group(0)
+
+
+def test_q25_single_user_shuffle(spark, queries):
+    """Sessionization must reuse ONE user_id hash partitioning for the
+    lag window, the island numbering, and the rollup — a second
+    Exchange means the windows and aggregate stopped sharing their
+    clustering."""
+    plan = formatted_plan(spark, queries["q25_batch_sessionize"].build(spark, SF_SMALL))
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") == 1, body
