@@ -580,3 +580,127 @@ def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm_hash",
         (F.col("in_corpus").isNull() & (F.col("rn") == 1)).alias("is_new"),
     )
+
+
+# --------------------------------------------------------------------------
+# d09 — Bloom-accelerated incremental dedup: same answer as d08, but the
+# corpus membership test is a broadcast Bloom sketch, not a join.
+# --------------------------------------------------------------------------
+BLOOM_M = 1 << 17  # bits (16 KiB) — size to corpus cardinality at scale
+BLOOM_K = 5       # hash probes per key
+
+
+def _bloom_positions(col):
+    """k Catalyst xxhash64 probes → bit positions. Both build and probe
+    sides use this same expression, so no hash function ever needs a
+    Python re-implementation."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(BLOOM_M)) for i in range(BLOOM_K)]
+    )
+
+
+@register(
+    "d09_bloom_incremental_dedup",
+    # EXACT same contract as d08: Bloom false positives are eliminated
+    # by the verify join, so the bloom is pure acceleration, not
+    # approximation — which is what makes this hash-checkable.
+    oracle=rf"""
+WITH h AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+           doc_id % {INC_MOD} >= {INC_CUT} AS is_inc
+    FROM documents
+),
+corpus_hashes AS (SELECT DISTINCT norm_hash FROM h WHERE NOT is_inc),
+inc AS (
+    SELECT doc_id, norm_hash,
+           row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn
+    FROM h WHERE is_inc
+)
+SELECT i.doc_id, i.norm_hash,
+       (c.norm_hash IS NULL AND i.rn = 1) AS is_new
+FROM inc i LEFT JOIN corpus_hashes c USING (norm_hash)
+""",
+    tags=("dedup", "incremental", "bloom", "sketch"),
+)
+def d09_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d08's semantics with the corpus probe replaced by a Bloom sketch:
+
+    1. BUILD (distributed, one job): each corpus partition emits its
+       digests' bit positions; ``distinct().collect()`` moves at most
+       BLOOM_M ints to the driver — bounded by the FILTER size, not the
+       corpus — which packs them into a 16 KiB numpy bitmap.
+    2. PROBE (broadcast, no shuffle): incoming rows carry their own k
+       positions scan-side (same Catalyst expression as the build); an
+       Arrow batch checks them against the broadcast bitmap.
+    3. VERIFY (exact, tiny): only bloom-POSITIVE rows — at real scale a
+       sliver of the batch — join the corpus digest index to kill false
+       positives. Bloom-negative rows are PROVABLY absent (no false
+       negatives) and skip the join entirely.
+
+    At 100 TB this replaces the d08 left join's corpus-sized shuffle
+    with a fixed-size broadcast + a join whose left side is ~fpp of the
+    batch; the same trade the reference makes shipping gradient
+    sketches instead of gradients (SketchGradientDescent.scala:340-348).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5(T.normalized_text("text")).alias("norm_hash"),
+        (F.col("doc_id") % INC_MOD >= INC_CUT).alias("is_inc"),
+    )
+    corpus = h.where(~F.col("is_inc"))
+
+    # 1. build: distributed position generation, bounded collect
+    set_bits = (
+        corpus.select(F.explode(_bloom_positions(F.col("norm_hash"))).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(BLOOM_M, dtype=bool)
+    bitmap[[r["pos"] for r in set_bits]] = True
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    # 2. probe: positions computed by Catalyst, membership by Arrow batch
+    w = Window.partitionBy("norm_hash").orderBy("doc_id")
+    inc = (
+        h.where(F.col("is_inc"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "norm_hash", "rn", _bloom_positions(F.col("norm_hash")).alias("pos"))
+    )
+
+    def probe(batches):
+        bm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            P = np.stack(pdf["pos"].to_numpy())  # (n, BLOOM_K)
+            pdf = pdf.drop(columns=["pos"])
+            pdf["maybe_in_corpus"] = bm[P].all(axis=1)
+            yield pdf
+
+    probed = inc.mapInPandas(
+        probe, "doc_id long, norm_hash string, rn int, maybe_in_corpus boolean"
+    )
+
+    # 3. verify: only bloom-positives touch the corpus index
+    positives = probed.where(F.col("maybe_in_corpus"))
+    negatives = probed.where(~F.col("maybe_in_corpus"))
+    verified = positives.join(
+        corpus.select("norm_hash").distinct().withColumn("in_corpus", F.lit(True)),
+        "norm_hash",
+        "left",
+    ).select(
+        "doc_id", "norm_hash",
+        (F.col("in_corpus").isNull() & (F.col("rn") == 1)).alias("is_new"),
+    )
+    definite = negatives.select(
+        "doc_id", "norm_hash", (F.col("rn") == 1).alias("is_new")
+    )
+    return verified.unionByName(definite)

@@ -319,3 +319,16 @@ def test_d08_incremental_dedup_semantics(spark):
         .collect()
     }
     assert out == {8: False, 9: True, 18: False, 19: True}
+
+
+def test_d09_bloom_equals_d08_exact(spark):
+    """The Bloom-accelerated path must return exactly the join-based
+    d08 answer (false positives die in verify; negatives are provably
+    absent) — same rows, same flags."""
+    from sketchmlflink_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    qs = all_queries()
+    a = {(r["doc_id"], r["is_new"]) for r in qs["d08_incremental_dedup"].build(spark, SF_SMALL).collect()}
+    b = {(r["doc_id"], r["is_new"]) for r in qs["d09_bloom_incremental_dedup"].build(spark, SF_SMALL).collect()}
+    assert a == b and len(a) > 0
