@@ -704,3 +704,83 @@ def d09_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "norm_hash", (F.col("rn") == 1).alias("is_new")
     )
     return verified.unionByName(definite)
+
+
+# --------------------------------------------------------------------------
+# d10 — span-level exact dedup (C4-style repeated-span removal).
+# --------------------------------------------------------------------------
+SPAN_CHUNK_WORDS = 3  # span unit; production corpora use ~50-token spans
+
+
+@register(
+    "d10_span_exact_dedup",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+c AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         array_to_string(words[i*{SPAN_CHUNK_WORDS}+1 : i*{SPAN_CHUNK_WORDS}+{SPAN_CHUNK_WORDS}], ' ') AS chunk
+  FROM w, unnest(range(0, len(words)//{SPAN_CHUNK_WORDS})) AS u(i)
+),
+r AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1), '') AS dedup_text
+FROM r GROUP BY doc_id
+""",
+    tags=("dedup", "span", "substring"),
+)
+def d10_span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: remove every repeated SPAN_CHUNK_WORDS-word
+    span corpus-wide, keeping only its first occurrence (ordered by
+    (doc_id, chunk_idx)), and reassemble each document from its surviving
+    spans — the C4 / "Deduplicating Training Data" repeated-substring
+    removal re-expressed as non-overlapping word chunks.
+
+    Plan shape: chunking is pure scan-side Catalyst (split → sequence →
+    slice → posexplode — no UDF, no shuffle); first-occurrence election is
+    ONE row_number window shuffled on the span's md5 digest; reassembly is
+    ONE groupBy(doc_id) with an array_sort(collect_list) rebuild. Two
+    shuffles total, each keyed on a short hash/id. A boilerplate span
+    repeated millions of times skews the digest partition — AQE skew
+    splitting handles the sort, and only rn=1 survives into reassembly, so
+    the hot key collapses at source. At 100 TB the only structural change
+    is SPAN_CHUNK_WORDS (~50-token spans) — the plan is scale-free.
+    """
+    docs = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_ch = F.floor(F.size(words) / SPAN_CHUNK_WORDS).cast("int")
+    chunks = F.when(
+        n_ch > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_ch - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i * SPAN_CHUNK_WORDS + 1, SPAN_CHUNK_WORDS)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    ch = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")).withColumn(
+        "digest", F.md5("chunk")
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id", "chunk_idx")
+    flagged = ch.withColumn("is_kept", F.row_number().over(w) == 1)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_kept"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+        ).alias("dedup_text"),
+    )

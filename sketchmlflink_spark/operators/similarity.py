@@ -584,3 +584,50 @@ def s07_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("x"), 6).alias("dim_min"),
         F.round(F.max("x"), 6).alias("dim_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# s08 — exact cosine range search (threshold all-neighbors).
+# --------------------------------------------------------------------------
+RANGE_TAU = 0.3  # report every corpus vector with cosine >= tau to a query
+
+
+@register(
+    "s08_range_search_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       round(list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+WHERE list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+      >= {RANGE_TAU}
+""",
+    tags=("similarity", "range-search"),
+)
+def s08_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (threshold) search: every corpus vector with cosine >=
+    RANGE_TAU to any of the N_QUERIES query vectors — the "find all
+    neighbors within a radius" dual of s01's top-k.
+
+    Plan shape: the query side is broadcast (tiny by construction), so
+    the corpus is read ONCE with zero shuffle — each scan task evaluates
+    its rows against the resident query block and emits only matches.
+    The threshold filter sits inside the same codegen stage as the
+    cosine, so non-matches never materialize. At 100 TB this is one
+    embarrassingly-parallel pass; for large query sets swap the
+    broadcast for the s03/s05 bucketed candidate paths.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv"))
+    cos = cosine(F.col("qv"), F.col("cv"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("n_id") != F.col("q_id"))
+        .where(cos >= RANGE_TAU)
+        .select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
+    )

@@ -332,3 +332,38 @@ def test_d09_bloom_equals_d08_exact(spark):
     a = {(r["doc_id"], r["is_new"]) for r in qs["d08_incremental_dedup"].build(spark, SF_SMALL).collect()}
     b = {(r["doc_id"], r["is_new"]) for r in qs["d09_bloom_incremental_dedup"].build(spark, SF_SMALL).collect()}
     assert a == b and len(a) > 0
+
+
+def test_d10_span_dedup_first_occurrence(spark):
+    """Planted repeated span: the earliest (doc_id, chunk_idx) occurrence
+    survives, every later copy is removed, and reassembly preserves
+    chunk order."""
+    from sketchmlflink_spark.operators import dedup as D
+
+    rows = [
+        (0, "a b c x y z a b c"),   # chunk0="a b c" kept, chunk2="a b c" dropped (later idx)
+        (1, "a b c q r s"),          # chunk0 dropped (doc 0 owns it)
+        (2, "q r s q r s"),          # chunk0 dropped (doc 1 owns "q r s"), chunk1 dropped too
+        (3, "t u"),                  # < 3 words → no chunks → absent from output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import sketchmlflink_spark.operators.relational as R
+
+    orig_t = R.t
+    try:
+        R.t = lambda s, d, name: docs  # route the registered builder at our fixture
+        D.t = R.t
+        out = {
+            r["doc_id"]: r
+            for r in D.d10_span_exact_dedup(spark, "unused").collect()
+        }
+    finally:
+        R.t = orig_t
+        D.t = orig_t
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_chunks"] == 3 and out[0]["n_kept"] == 2
+    assert out[0]["dedup_text"] == "a b c x y z"
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["dedup_text"] == "q r s"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 0
+    assert out[2]["dedup_text"] == ""
