@@ -784,3 +784,91 @@ def d10_span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dedup_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# d11 — semantic dedup: k-means partition + within-cluster greedy prune
+# (the SemDeDup recipe: cluster embeddings, drop near-copies per cluster).
+# --------------------------------------------------------------------------
+SEMDEDUP_K = 8           # coarse clusters (quantizer reused from the IVF path)
+SEMDEDUP_TAU = COSINE_DUP_THRESHOLD  # same near-dup bar as d06/d07
+
+
+@register(
+    "d11_semantic_cluster_dedup",
+    oracle=None,  # k-means isn't ANSI-SQL; properties pinned in test_dedup.py
+    tags=("dedup", "embedding", "semantic", "cluster"),
+)
+def d11_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup à la SemDeDup: k-means the embedding space into
+    SEMDEDUP_K clusters, then inside each cluster greedily keep rows in
+    vec_id order, dropping any row with cosine >= SEMDEDUP_TAU to an
+    already-kept row. Output: (vec_id, cluster, is_kept, dup_of) where
+    dup_of is the kept row (lower vec_id) the drop duplicates.
+
+    Scale shape: the quantizer trains on a bounded sample (ONE job,
+    `ivf_train_centroids`); assignment is a scan-side numpy argmax
+    against broadcast centroids (no shuffle); pruning is ONE shuffle on
+    cluster id with the O(cluster²) cosine work spread across clusters —
+    never a corpus-wide pair join. This is exactly why SemDeDup scales:
+    candidate pairs are confined to same-cluster rows, and cluster count
+    grows with the corpus (k ∝ √n in production) to bound per-task cost.
+    At 100 TB the structural knobs are SEMDEDUP_K and the sample cap —
+    the plan is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sketchmlflink_spark.functions.vector import as_double_array
+    from sketchmlflink_spark.operators.similarity import ivf_train_centroids
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
+    C = ivf_train_centroids(emb, k=SEMDEDUP_K)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(Cn)
+
+    def assign(batches):
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cl = (Xn @ cents.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster": cl.astype("int32"), "vn": list(Xn)}
+            )
+
+    assigned = emb.mapInPandas(assign, "vec_id long, cluster int, vn array<double>")
+
+    def prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        X = np.stack(pdf["vn"].to_numpy())
+        n = len(ids)
+        kept: list[int] = []
+        is_kept = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(n):
+            if kept:
+                sims = X[kept] @ X[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= SEMDEDUP_TAU:
+                    dup_of[i] = ids[kept[j]]
+                    continue
+            is_kept[i] = True
+            kept.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": np.full(n, key[0], dtype="int32"),
+                "is_kept": is_kept,
+                "dup_of": [None if d < 0 else int(d) for d in dup_of],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune, "vec_id long, cluster int, is_kept boolean, dup_of long"
+    )

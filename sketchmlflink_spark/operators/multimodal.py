@@ -232,3 +232,84 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     frames = media_table(docs).mapInPandas(fake_frame_sample, FRAME_SCHEMA)
     return frames.select("doc_id", "frame_idx", _array_to_canon_str("resized"))
+
+
+# --------------------------------------------------------------------------
+# mm04 — frame-level exact dedup: identical sampled frames corpus-wide.
+# --------------------------------------------------------------------------
+@register(
+    "mm04_frame_exact_dedup",
+    # deterministic byte math on an ASCII corpus ⇒ DuckDB replays the
+    # frame slicing and hashes the same bytes (see mm02 note)
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, length(text) // {FRAME_BYTES}, {FRAME_STRIDE})) AS BIGINT) AS frame_idx,
+         text
+  FROM documents
+),
+h AS (
+  SELECT doc_id, frame_idx,
+         md5(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_digest
+  FROM f
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY frame_digest ORDER BY doc_id, frame_idx) AS rn
+  FROM h
+)
+SELECT frame_digest,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       max(CASE WHEN rn = 1 THEN doc_id END)    AS keeper_doc_id,
+       max(CASE WHEN rn = 1 THEN frame_idx END) AS keeper_frame_idx
+FROM r GROUP BY frame_digest
+""",
+    tags=("multimodal", "frames", "dedup"),
+)
+def mm04_frame_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of sampled media frames: every FRAME_STRIDE-th
+    FRAME_BYTES slice of the opaque payload is digested and grouped
+    corpus-wide — the frame-level twin of d01's document dedup, the op a
+    video-training pipeline runs to drop repeated intro/outro frames.
+
+    Plan shape: frame slicing and hashing are pure Catalyst over the
+    BINARY payload column (sequence → posexplode → md5(substring)) — no
+    Python, no decode needed, because exact dedup only needs bytes. ONE
+    shuffle on the 16-byte digest with map-side-combinable aggregates
+    (count + lexicographic min-struct keeper election). At 100 TB the
+    shuffle carries digests and ids only — frame bytes never leave the
+    scan."""
+    docs = t(spark, sf_dir, "documents")
+    media = media_table(docs)
+    n_frames = F.floor(F.col("n_bytes") / FRAME_BYTES).cast("int")
+    frame_idxs = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE)),
+    ).otherwise(F.array().cast("array<int>"))
+    frames = media.select(
+        "doc_id",
+        "payload",
+        F.explode(frame_idxs).alias("fi"),
+    ).select(
+        "doc_id",
+        "payload",
+        F.col("fi").cast("long").alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.md5(
+            F.substring(
+                "payload", F.col("frame_idx").cast("int") * FRAME_BYTES + 1, FRAME_BYTES
+            )
+        ).alias("frame_digest"),
+    )
+    keeper = F.min(F.struct("doc_id", "frame_idx")).alias("k")
+    return (
+        frames.groupBy("frame_digest")
+        .agg(F.count(F.lit(1)).alias("n_copies"), keeper)
+        .select(
+            "frame_digest",
+            "n_copies",
+            F.col("k.doc_id").alias("keeper_doc_id"),
+            F.col("k.frame_idx").alias("keeper_frame_idx"),
+        )
+    )

@@ -856,3 +856,80 @@ def q25_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
     ).select("user_id", F.col("session_nr").cast("long").alias("session_nr"), "session_start", "n_events")
+
+
+# --------------------------------------------------------------------------
+# q26 — GROUPING SETS: independent aggregation lattices in one scan.
+# --------------------------------------------------------------------------
+@register(
+    "q26_grouping_sets_orders",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(count(*) AS BIGINT)    AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+    tags=("relational", "grouping-sets"),
+)
+def q26_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (priority totals, status totals, grand
+    total) — the general lattice form of q08's ROLLUP / q19's CUBE.
+    Catalyst expands the sets with a single Expand over ONE scan, so the
+    table is read once no matter how many lattices are requested — the
+    reason grouping sets beat unioned per-lattice scans at 100 TB."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — correlated NOT EXISTS: sole-supplier orders per supplier.
+# --------------------------------------------------------------------------
+@register(
+    "q27_sole_supplier_orders",
+    oracle="""
+SELECT l1.l_suppkey AS suppkey,
+       CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_solo_orders
+FROM lineitem l1
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+)
+GROUP BY l1.l_suppkey
+""",
+    tags=("relational", "not-exists", "anti-join"),
+)
+def q27_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier, how many orders they supplied alone (no other
+    supplier on the order) — the correlated-NOT-EXISTS shape of TPC-H
+    Q21, adapted to this schema's columns.
+
+    Expressed declaratively so Catalyst de-correlates the subquery into
+    a null-safe left-anti join on l_orderkey; at scale both sides
+    shuffle once on the order key (fact-fact), and the distinct+count
+    reuses the same hash partitioning. No driver loop, no double scan
+    beyond the self-join the semantics require."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q27_lineitem")
+    return spark.sql(
+        """
+SELECT l1.l_suppkey AS suppkey,
+       count(DISTINCT l1.l_orderkey) AS n_solo_orders
+FROM q27_lineitem l1
+WHERE NOT EXISTS (
+    SELECT 1 FROM q27_lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+)
+GROUP BY l1.l_suppkey
+"""
+    )

@@ -367,3 +367,41 @@ def test_d10_span_dedup_first_occurrence(spark):
     assert out[1]["dedup_text"] == "q r s"
     assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 0
     assert out[2]["dedup_text"] == ""
+
+
+def test_d11_semantic_dedup_properties(spark):
+    """SemDeDup invariants on the real sf0.001 corpus: kept rows in a
+    cluster are pairwise below tau; every drop names a kept lower-id
+    dup_of above tau; the partition covers the corpus exactly once."""
+    import numpy as np
+
+    from sketchmlflink_spark.operators.dedup import SEMDEDUP_TAU
+    from sketchmlflink_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    qs = all_queries()
+    out = qs["d11_semantic_cluster_dedup"].build(spark, SF_SMALL).collect()
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    for k in emb:
+        emb[k] = emb[k] / np.linalg.norm(emb[k])
+
+    assert {r["vec_id"] for r in out} == set(emb)  # exact cover
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    n_dropped = 0
+    for rows in by_cluster.values():
+        kept_ids = [r["vec_id"] for r in rows if r["is_kept"]]
+        for i, a in enumerate(kept_ids):
+            for b in kept_ids[i + 1 :]:
+                assert float(emb[a] @ emb[b]) < SEMDEDUP_TAU
+        for r in rows:
+            if not r["is_kept"]:
+                n_dropped += 1
+                assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
+                assert r["dup_of"] in kept_ids
+                assert float(emb[r["vec_id"]] @ emb[r["dup_of"]]) >= SEMDEDUP_TAU
+    assert n_dropped > 0  # the corpus does contain near-dup embeddings
