@@ -62,7 +62,7 @@ def test_relational_queries_have_no_python_udfs(spark, queries):
     """The relational/text surface must stay JVM-side (whole-stage
     codegen); Python is allowed only in ML/multimodal/streaming paths."""
     for name in sorted(queries):
-        if not re.match(r"^(q|t|d0[1238]|s0[124]|sk0\d|p0\d)", name):
+        if not re.match(r"^(q|t|d0[1238]|d10|s0[1248]|sk0\d|p0\d|mm04)", name):
             continue
         plan = formatted_plan(spark, queries[name].build(spark, SF_SMALL))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
@@ -129,3 +129,38 @@ def test_q25_single_user_shuffle(spark, queries):
     plan = formatted_plan(spark, queries["q25_batch_sessionize"].build(spark, SF_SMALL))
     body = plan.split("\n\n")[0]
     assert body.count("Exchange") == 1, body
+
+
+def test_d10_two_digest_and_doc_exchanges(spark, queries):
+    """Span dedup is exactly two shuffles: the digest-keyed
+    first-occurrence window and the doc_id reassembly aggregate —
+    chunking must stay scan-side (no extra Exchange, no Python)."""
+    plan = formatted_plan(spark, queries["d10_span_exact_dedup"].build(spark, SF_SMALL))
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") == 2, body
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_s08_broadcast_zero_shuffle(spark, queries):
+    """Range search must broadcast the query side and never shuffle the
+    corpus: one broadcast join, no hash-partitioned Exchange."""
+    plan = formatted_plan(spark, queries["s08_range_search_cosine"].build(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_mm04_digest_shuffle_with_partial_agg(spark, queries):
+    """Frame dedup shuffles only on the frame digest, with map-side
+    partial aggregation so frame bytes never cross the exchange."""
+    plan = formatted_plan(spark, queries["mm04_frame_exact_dedup"].build(spark, SF_SMALL))
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan):
+        assert m.group(1).startswith("frame_digest"), m.group(0)
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_q26_single_scan_expand(spark, queries):
+    """GROUPING SETS must be one scan + one Expand, not unioned scans."""
+    plan = formatted_plan(spark, queries["q26_grouping_sets_orders"].build(spark, SF_SMALL))
+    body = plan.split("\n\n")[0]
+    assert body.count("Scan parquet") == 1, body
+    assert "Expand" in plan
