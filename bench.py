@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "t06_quality_filter",
     "p01_corpus_pipeline",
     "d08_incremental_dedup",
+    "d10_span_exact_dedup",
+    "d11_semantic_cluster_dedup",
+    "s08_range_search_cosine",
+    "mm04_frame_exact_dedup",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past
@@ -108,6 +112,21 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # Machine-speed calibration: query wall times vary ~2x across the
+    # containers that run this bench round-over-round, so the JSON
+    # carries two fixed-work normalizers — a seeded numpy matmul
+    # (BLAS/CPU) and a pure-JVM codegen range-sum (Spark scheduling +
+    # whole-stage codegen). Compare rounds as value/calib, not raw secs.
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((2000, 2000))
+    t0 = time.monotonic()
+    _ = a @ a
+    calib_mm = time.monotonic() - t0
+    t0 = time.monotonic()
+    spark.range(2_000_000_000).selectExpr("sum(id)").collect()
+    calib_rng = time.monotonic() - t0
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -117,6 +136,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calib_matmul_sec": round(calib_mm, 3),
+                "calib_jvm_range_sec": round(calib_rng, 3),
             }
         )
     )

@@ -224,3 +224,52 @@ def m04_sgd_sketch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch_cfg=SketchConfig(auto_fallback_nnz=0),
     )
     return mlr.fit_evaluate_report(spark, df)
+
+
+# --------------------------------------------------------------------------
+# m07 — LearningRateMethod sweep: all five FlinkML schedules, one query.
+# --------------------------------------------------------------------------
+LR_SCHEDULES = ("inv_sqrt", "constant", "bottou", "inv_scaling", "xu")
+
+
+@register(
+    "m07_lr_schedule_sweep",
+    oracle=None,
+    tags=("ml", "train", "lr-schedule"),
+)
+def m07_lr_schedule_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact-arm training per FlinkML LearningRateMethod (Default/
+    inv_sqrt, Constant, Bottou, InvScaling, Xu —
+    FlinkMultipleLinearRegression.scala:116-119), same data/seed/epochs,
+    reporting each schedule's final epoch loss — the sweep a user runs to
+    pick a schedule, as a single driver query. Rows-only (iterative);
+    closed-form schedule values are unit-tested in test_sgd.py. Scale
+    shape: each arm is the m03 treeReduce epoch loop; arms run
+    sequentially sharing the cached training blocks, so the corpus is
+    blockified once."""
+    from sketchmlflink_spark.config import SketchConfig, SolverConfig
+    from sketchmlflink_spark.ml import sgd as SGD
+
+    df = _training_df(spark, sf_dir)
+    rows = []
+    for sched in LR_SCHEDULES:
+        cfg = SolverConfig(
+            iterations=3,
+            step_size=0.5,
+            lr_schedule=sched,
+            # Bottou/Xu schedules are parameterized by lambda; InvScaling
+            # by its decay exponent — pick values that keep all five
+            # curves distinct (lambda=0 Xu or decay=0.5 InvScaling would
+            # degenerate to Constant / Default)
+            reg_lambda=0.1 if sched in ("bottou", "xu") else 0.0,
+            lr_decay=0.25 if sched == "inv_scaling" else 0.5,
+        )
+        res = SGD.train(df, cfg, SketchConfig(compression_type="None"))
+        rows.append(
+            {
+                "lr_schedule": sched,
+                "epochs_run": int(res.epochs_run),
+                "final_loss": round(float(res.losses[-1]), 6),
+            }
+        )
+    return spark.createDataFrame(rows).select("lr_schedule", "epochs_run", "final_loss")

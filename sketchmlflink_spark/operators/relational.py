@@ -933,3 +933,62 @@ WHERE NOT EXISTS (
 GROUP BY l1.l_suppkey
 """
     )
+
+
+# --------------------------------------------------------------------------
+# q28 — decile stats via boundary broadcast (scale-safe global ranking).
+# --------------------------------------------------------------------------
+@register(
+    "q28_order_value_deciles",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(o_totalprice,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+  FROM orders
+),
+d AS (
+  SELECT 1 + len(list_filter(b.qs, q -> q < o.o_totalprice)) AS decile,
+         o.o_totalprice
+  FROM orders o, b
+)
+SELECT CAST(decile AS INT)                 AS decile,
+       CAST(count(*) AS BIGINT)            AS n_orders,
+       round(min(o_totalprice), 2)         AS lo_price,
+       round(max(o_totalprice), 2)         AS hi_price,
+       round(sum(o_totalprice), 2)         AS sum_price
+FROM d GROUP BY decile
+""",
+    tags=("relational", "decile", "percentile-bucketing"),
+)
+def q28_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile order-value stats WITHOUT a global-sort ntile: exact
+    decile boundaries come from ONE percentile aggregate, broadcast back,
+    and each row buckets itself by counting boundaries below it — a scan
+    plus two tiny exchanges instead of the single-partition window a
+    naive ntile(10) forces (Spark executes an un-partitioned ranking
+    window on ONE task; this shape keeps all 32/1000 executors busy and
+    is how decile dashboards are computed on petabyte fact tables; at
+    even larger scale swap the exact percentile for sk03's
+    approx_percentile with identical plumbing). Boundary semantics:
+    decile = 1 + |{q : q < value}| (strictly-less), deterministic under
+    ties on both engines."""
+    orders = t(spark, sf_dir, "orders")
+    qs = orders.select(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+        ).alias("qs")
+    )
+    d = orders.join(F.broadcast(qs)).select(
+        (
+            F.lit(1)
+            + F.size(F.filter("qs", lambda q: q < F.col("o_totalprice")))
+        ).cast("int").alias("decile"),
+        "o_totalprice",
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+        F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

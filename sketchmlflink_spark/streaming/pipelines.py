@@ -394,3 +394,50 @@ def static_segment_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
         )
     )
+
+
+def quality_gate_counts(parsed: DataFrame) -> DataFrame:
+    """Streaming quality gate: apply the t06 C4/Gopher rule stack to the
+    in-flight JSONL document stream and roll up verdicts per language.
+    The verdict is the FIRST failing rule (priority order matches t06's
+    reasons column), 'kept' when all pass. Stateless per-row projection →
+    the only state is the tiny (lang, verdict) count map."""
+    from sketchmlflink_spark.functions import text as T
+    from sketchmlflink_spark.operators.textops import (
+        QF_MIN_DISTINCT,
+        QF_MIN_STOPWORD,
+        QF_MIN_TOKENS,
+        QF_TOKEN_LEN_HI,
+        QF_TOKEN_LEN_LO,
+    )
+    from sketchmlflink_spark.sources.jsonl import CORRUPT_COL
+
+    clean = parsed.where(F.col(f"j.{CORRUPT_COL}").isNull()).select(
+        F.col("j.lang").alias("lang"), F.col("j.text").alias("text")
+    )
+    sig = (
+        clean.select("lang", T.tokens("text").alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(
+            "lang",
+            F.size("tk").alias("n_tokens"),
+            T.distinct_token_ratio(F.col("tk")).alias("dr"),
+            (T.marker_hits(F.col("tk"), T.EN_STOPWORDS) / F.size("tk")).alias("sr"),
+            T.avg_token_len(F.col("tk")).alias("atl"),
+        )
+    )
+    verdict = F.coalesce(
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, "too_short"),
+        F.when(F.col("dr") < QF_MIN_DISTINCT, "repetitive"),
+        F.when(F.col("sr") < QF_MIN_STOPWORD, "low_stopword"),
+        F.when(
+            (F.col("atl") < QF_TOKEN_LEN_LO) | (F.col("atl") > QF_TOKEN_LEN_HI),
+            "token_len",
+        ),
+        F.lit("kept"),
+    )
+    return (
+        sig.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

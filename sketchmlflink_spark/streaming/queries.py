@@ -327,3 +327,59 @@ def st10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = P.run_to_batch(P.static_segment_counts(P.events_stream(spark, sf_dir), dim))
     return out
+
+
+# --------------------------------------------------------------------------
+# st11 — streaming quality gate over the JSONL intake (t06's twin)
+# --------------------------------------------------------------------------
+def _st11_oracle() -> str:
+    from sketchmlflink_spark.functions import text as T
+    from sketchmlflink_spark.operators.textops import (
+        QF_MIN_DISTINCT,
+        QF_MIN_STOPWORD,
+        QF_MIN_TOKENS,
+        QF_TOKEN_LEN_HI,
+        QF_TOKEN_LEN_LO,
+        _duck_tokens,
+    )
+
+    return f"""
+WITH sig AS (
+    SELECT lang,
+           len(tk)                                                   AS n_tokens,
+           len(list_distinct(tk)) * 1.0 / len(tk)                    AS dr,
+           len(list_filter(tk, x -> x IN {T.EN_STOPWORDS!r})) * 1.0
+             / len(tk)                                               AS sr,
+           list_sum(list_transform(tk, x -> length(x))) * 1.0
+             / len(tk)                                               AS atl
+    FROM (SELECT lang, {_duck_tokens()} AS tk FROM documents)
+    WHERE len(tk) > 0
+)
+SELECT lang,
+       coalesce(
+         CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+         CASE WHEN dr < {QF_MIN_DISTINCT} THEN 'repetitive' END,
+         CASE WHEN sr < {QF_MIN_STOPWORD} THEN 'low_stopword' END,
+         CASE WHEN atl < {QF_TOKEN_LEN_LO} OR atl > {QF_TOKEN_LEN_HI}
+              THEN 'token_len' END,
+         'kept') AS verdict,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM sig
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "st11_stream_quality_gate",
+    oracle=_st11_oracle(),
+    tags=("streaming", "quality", "gate"),
+)
+def st11_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t06 quality gate applied IN-STREAM to the JSONL corpus intake:
+    torn lines quarantine upstream (st09 contract), every clean document
+    gets a first-failing-rule verdict, and (lang, verdict) counts roll up
+    — the drop-rate dashboard a streaming ingestion pipeline watches.
+    Stateless row projection + one tiny count state; hash-matches the
+    batch rule stack on the same table."""
+    parsed = P.documents_jsonl_stream(spark, sf_dir)
+    return P.run_to_batch(P.quality_gate_counts(parsed))
