@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "d11_semantic_cluster_dedup",
     "s08_range_search_cosine",
     "mm04_frame_exact_dedup",
+    "d12_decontaminate_eval_overlap",
+    "p02_embedding_pipeline",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past

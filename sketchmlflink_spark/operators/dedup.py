@@ -376,16 +376,27 @@ def d06_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     asks for the exact operator, this is the shape that degrades
     gracefully instead of OOMing the driver.
     """
+    from sketchmlflink_spark.functions.vector import as_double_array
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
+    return exact_cosine_pairs(emb)
+
+
+def exact_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    block_rows: int = D06_BLOCK_ROWS,
+) -> DataFrame:
+    """The d06 distributed block-pair dgemm as a reusable kernel:
+    (vec_id, v) → all unordered pairs with cosine >= threshold. See
+    d06_embed_cosine_neardup for the full scale rationale."""
     import math
 
     import numpy as np
     import pandas as pd
 
-    from sketchmlflink_spark.functions.vector import as_double_array
-
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
     n = emb.count()  # distributed scalar, not a collect
-    n_blocks = max(1, math.ceil(n / D06_BLOCK_ROWS))
+    n_blocks = max(1, math.ceil(n / block_rows))
 
     blk = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     # replicate each row to every block-pair (least, greatest) it joins;
@@ -419,7 +430,7 @@ def d06_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             A_ids, B_ids = ids[side], ids[~side]
             An, Bn = Mn[side], Mn[~side]
         cos = An @ Bn.T
-        ii, jj = np.nonzero(cos >= COSINE_DUP_THRESHOLD)
+        ii, jj = np.nonzero(cos >= threshold)
         if pi == pj:
             # triangle: both sides are the same list, so every unordered
             # pair shows up mirrored — keep one and drop self-pairs
@@ -712,6 +723,23 @@ def d09_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_CHUNK_WORDS = 3  # span unit; production corpora use ~50-token spans
 
 
+def span_chunks(text_col) -> F.Column:
+    """Non-overlapping SPAN_CHUNK_WORDS-word spans of a text column as a
+    pure-Catalyst array<string> (split → sequence → slice; no UDF, no
+    shuffle). Shared by d10 (batch) and st12 (streaming)."""
+    words = F.split(text_col, " ")
+    n_ch = F.floor(F.size(words) / SPAN_CHUNK_WORDS).cast("int")
+    return F.when(
+        n_ch > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_ch - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i * SPAN_CHUNK_WORDS + 1, SPAN_CHUNK_WORDS)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @register(
     "d10_span_exact_dedup",
     oracle=f"""
@@ -752,19 +780,7 @@ def d10_span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is SPAN_CHUNK_WORDS (~50-token spans) — the plan is scale-free.
     """
     docs = t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_ch = F.floor(F.size(words) / SPAN_CHUNK_WORDS).cast("int")
-    chunks = F.when(
-        n_ch > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_ch - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(words, i * SPAN_CHUNK_WORDS + 1, SPAN_CHUNK_WORDS)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-    ch = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")).withColumn(
+    ch = docs.select("doc_id", F.posexplode(span_chunks("text")).alias("chunk_idx", "chunk")).withColumn(
         "digest", F.md5("chunk")
     )
     w = Window.partitionBy("digest").orderBy("doc_id", "chunk_idx")
@@ -871,4 +887,69 @@ def d11_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assigned.groupBy("cluster").applyInPandas(
         prune, "vec_id long, cluster int, is_kept boolean, dup_of long"
+    )
+
+
+# --------------------------------------------------------------------------
+# d12 — decontamination: train-vs-eval n-gram span overlap.
+# --------------------------------------------------------------------------
+DECON_EVAL_DOCS = 20  # doc_id < 20 plays the held-out benchmark set
+
+
+@register(
+    "d12_decontaminate_eval_overlap",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+c AS (
+  SELECT doc_id,
+         array_to_string(words[i*{SPAN_CHUNK_WORDS}+1 : i*{SPAN_CHUNK_WORDS}+{SPAN_CHUNK_WORDS}], ' ') AS chunk
+  FROM w, unnest(range(0, len(words)//{SPAN_CHUNK_WORDS})) AS u(i)
+),
+ev AS (SELECT DISTINCT chunk FROM c WHERE doc_id < {DECON_EVAL_DOCS}),
+tr AS (SELECT doc_id, chunk FROM c WHERE doc_id >= {DECON_EVAL_DOCS}),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_spans,
+         count(*) FILTER (WHERE chunk IN (SELECT chunk FROM ev)) AS n_overlap
+  FROM tr GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT)   AS n_spans,
+       CAST(coalesce(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(a.n_overlap, 0) > 0             AS is_contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id >= {DECON_EVAL_DOCS}
+""",
+    tags=("dedup", "decontamination", "span-overlap"),
+)
+def d12_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: for every training document, how many of
+    its word spans also appear in the held-out benchmark set (doc_id <
+    DECON_EVAL_DOCS) — the train/eval n-gram overlap scan an LLM
+    pipeline runs before training so benchmark text is not memorized.
+
+    Plan shape: eval spans reduce to a DISTINCT digest set (tiny —
+    benchmarks are MBs, corpora are TBs) that BROADCASTS to a scan-side
+    left join probe over the training spans; per-doc rollup is ONE
+    shuffle on doc_id. The training corpus is read once and never
+    shuffles its text. At 100 TB the broadcast digest set is the only
+    state that scales with the benchmark, not the corpus — exactly why
+    production decontamination is a bloom/hash-set probe."""
+    docs = t(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id", F.explode_outer(span_chunks("text")).alias("chunk")
+    ).withColumn("digest", F.md5("chunk"))
+    ev = (
+        spans.where(F.col("doc_id") < DECON_EVAL_DOCS)
+        .select("digest")
+        .where(F.col("digest").isNotNull())
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = spans.where(F.col("doc_id") >= DECON_EVAL_DOCS)
+    probed = tr.join(F.broadcast(ev), "digest", "left")
+    return probed.groupBy("doc_id").agg(
+        F.count("chunk").alias("n_spans"),
+        F.count("hit").alias("n_overlap"),
+        (F.count("hit") > 0).alias("is_contaminated"),
     )

@@ -106,3 +106,77 @@ def p01_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("rn") == 1, 1)).alias("n_unique"),
         F.coalesce(F.sum(F.when(F.col("rn") == 1, F.col("bpe"))), F.lit(0)).cast("long").alias("bpe_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# p02 — embedding-corpus curation funnel (the vector twin of p01).
+# --------------------------------------------------------------------------
+P02_MAX_COMPONENT = 0.40  # spikiness gate: drop vectors dominated by one dim
+P02_DUP_TAU = 0.4         # near-dup bar (same as d06/d11)
+
+
+@register(
+    "p02_embedding_pipeline",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+g AS (
+    SELECT vec_id, v FROM e
+    WHERE list_max(list_transform(v, x -> abs(x))) <= {P02_MAX_COMPONENT}
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM g a JOIN g b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= {P02_DUP_TAU}
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT)                      AS n_input,
+       CAST((SELECT count(*) FROM e) - (SELECT count(*) FROM g)
+            AS BIGINT)                                               AS n_gated_out,
+       CAST((SELECT count(*) FROM dropped) AS BIGINT)                AS n_dup_dropped,
+       CAST((SELECT count(*) FROM g)
+            - (SELECT count(*) FROM dropped) AS BIGINT)              AS n_kept
+""",
+    tags=("pipeline", "embedding", "gate", "dedup"),
+)
+def p02_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus curation funnel: raw vectors → spikiness gate
+    (drop any vector whose largest |component| exceeds
+    P02_MAX_COMPONENT — degenerate/clipped embeddings) → exact
+    cosine near-dup drop (for every pair >= P02_DUP_TAU among
+    survivors, the higher vec_id is dropped) → funnel counts.
+
+    Plan shape: the gate is a scan-side Catalyst filter feeding d06's
+    distributed block-pair dgemm kernel (`exact_cosine_pairs`) directly
+    — gated rows never enter the O(n²/B) pair work, which is the point
+    of gating first. The drop set is a distinct over pair right-ends
+    (one small shuffle) and the funnel is a handful of count
+    aggregates. At 100 TB the same funnel swaps the exact kernel for
+    d07's LSH candidate-verify with identical gate/drop semantics."""
+    from sketchmlflink_spark.functions.vector import as_double_array
+    from sketchmlflink_spark.operators.dedup import exact_cosine_pairs
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    g = e.where(
+        F.array_max(F.transform("v", lambda x: F.abs(x))) <= P02_MAX_COMPONENT
+    )
+    dropped = exact_cosine_pairs(g, threshold=P02_DUP_TAU).select(
+        F.col("id_b").alias("vec_id")
+    ).distinct()
+    n_input = e.count()
+    n_gated = g.count()
+    n_dropped = dropped.count()
+    return spark.createDataFrame(
+        [
+            {
+                "n_input": n_input,
+                "n_gated_out": n_input - n_gated,
+                "n_dup_dropped": n_dropped,
+                "n_kept": n_gated - n_dropped,
+            }
+        ]
+    ).select("n_input", "n_gated_out", "n_dup_dropped", "n_kept")

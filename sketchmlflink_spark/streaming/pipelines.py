@@ -441,3 +441,29 @@ def quality_gate_counts(parsed: DataFrame) -> DataFrame:
         .groupBy("lang", "verdict")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def span_dedup_stats(parsed: DataFrame) -> DataFrame:
+    """Streaming span-level dedup: explode every clean in-flight document
+    into its word spans (scan-side Catalyst, shared with batch d10),
+    dropDuplicates on the span digest in the state store, and count the
+    distinct spans — the streaming twin of d10's first-occurrence
+    election. Output is a single order-insensitive scalar (count of
+    distinct spans), so the bounded replay hash-matches the batch
+    count-distinct regardless of micro-batch arrival order. State = one
+    16-byte digest per distinct span (the same key the batch shuffle
+    uses); at 100 TB you bound it with a watermark TTL on ingest time."""
+    from sketchmlflink_spark.operators.dedup import span_chunks
+    from sketchmlflink_spark.sources.jsonl import CORRUPT_COL
+
+    clean = parsed.where(F.col(f"j.{CORRUPT_COL}").isNull()).select(
+        F.col("j.text").alias("text")
+    )
+    spans = clean.select(F.explode(span_chunks("text")).alias("chunk")).select(
+        F.md5("chunk").alias("digest")
+    )
+    return (
+        spans.dropDuplicates(["digest"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_distinct_spans"))
+    )

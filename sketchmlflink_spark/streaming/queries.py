@@ -383,3 +383,34 @@ def st11_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch rule stack on the same table."""
     parsed = P.documents_jsonl_stream(spark, sf_dir)
     return P.run_to_batch(P.quality_gate_counts(parsed))
+
+
+# --------------------------------------------------------------------------
+# st12 — streaming span-level dedup (d10's twin over the JSONL intake)
+# --------------------------------------------------------------------------
+def _st12_oracle() -> str:
+    from sketchmlflink_spark.operators.dedup import SPAN_CHUNK_WORDS as K
+
+    return f"""
+WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+c AS (
+  SELECT array_to_string(words[i*{K}+1 : i*{K}+{K}], ' ') AS chunk
+  FROM w, unnest(range(0, len(words)//{K})) AS u(i)
+)
+SELECT CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct_spans FROM c
+"""
+
+
+@register(
+    "st12_stream_span_dedup",
+    oracle=_st12_oracle(),
+    tags=("streaming", "dedup", "span"),
+)
+def st12_stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup IN-STREAM: every arriving document's word spans
+    go through dropDuplicates state on their md5 digest, so the count of
+    surviving spans equals the batch distinct-span count (d10's keeper
+    set) — the shape of a streaming C4 span filter. One stateful dedup +
+    one tiny count; digest-only state."""
+    parsed = P.documents_jsonl_stream(spark, sf_dir)
+    return P.run_to_batch(P.span_dedup_stats(parsed))

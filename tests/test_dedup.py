@@ -405,3 +405,49 @@ def test_d11_semantic_dedup_properties(spark):
                 assert r["dup_of"] in kept_ids
                 assert float(emb[r["vec_id"]] @ emb[r["dup_of"]]) >= SEMDEDUP_TAU
     assert n_dropped > 0  # the corpus does contain near-dup embeddings
+
+
+def test_span_chunks_roundtrip(spark):
+    """Concatenating a doc's spans reproduces its first 3*floor(n/3)
+    words, in order — the chunking loses only the trailing partial."""
+    from pyspark.sql import functions as F
+
+    from sketchmlflink_spark.operators.dedup import SPAN_CHUNK_WORDS, span_chunks
+
+    rng = random.Random(7)
+    rows = [(i, _doc(rng, n=rng.randrange(0, 12))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        "text",
+        F.concat_ws(" ", span_chunks("text")).alias("rejoined"),
+    ).collect()
+    for r in out:
+        words = r["text"].split(" ")
+        keep = (len(words) // SPAN_CHUNK_WORDS) * SPAN_CHUNK_WORDS
+        assert r["rejoined"] == " ".join(words[:keep])
+
+
+def test_d12_decontamination_planted(spark):
+    """A train doc sharing a span with an eval doc is flagged; disjoint
+    docs are not."""
+    from sketchmlflink_spark.operators import dedup as D
+    import sketchmlflink_spark.operators.relational as R
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),   # eval doc: spans "alpha beta gamma", "delta epsilon zeta"
+        (21, "alpha beta gamma one two three"),        # contaminated (shares span 1)
+        (22, "one two three four five six"),           # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig_t = R.t
+    try:
+        R.t = lambda s, d, name: docs
+        D.t = R.t
+        out = {r["doc_id"]: r for r in D.d12_decontaminate_eval_overlap(spark, "x").collect()}
+    finally:
+        R.t = orig_t
+        D.t = orig_t
+    assert set(out) == {21, 22}
+    assert out[21]["is_contaminated"] and out[21]["n_overlap"] == 1
+    assert not out[22]["is_contaminated"] and out[22]["n_overlap"] == 0
