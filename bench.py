@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "mm04_frame_exact_dedup",
     "d12_decontaminate_eval_overlap",
     "p02_embedding_pipeline",
+    "p03_language_mix_sample",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past

@@ -896,9 +896,7 @@ def d11_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_EVAL_DOCS = 20  # doc_id < 20 plays the held-out benchmark set
 
 
-@register(
-    "d12_decontaminate_eval_overlap",
-    oracle=f"""
+D12_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 c AS (
   SELECT doc_id,
@@ -919,7 +917,12 @@ SELECT d.doc_id,
        coalesce(a.n_overlap, 0) > 0             AS is_contaminated
 FROM documents d LEFT JOIN agg a USING (doc_id)
 WHERE d.doc_id >= {DECON_EVAL_DOCS}
-""",
+"""
+
+
+@register(
+    "d12_decontaminate_eval_overlap",
+    oracle=D12_ORACLE,
     tags=("dedup", "decontamination", "span-overlap"),
 )
 def d12_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -180,3 +180,75 @@ def p02_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ]
     ).select("n_input", "n_gated_out", "n_dup_dropped", "n_kept")
+
+
+# --------------------------------------------------------------------------
+# p03 — data-mix sampling plan: deterministic stratified downsample.
+# --------------------------------------------------------------------------
+@register(
+    "p03_language_mix_sample",
+    oracle="""
+WITH c AS (
+    SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+m AS (SELECT min(n_docs) AS min_docs FROM c),
+thr AS (
+    SELECT c.lang, c.n_docs,
+           printf('%08x', least(CAST(floor((m.min_docs * 1.0 / c.n_docs) * 4294967296) AS BIGINT),
+                                4294967295)) AS h
+    FROM c, m
+),
+s AS (
+    SELECT d.lang, d.n_chars,
+           substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <= t.h AS picked
+    FROM documents d JOIN thr t ON d.lang = t.lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)                       AS n_docs_in,
+       CAST(count(*) FILTER (picked) AS BIGINT)       AS n_sampled,
+       CAST(coalesce(sum(n_chars) FILTER (picked), 0) AS BIGINT) AS chars_sampled
+FROM s GROUP BY lang
+""",
+    tags=("pipeline", "sampling", "data-mix"),
+)
+def p03_language_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified data-mix sampling: downsample every
+    language to (approximately) the smallest language's document count,
+    the balancing step a multilingual training mix applies before
+    tokenization. A document is picked iff the first 8 hex chars of
+    md5(doc_id) fall under its language's rate threshold — a pure
+    function of (doc_id, lang counts), so the sample is REPRODUCIBLE
+    across engines, runs, and cluster sizes (no RNG state, no
+    per-partition seed drift — the property that makes a 100 TB sample
+    auditable). Plan shape: one tiny per-lang count aggregate broadcast
+    back onto the scan, the pick decision evaluated scan-side, one
+    rollup; the corpus is read once and never shuffles its text."""
+    docs = t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    min_docs = cnt.agg(F.min("n_docs").alias("min_docs"))
+    thr = cnt.crossJoin(F.broadcast(min_docs)).select(
+        "lang",
+        "n_docs",
+        F.format_string(
+            "%08x",
+            # cap at 0xffffffff: the min lang's rate is exactly 1.0 and
+            # floor(2^32) would print as the 9-char '100000000', breaking
+            # the fixed-width hex compare (everything above '0fff...'
+            # would be dropped for the one lang that must keep all docs)
+            F.least(
+                F.floor(
+                    (F.col("min_docs") / F.col("n_docs")) * F.lit(4294967296.0)
+                ).cast("long"),
+                F.lit(4294967295),
+            ),
+        ).alias("h"),
+    )
+    picked = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) <= F.col("h")
+    s = docs.join(F.broadcast(thr), "lang").select("lang", "n_chars", picked.alias("picked"))
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.count(F.when(F.col("picked"), 1)).alias("n_sampled"),
+        F.coalesce(F.sum(F.when(F.col("picked"), F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("chars_sampled"),
+    )

@@ -992,3 +992,43 @@ def q28_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("hi_price"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q29 — HAVING against a scalar-subquery threshold (TPC-H Q11 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q29_top_value_nations",
+    oracle="""
+SELECT n.n_name AS nation,
+       round(sum(s.s_acctbal), 2) AS total_balance
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+HAVING sum(s.s_acctbal) > (
+    SELECT sum(s_acctbal) * 0.05 FROM supplier
+)
+""",
+    tags=("relational", "having", "scalar-subquery"),
+)
+def q29_top_value_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations holding more than 5% of global supplier account balance —
+    the TPC-H Q11 group-filter-by-global-fraction shape: a grouped
+    aggregate HAVING-filtered against an uncorrelated scalar subquery.
+    Catalyst evaluates the scalar subquery once (its own tiny job),
+    folds the result into the post-aggregation filter, and the nation
+    dimension broadcasts — one shuffle on the group key total."""
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    sup.createOrReplaceTempView("q29_supplier")
+    nat.createOrReplaceTempView("q29_nation")
+    return spark.sql(
+        """
+SELECT n.n_name AS nation,
+       round(sum(s.s_acctbal), 2) AS total_balance
+FROM q29_supplier s JOIN q29_nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+HAVING sum(s.s_acctbal) > (
+    SELECT sum(s_acctbal) * 0.05 FROM q29_supplier
+)
+"""
+    )

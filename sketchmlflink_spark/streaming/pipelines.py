@@ -467,3 +467,28 @@ def span_dedup_stats(parsed: DataFrame) -> DataFrame:
         .groupBy()
         .agg(F.count(F.lit(1)).alias("n_distinct_spans"))
     )
+
+
+def decontaminate_stream(parsed: DataFrame, eval_digests: DataFrame) -> DataFrame:
+    """Streaming decontamination: probe every arriving clean document's
+    word spans against the STATIC broadcast eval-digest set (d12's
+    semantics, stream-static join execution) and emit per-doc overlap
+    counts. Per-doc rows are order-insensitive, so the bounded replay
+    hash-matches the batch d12 answer exactly — same oracle, streaming
+    engine. State: none beyond the in-flight aggregation (the digest set
+    is a broadcast side input, not stream state)."""
+    from sketchmlflink_spark.operators.dedup import span_chunks
+    from sketchmlflink_spark.sources.jsonl import CORRUPT_COL
+
+    clean = parsed.where(F.col(f"j.{CORRUPT_COL}").isNull()).select(
+        F.col("j.doc_id").alias("doc_id"), F.col("j.text").alias("text")
+    )
+    spans = clean.select(
+        "doc_id", F.explode_outer(span_chunks("text")).alias("chunk")
+    ).withColumn("digest", F.md5("chunk"))
+    probed = spans.join(F.broadcast(eval_digests), "digest", "left")
+    return probed.groupBy("doc_id").agg(
+        F.count("chunk").alias("n_spans"),
+        F.count("hit").alias("n_overlap"),
+        (F.count("hit") > 0).alias("is_contaminated"),
+    )

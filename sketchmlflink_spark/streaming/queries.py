@@ -414,3 +414,42 @@ def st12_stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one tiny count; digest-only state."""
     parsed = P.documents_jsonl_stream(spark, sf_dir)
     return P.run_to_batch(P.span_dedup_stats(parsed))
+
+
+# --------------------------------------------------------------------------
+# st13 — streaming decontamination (d12 in-stream; same oracle)
+# --------------------------------------------------------------------------
+def _st13_oracle() -> str:
+    # identical semantics to the batch d12 — streaming execution, same SQL
+    from sketchmlflink_spark.operators.dedup import D12_ORACLE
+
+    return D12_ORACLE
+
+
+@register(
+    "st13_stream_decontaminate",
+    oracle=_st13_oracle(),
+    tags=("streaming", "decontamination", "span-overlap"),
+)
+def st13_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d12's train-vs-eval span decontamination executed IN-STREAM: the
+    held-out eval docs (doc_id < DECON_EVAL_DOCS) reduce batch-side to a
+    broadcast digest set, and every document arriving on the JSONL
+    intake is probed scan-side as it lands — how a production pipeline
+    decontaminates at ingest time instead of with a post-hoc scan. The
+    streamed answer hash-matches the batch d12 oracle on the same
+    corpus (filtered to streamed train docs)."""
+    from sketchmlflink_spark.operators.dedup import DECON_EVAL_DOCS, span_chunks
+    from sketchmlflink_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < DECON_EVAL_DOCS)
+        .select(F.explode(span_chunks("text")).alias("chunk"))
+        .select(F.md5("chunk").alias("digest"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    parsed = P.documents_jsonl_stream(spark, sf_dir)
+    out = P.run_to_batch(P.decontaminate_stream(parsed, ev))
+    return out.where(F.col("doc_id") >= DECON_EVAL_DOCS)

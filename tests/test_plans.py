@@ -164,3 +164,13 @@ def test_q26_single_scan_expand(spark, queries):
     body = plan.split("\n\n")[0]
     assert body.count("Scan parquet") == 1, body
     assert "Expand" in plan
+
+
+def test_p03_never_reads_text(spark, queries):
+    """The mix-sampling plan must prune the text column everywhere —
+    the pick decision is a function of doc_id/lang only, so no scan may
+    read (or shuffle) document bytes."""
+    plan = formatted_plan(spark, queries["p03_language_mix_sample"].build(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan  # thresholds broadcast onto the scan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "text" not in m.group(1), m.group(0)
