@@ -366,9 +366,10 @@ def q11_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
        event_type,
-       CAST(count(*) AS BIGINT)   AS n_events,
-       round(sum(value), 2)       AS sum_value,
-       round(avg(value), 4)       AS avg_value
+       CAST(count(*) AS BIGINT)                               AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)      AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         / count(*)                                           AS avg_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -382,8 +383,16 @@ def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # decimal sum: value carries exactly 2 decimals, so the sum
+            # is exact and the IEEE quotient bit-matches the oracle's —
+            # a rounded float avg drifts at half-boundaries once groups
+            # get big enough for summation order to matter (seen at
+            # sf0.1; same fix as the streaming st01/st02 aggregates)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
         )
     )
 

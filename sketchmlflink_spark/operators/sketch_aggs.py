@@ -52,7 +52,12 @@ def sk01_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup never re-reads events."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
-        F.expr("hll_sketch_agg(user_id)").alias("user_sk"),
+        # lgConfigK 16: Datasketches HLL stays in its exact sparse regime
+        # well past this corpus's cardinality (estimate == exact count,
+        # verified to 1500 distinct at sf0.1; default lgK 12 drifts ~1%
+        # there) while the sketch stays ~32 KB — the merge/rollup cost
+        # is unchanged
+        F.expr("hll_sketch_agg(user_id, 16)").alias("user_sk"),
     )
     return daily.groupBy("event_type").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(user_sk))").alias("est_users"),
@@ -123,8 +128,14 @@ def sk03_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile summary — the scale replacement for q18's exact sort-based
     percentiles)."""
     ev = t(spark, sf_dir, "events")
+    # accuracy 10^6: Greenwald-Khanna rank error <= n/accuracy, so any
+    # group under a million rows gets the EXACT discrete quantile (sf0.1
+    # groups are ~17k rows; the default 10000 drifted by one rank there).
+    # Past that the approximate band is pinned in test_sketch_aggs.py —
+    # accuracy is the memory/rank-error knob, ~a few MB of summary per
+    # group at this setting.
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.25, 10000).alias("p25"),
-        F.percentile_approx("value", 0.5, 10000).alias("p50"),
-        F.percentile_approx("value", 0.75, 10000).alias("p75"),
+        F.percentile_approx("value", 0.25, 1000000).alias("p25"),
+        F.percentile_approx("value", 0.5, 1000000).alias("p50"),
+        F.percentile_approx("value", 0.75, 1000000).alias("p75"),
     )
