@@ -161,14 +161,19 @@ def p02_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    g = e.where(
-        F.array_max(F.transform("v", lambda x: F.abs(x))) <= P02_MAX_COMPONENT
-    )
+    passes = F.array_max(F.transform("v", lambda x: F.abs(x))) <= P02_MAX_COMPONENT
+    g = e.where(passes)
     dropped = exact_cosine_pairs(g, threshold=P02_DUP_TAU).select(
         F.col("id_b").alias("vec_id")
     ).distinct()
-    n_input = e.count()
-    n_gated = g.count()
+    # one scan for both pre-pair counts (separate e.count()/g.count()
+    # would read the table twice); the pair kernel is the only other scan
+    counts = e.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(passes, 1)).alias("n_gated"),
+    ).first()
+    n_input = counts["n_input"]
+    n_gated = counts["n_gated"]
     n_dropped = dropped.count()
     return spark.createDataFrame(
         [
