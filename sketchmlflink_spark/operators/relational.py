@@ -1041,3 +1041,45 @@ HAVING sum(s.s_acctbal) > (
 )
 """
     )
+
+
+# --------------------------------------------------------------------------
+# q30 — relational division: customers covering ALL order priorities.
+# --------------------------------------------------------------------------
+@register(
+    "q30_full_priority_customers",
+    oracle="""
+WITH p AS (SELECT count(DISTINCT o_orderpriority) AS n_all FROM orders)
+SELECT o.o_custkey                               AS custkey,
+       CAST(count(*) AS BIGINT)                  AS n_orders,
+       CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders o, p
+GROUP BY o.o_custkey, p.n_all
+HAVING count(DISTINCT o.o_orderpriority) = p.n_all
+""",
+    tags=("relational", "division", "having"),
+)
+def q30_full_priority_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all"): customers whose orders span
+    EVERY priority present in the table — the classic division query
+    expressed as count-distinct-equals-universe, the only form that
+    scales (a literal double-NOT-EXISTS division forces two correlated
+    anti-joins; this is one grouped aggregate plus a one-row broadcast
+    of the universe size). One shuffle on the customer key; the
+    distinct-count is partial-aggregated map-side."""
+    orders = t(spark, sf_dir, "orders")
+    n_all = orders.agg(
+        F.countDistinct("o_orderpriority").alias("n_all")
+    )
+    return (
+        orders.crossJoin(F.broadcast(n_all))
+        .groupBy("o_custkey", "n_all")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .where(F.col("n_priorities") == F.col("n_all"))
+        .select(
+            F.col("o_custkey").alias("custkey"), "n_orders", "n_priorities"
+        )
+    )
