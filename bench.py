@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "d12_decontaminate_eval_overlap",
     "p02_embedding_pipeline",
     "p03_language_mix_sample",
+    "s09_knn_blocked_exact",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past

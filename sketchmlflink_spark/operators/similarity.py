@@ -34,9 +34,7 @@ LSH_HYPERPLANES = [[_rng.gauss(0.0, 1.0) for _ in range(EMBED_DIM)] for _ in ran
 # --------------------------------------------------------------------------
 # s01 — brute-force cosine top-k (correctness baseline).
 # --------------------------------------------------------------------------
-@register(
-    "s01_knn_cosine_brute",
-    oracle=f"""
+S01_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 pairs AS (
     SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -51,7 +49,12 @@ FROM (
     FROM pairs
 )
 WHERE rnk <= {KNN_K}
-""",
+"""
+
+
+@register(
+    "s01_knn_cosine_brute",
+    oracle=S01_ORACLE,
     tags=("similarity", "knn"),
 )
 def s01_knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,4 +633,67 @@ def s08_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("n_id") != F.col("q_id"))
         .where(cos >= RANGE_TAU)
         .select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# s09 — exact kNN, scale shape: block-local top-k + tiny global merge.
+# Same answer (and same oracle) as s01; different physical plan.
+# --------------------------------------------------------------------------
+@register(
+    "s09_knn_blocked_exact",
+    oracle=S01_ORACLE,  # bit-identical semantics to s01 — only the plan differs
+    tags=("similarity", "knn", "blocked"),
+)
+def s09_knn_blocked_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k with the plan that survives 100 TB: each scan
+    partition computes its LOCAL top-k per query against the broadcast
+    query block (numpy dgemm + lexicographic (cos desc, n_id asc)
+    selection, Arrow-batched), and only those B·q·k candidate rows — not
+    the n·q pair set s01's ranking window shuffles — reach the global
+    top-k merge. The local selection uses the same deterministic
+    tie-break as the final window, so dropping non-candidates can never
+    change the answer; the result (and the DuckDB oracle) is s01's,
+    row for row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
+    qrows = emb.where(F.col("vec_id") < N_QUERIES).collect()  # bounded: N_QUERIES rows
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, Qn))
+
+    def block_topk(batches):
+        ids_q, Qb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["v"].to_numpy())
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cos = Qb @ Xn.T  # (nq, nb)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(ids_q)):
+                mask = n_ids != ids_q[qi]
+                cand_n, cand_c = n_ids[mask], cos[qi][mask]
+                # deterministic (cos desc, n_id asc) — identical to the
+                # global merge window, so local pruning is lossless
+                order = np.lexsort((cand_n, -cand_c))[:KNN_K]
+                out_q.extend([ids_q[qi]] * len(order))
+                out_n.extend(cand_n[order])
+                out_c.extend(cand_c[order])
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "cos": out_c})
+
+    cand = emb.mapInPandas(block_topk, "q_id long, n_id long, cos double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KNN_K)
+        .select("q_id", "n_id", F.col("rnk").cast("int").alias("rank"), F.round("cos", 6).alias("cosine"))
     )
