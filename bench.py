@@ -95,6 +95,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    # Fault isolation: one broken query must degrade the artifact, not
+    # zero it (round 2's BENCH was rc=1 with no timings because the
+    # warm-up loop died on a single AnalysisException). Queries that
+    # error in warm-up are excluded from the timed loop and recorded in
+    # an `errors` map; everything else still gets timed.
+    errors: dict[str, str] = {}
+
     # Warm-up pass 1 (sf0.001): Python-worker imports, broadcast-thread
     # start, Arrow init. Pass 2 (untimed, at SF_DIR itself): AQE picks
     # join strategies per scale, so only a same-SF run actually compiles
@@ -102,16 +109,24 @@ def main() -> None:
     # smaller SF leaves 1-2 s of Janino compile noise in first timed
     # runs (observed in this repo; ADVICE r1).
     for name in BENCH_QUERIES:
-        queries[name].build(spark, "/root/testdata/sf0.001").count()
-    for name in BENCH_QUERIES:
-        queries[name].build(spark, SF_DIR).count()
+        try:
+            queries[name].build(spark, "/root/testdata/sf0.001").count()
+            queries[name].build(spark, SF_DIR).count()
+        except Exception as e:  # noqa: BLE001 — keep benching the rest
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
+        if name in errors:
+            continue
         q = queries[name]
         t0 = time.monotonic()
-        q.build(spark, SF_DIR).count()
+        try:
+            q.build(spark, SF_DIR).count()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            continue
         dt = time.monotonic() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -142,6 +157,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calib_matmul_sec": round(calib_mm, 3),
                 "calib_jvm_range_sec": round(calib_rng, 3),
+                "errors": errors,
             }
         )
     )

@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -28,20 +28,36 @@ TABLE_NAMES = (
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-TZ ``TIMESTAMP`` regardless
+    of the physical parquet encoding. Encodings seen across testdata
+    generations:
+
+    - TIMESTAMP(NANOS) read as long via
+      ``spark.sql.legacy.parquet.nanosAsLong`` → floor to micros with
+      exact integer division (double division loses precision > 2^53 ns);
+    - ``timestamp[us]`` with isAdjustedToUTC=false → Spark TIMESTAMP_NTZ;
+      cast to TIMESTAMP (session TZ is pinned UTC in session.py, so the
+      wall-clock value is unchanged but unix_micros/watermarks work);
+    - plain TIMESTAMP → pass through.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and floor to microseconds
-        # with exact integer division (a double division would lose
-        # precision above 2^53 ns).
+        # tolerate TIMESTAMP(NANOS) encodings (older testdata gens);
+        # normalize_event_ts handles whatever type comes out.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -23,27 +23,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# Streaming file sources require a user-provided schema. ts is parquet
-# TIMESTAMP(NANOS) read as long (spark.sql.legacy.parquet.nanosAsLong),
-# floored to micros exactly as sources/tables.py::load_table does.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pyspark.sql.types import StringType, StructField, StructType
 
 WATERMARK = "1 hour"
 
@@ -65,19 +45,28 @@ def stream_dir_for(path: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events parquet with event-time watermark."""
+    """Streaming scan of the events parquet with event-time watermark.
+
+    Streaming file sources require a user-provided schema; instead of
+    hard-coding one (which silently corrupts event time when the
+    upstream writer changes its ts encoding — the round-2 failure), read
+    the ACTUAL schema from the parquet footer via a batch read, then
+    apply the same ts normalization as the batch loader. Batch and
+    streaming ingestion can never disagree about the physical encoding.
+    """
     from sketchmlflink_spark.session import tune_for_session
+    from sketchmlflink_spark.sources.tables import normalize_event_ts
 
     tune_for_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    footer_schema = spark.read.parquet(path).schema  # footer-only read
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(footer_schema)
         .format("parquet")
-        .load(stream_dir_for(os.path.join(sf_dir, "events.parquet")))
+        .load(stream_dir_for(path))
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).withWatermark("ts", WATERMARK)
+    return normalize_event_ts(raw).withWatermark("ts", WATERMARK)
 
 
 # --------------------------------------------------------------------------

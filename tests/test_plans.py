@@ -99,7 +99,11 @@ def test_q23_pivot_no_discovery_scan(spark, queries):
     the read schema pruned to the two referenced columns."""
     plan = formatted_plan(spark, queries["q23_pivot_daily_events"].build(spark, SF_SMALL))
     assert plan.count("Scan parquet") <= 2  # tree + detail section of ONE scan
-    assert "ReadSchema: struct<ts:bigint,event_type:string>" in plan
+    # encoding-agnostic column-pruning lock: exactly {ts, event_type}
+    # regardless of ts's physical type (bigint nanos vs timestamp[us])
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["event_type", "ts"], m.group(0)
 
 
 def test_p01_pipeline_single_scan_two_exchanges(spark, queries):
