@@ -38,8 +38,31 @@ def test_oracle_match(spark, duck, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, name):
+    """Rows-only entries must be NON-EMPTY at sf0.001 — round 2's st07
+    silently returned 0 windows after an input-encoding drift, and a
+    `>= 0` check waved it through. Every rows-only query produces at
+    least one row on the smallest fixture by construction (metrics rows,
+    near-dup pairs on the seeded fixture, top-k per query point)."""
     q = QUERIES[name]
     df = q.build(spark, SF_SMALL)
     n = df.count()
-    assert n >= 0
+    assert n >= 1, f"{name}: rows-only query returned an EMPTY frame"
     assert len(df.schema.fields) > 0
+
+
+def test_st07_window_count_matches_batch(spark):
+    """st07's window set must equal the batch distinct-hour count on the
+    same data — the exact invariant whose violation (0 windows) exposed
+    the round-2 ts corruption."""
+    from pyspark.sql import functions as F
+
+    from sketchmlflink_spark.sources.tables import load_table
+
+    got = QUERIES["st07_stream_sketch_profile"].build(spark, SF_SMALL).count()
+    want = (
+        load_table(spark, SF_SMALL, "events")
+        .select(F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert got == want
