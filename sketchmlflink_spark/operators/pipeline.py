@@ -257,3 +257,90 @@ def p03_language_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_sampled"),
     )
+
+
+# --------------------------------------------------------------------------
+# p04 — curated-corpus SINK: partitioned parquet write + read-back audit.
+# --------------------------------------------------------------------------
+@register(
+    "p04_curated_sink_roundtrip",
+    oracle=f"""
+WITH sig AS (
+    SELECT doc_id,
+           len(tk)                                                   AS n_tokens,
+           len(list_distinct(tk)) * 1.0 / len(tk)                    AS dr,
+           len(list_filter(tk, x -> x IN {T.EN_STOPWORDS!r})) * 1.0
+             / len(tk)                                               AS sr,
+           list_sum(list_transform(tk, x -> length(x))) * 1.0
+             / len(tk)                                               AS atl
+    FROM (SELECT doc_id, {_duck_tokens()} AS tk FROM documents)
+    WHERE len(tk) > 0
+),
+kept AS (
+    SELECT doc_id FROM sig
+    WHERE n_tokens >= {QF_MIN_TOKENS} AND dr >= {QF_MIN_DISTINCT}
+      AND sr >= {QF_MIN_STOPWORD}
+      AND atl BETWEEN {QF_TOKEN_LEN_LO} AND {QF_TOKEN_LEN_HI}
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT)            AS n_docs,
+       CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_distinct_docs,
+       CAST(sum(d.n_chars) AS BIGINT)      AS chars_total
+FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+GROUP BY d.lang
+""",
+    tags=("pipeline", "sink", "parquet", "partitioned"),
+)
+def p04_curated_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-corpus SINK: the t06-kept documents written to a
+    lang-partitioned parquet dataset, then READ BACK and audited per
+    language — the write path every curation pipeline ends with, proven
+    by roundtrip (the audit aggregate is computed from the files on
+    disk, and hash-matches the source-side oracle, so the sink neither
+    drops nor duplicates rows).
+
+    Scale notes (the part that matters at 100 TB): ``repartition(lang)``
+    before ``partitionBy(lang)`` means each output partition directory
+    is written by the tasks owning that key instead of every task
+    opening a file in every partition — without it a 1000-task write
+    into L languages creates 1000·L small files and L·1000 open file
+    handles. ``maxRecordsPerFile`` caps file size so one giant language
+    still splits into scan-parallel files. The read-back scan prunes to
+    the partition column + audit columns only; text bytes are written
+    but never re-read.
+    """
+    import os
+    import tempfile
+
+    from sketchmlflink_spark.functions import text as T_  # noqa: N812
+
+    docs = t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", "lang", "source", "n_chars", "text", T_.tokens("text").alias("tk")
+    ).where(F.size("tk") > 0)
+    keep = (
+        (F.size("tk") >= QF_MIN_TOKENS)
+        & (T_.distinct_token_ratio(F.col("tk")) >= QF_MIN_DISTINCT)
+        & ((T_.marker_hits(F.col("tk"), T_.EN_STOPWORDS) / F.size("tk")) >= QF_MIN_STOPWORD)
+        & T_.avg_token_len(F.col("tk")).between(QF_TOKEN_LEN_LO, QF_TOKEN_LEN_HI)
+    )
+    kept = sig.where(keep).select("doc_id", "lang", "source", "n_chars", "text")
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "curated_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    (
+        kept.repartition("lang")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .partitionBy("lang")
+        .parquet(out_dir)
+    )
+
+    audit = spark.read.parquet(out_dir)
+    return audit.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("doc_id").alias("n_distinct_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )

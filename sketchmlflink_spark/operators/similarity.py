@@ -697,3 +697,73 @@ def s09_knn_blocked_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= KNN_K)
         .select("q_id", "n_id", F.col("rnk").cast("int").alias("rank"), F.round("cos", 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# s10 — retrieval join: top-k neighbors resolved to document metadata.
+# --------------------------------------------------------------------------
+@register(
+    "s10_retrieval_topk_docs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+    FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+),
+topk AS (
+    SELECT q_id, n_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+    FROM pairs
+)
+SELECT t.q_id, t.n_id AS doc_id, CAST(t.rnk AS INT) AS rank,
+       round(t.cos, 6) AS cosine, d.lang, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM topk t JOIN documents d ON t.n_id = d.doc_id
+WHERE t.rnk <= {KNN_K}
+""",
+    tags=("similarity", "retrieval", "knn", "join"),
+)
+def s10_retrieval_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval join — the RAG-shaped plan: embedding top-k (s01's
+    exact kernel) resolved to document metadata (vec_id aligns with
+    doc_id in the corpus contract).
+
+    Plan shape for 100 TB: the top-k result is q·k rows (tiny by
+    construction), so IT is the broadcast side of the metadata join —
+    the documents table is scanned once with its filter/pruning intact
+    and never shuffles; no text column is read (metadata projection
+    only). Swap the exact kernel for s05/s06's ANN candidates at scale;
+    the join shape is unchanged.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv"))
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    topk = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KNN_K)
+        .select("q_id", "n_id", F.col("rnk").cast("int").alias("rank"), F.round("cos", 6).alias("cosine"))
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return (
+        F.broadcast(topk)
+        .join(docs, topk["n_id"] == docs["doc_id"])
+        .select(
+            "q_id",
+            "doc_id",
+            "rank",
+            "cosine",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
