@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "p02_embedding_pipeline",
     "p03_language_mix_sample",
     "s09_knn_blocked_exact",
+    # round-3 additions
+    "s10_retrieval_topk_docs",
+    "p04_curated_sink_roundtrip",
+    "p05_stratified_exact_k",
+    "p06_mixture_manifest",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past

@@ -344,3 +344,101 @@ def p04_curated_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_distinct_docs"),
         F.sum("n_chars").cast("long").alias("chars_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# p05 — exact-k stratified sample (deterministic, engine-portable).
+# --------------------------------------------------------------------------
+P05_K = 50  # exactly K docs per language (or all, if the stratum is smaller)
+
+
+@register(
+    "p05_stratified_exact_k",
+    oracle=f"""
+SELECT lang, doc_id, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rnk
+    FROM documents
+)
+WHERE rnk <= {P05_K}
+""",
+    tags=("pipeline", "sampling", "stratified"),
+)
+def p05_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K-per-stratum sampling (eval-set construction): take the
+    K docs with the smallest md5(doc_id) per language. md5 ordering is a
+    deterministic, engine-portable stand-in for a seeded shuffle — any
+    engine reproduces the same sample, which is what makes an eval set
+    auditable.
+
+    Scale shape: one shuffle on lang (the stratum key), top-K per group
+    via row_number — no global sort, no text read (doc_id + lang
+    projection only). Skewed strata are fine: K rows survive per
+    stratum regardless of input size. For K in the millions swap
+    row_number for a two-phase quantile cut on the md5 key (the
+    boundary-threshold form p03 uses).
+    """
+    docs = t(spark, sf_dir, "documents").select("lang", "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= P05_K)
+        .select("lang", "doc_id", F.col("rnk").cast("int").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# p06 — epoch-weighted mixture manifest (data mixing with repetition).
+# --------------------------------------------------------------------------
+# source → epochs: how many times each source's docs appear per training
+# pass (the Pile/Dolma-style up-weighting of high-quality sources).
+P06_EPOCHS = {"wiki": 3, "web": 1, "books": 2, "code": 2, "news": 1}
+P06_DEFAULT_EPOCHS = 1
+
+
+@register(
+    "p06_mixture_manifest",
+    oracle=f"""
+WITH w(source, epochs) AS (VALUES {", ".join(f"('{s}', {e})" for s, e in sorted(P06_EPOCHS.items()))}),
+d AS (
+    SELECT doc_id, d.source, coalesce(w.epochs, {P06_DEFAULT_EPOCHS}) AS epochs
+    FROM documents d LEFT JOIN w ON d.source = w.source
+)
+SELECT doc_id, source, CAST(u.e AS INT) AS epoch_idx
+FROM d, unnest(range(1, epochs + 1)) AS u(e)
+""",
+    tags=("pipeline", "mixing", "manifest"),
+)
+def p06_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture manifest: every document emitted once per
+    configured epoch for its source — the repetition schedule a training
+    run consumes (wiki x3, books/code x2, web/news x1). Emitting a
+    manifest of (doc_id, epoch_idx) instead of materializing repeated
+    text keeps the blow-up to 8-byte ids; the trainer joins text back
+    at read time.
+
+    Scale shape: the weight map is a broadcast literal join (five rows);
+    the explode is sequence(1, epochs) — scan-side row generation inside
+    the same codegen stage, no shuffle at all. The manifest at 100 TB is
+    ids-only, ~1e9 rows per epoch — trivially repartitionable to the
+    trainer's reader parallelism.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = F.create_map(
+        *[F.lit(x) for kv in sorted(P06_EPOCHS.items()) for x in kv]
+    )
+    return (
+        docs.withColumn(
+            "epochs",
+            F.coalesce(weights[F.col("source")], F.lit(P06_DEFAULT_EPOCHS)),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("epoch_idx"),
+        )
+        .select("doc_id", "source", F.col("epoch_idx").cast("int").alias("epoch_idx"))
+    )

@@ -178,3 +178,44 @@ def test_p03_never_reads_text(spark, queries):
     assert "BroadcastHashJoin" in plan  # thresholds broadcast onto the scan
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_s10_documents_never_shuffle_nor_read_text(spark, queries):
+    """The retrieval join must broadcast the tiny top-k side into the
+    documents scan: no hash-partitioned Exchange on the documents
+    branch, and no ReadSchema anywhere reads the text column."""
+    plan = formatted_plan(spark, queries["s10_retrieval_topk_docs"].build(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_p04_audit_scan_prunes_text(spark, queries):
+    """The sink read-back audit must prune to (lang, doc_id, n_chars):
+    text bytes are written but never re-read."""
+    plan = formatted_plan(spark, queries["p04_curated_sink_roundtrip"].build(spark, SF_SMALL))
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_p05_single_stratum_shuffle_no_text(spark, queries):
+    """Exact-k stratified sampling: ONE exchange (the lang stratum key)
+    and a scan that reads only (lang, doc_id)."""
+    plan = formatted_plan(spark, queries["p05_stratified_exact_k"].build(spark, SF_SMALL))
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") == 1, body
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["doc_id", "lang"], m.group(0)
+
+
+def test_p06_manifest_zero_shuffle(spark, queries):
+    """The mixture manifest is scan-side row generation: no Exchange,
+    no Python, ids-only read schema."""
+    plan = formatted_plan(spark, queries["p06_mixture_manifest"].build(spark, SF_SMALL))
+    body = plan.split("\n\n")[0]
+    assert "Exchange" not in body, body
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["doc_id", "source"], m.group(0)
