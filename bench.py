@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "p04_curated_sink_roundtrip",
     "p05_stratified_exact_k",
     "p06_mixture_manifest",
+    "t07_bm25_keyword_search",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past

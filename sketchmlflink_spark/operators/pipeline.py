@@ -395,7 +395,9 @@ def p05_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # source → epochs: how many times each source's docs appear per training
 # pass (the Pile/Dolma-style up-weighting of high-quality sources).
-P06_EPOCHS = {"wiki": 3, "web": 1, "books": 2, "code": 2, "news": 1}
+# Keys match the testdata's source ids (src0..src19); unlisted sources
+# get the default single epoch.
+P06_EPOCHS = {"src0": 3, "src1": 2, "src2": 2, "src3": 1, "src4": 4, "src5": 2}
 P06_DEFAULT_EPOCHS = 1
 
 

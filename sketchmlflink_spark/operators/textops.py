@@ -282,3 +282,110 @@ def t05_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_ws_tokens") > 0)
         .withColumn("bpe_per_word", F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4))
     )
+
+
+# --------------------------------------------------------------------------
+# t07 — BM25 keyword search (lexical retrieval; s10's hybrid partner).
+# --------------------------------------------------------------------------
+BM25_TERMS = ("spark", "vector", "join")  # the keyword query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 10
+
+
+def _bm25_duck() -> str:
+    terms_sql = ", ".join(f"'{t_}'" for t_ in BM25_TERMS)
+    tf_cols = ", ".join(
+        f"len(list_filter(tk, x -> x = '{t_}')) AS tf_{i}" for i, t_ in enumerate(BM25_TERMS)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, dl, '{t_}' AS term, tf_{i} AS tf FROM sig WHERE tf_{i} > 0"
+        for i, t_ in enumerate(BM25_TERMS)
+    )
+    return f"""
+WITH sig AS (
+    SELECT doc_id, len(tk) AS dl, {tf_cols}
+    FROM (SELECT doc_id, {_duck_tokens()} AS tk FROM documents)
+    WHERE len(tk) > 0
+),
+tf AS ({unpivot}),
+corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM sig),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id,
+           sum(
+             ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * ({BM25_K1} + 1)
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / corpus.avgdl))
+           ) AS score
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN corpus
+    WHERE tf.term IN ({terms_sql})
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT {BM25_TOPN}
+"""
+
+
+@register(
+    "t07_bm25_keyword_search",
+    oracle=_bm25_duck(),
+    tags=("text", "retrieval", "bm25"),
+)
+def t07_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75, Lucene-style idf) for a
+    fixed term query — lexical retrieval beside s10's embedding
+    retrieval; together they are the hybrid-search pair.
+
+    Plan shape for 100 TB: per-term tf is computed SCAN-SIDE as
+    ``size(filter(tokens, = term))`` columns and unpivoted with
+    ``stack`` — the corpus is never exploded and never shuffled on
+    tokens. What leaves the scan is one (doc, term, tf, dl) row per
+    MATCHED term (zero rows for the overwhelming majority of docs that
+    match nothing). Corpus stats (N, avgdl) and per-term df are tiny
+    aggregates broadcast back; the only wide op is the final global
+    top-N (TakeOrderedAndProject). For open vocabularies swap the fixed
+    columns for an inverted-index explode bucketed by term.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tk = T.tokens("text")
+    sig = docs.select("doc_id", tk.alias("tk")).where(F.size("tk") > 0)
+    def _tf_col(term: str, i: int):
+        # one-arg lambda: a two-arg lambda would be read by F.filter as
+        # the (element, index) signature and receive the index instead
+        return F.size(F.filter("tk", lambda x: x == F.lit(term))).alias(f"tf_{i}")
+
+    tf_cols = [_tf_col(t_, i) for i, t_ in enumerate(BM25_TERMS)]
+    per_doc = sig.select("doc_id", F.size("tk").alias("dl"), *tf_cols)
+    stack_expr = "stack({n}, {args}) as (term, tf)".format(
+        n=len(BM25_TERMS),
+        args=", ".join(f"'{t_}', tf_{i}" for i, t_ in enumerate(BM25_TERMS)),
+    )
+    tf = per_doc.selectExpr("doc_id", "dl", stack_expr).where(F.col("tf") > 0)
+
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * F.col("tf") * (BM25_K1 + 1)
+                / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPN)
+    )
