@@ -219,3 +219,16 @@ def test_p06_manifest_zero_shuffle(spark, queries):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
     assert cols == ["doc_id", "source"], m.group(0)
+
+
+def test_t07_no_token_explode_no_wide_shuffle(spark, queries):
+    """BM25 must keep tf computation scan-side: no Generate/Explode of
+    the token array reaches the plan, no Python, and the only scan reads
+    (doc_id, text)."""
+    plan = formatted_plan(spark, queries["t07_bm25_keyword_search"].build(spark, SF_SMALL))
+    assert "Generate explode(tk" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan  # global top-N, no full sort
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["doc_id", "text"], m.group(0)
