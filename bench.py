@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "p05_stratified_exact_k",
     "p06_mixture_manifest",
     "t07_bm25_keyword_search",
+    "d13_dup_graph_components",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past

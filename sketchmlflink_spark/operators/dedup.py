@@ -956,3 +956,146 @@ def d12_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("hit").alias("n_overlap"),
         (F.count("hit") > 0).alias("is_contaminated"),
     )
+
+
+# --------------------------------------------------------------------------
+# d13 — near-dup graph → connected components (the transitive-closure
+# step every corpus-scale dedup pipeline ends with).
+# --------------------------------------------------------------------------
+D13_SPAN_WORDS = 20   # span unit for the sharing graph (tiny-vocab corpus)
+D13_MAX_SPAN_DOCS = 100  # boilerplate cap: spans in more docs are dropped
+D13_MAX_ITERS = 20
+
+
+def _d13_chunks_sql() -> str:
+    k = D13_SPAN_WORDS
+    return f"""
+WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+c AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(words[i*{k}+1 : i*{k}+{k}], ' ')) AS digest
+  FROM w, unnest(range(0, len(words)//{k})) AS u(i)
+),
+keep AS (
+  SELECT digest FROM c GROUP BY digest
+  HAVING count(*) BETWEEN 2 AND {D13_MAX_SPAN_DOCS}
+),
+e AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM c a JOIN c b ON a.digest = b.digest AND a.doc_id < b.doc_id
+  WHERE a.digest IN (SELECT digest FROM keep)
+)"""
+
+
+@register(
+    "d13_dup_graph_components",
+    oracle=_d13_chunks_sql()
+    + """,
+e2 AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+r(v, lbl) AS (
+    SELECT DISTINCT src, src FROM e2
+    UNION
+    SELECT e2.src, r.lbl FROM e2 JOIN r ON e2.dst = r.v
+)
+SELECT v AS doc_id, min(lbl) AS comp_id FROM r GROUP BY v
+""",
+    tags=("dedup", "graph", "connected-components"),
+)
+def d13_dup_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph clustering: docs sharing a D13_SPAN_WORDS-word
+    span are edges; the output labels every non-singleton doc with its
+    component's minimum doc_id — the canonical-representative election
+    that turns pairwise near-dup hits (d04/d05/d07 candidates) into
+    keep/drop decisions. Spans hotter than D13_MAX_SPAN_DOCS docs are
+    dropped as boilerplate BEFORE pairing (the cap that keeps bucket
+    joins from exploding on "lorem ipsum" spans).
+
+    Scale shape: edge generation is one shuffle on the 16-byte span
+    digest with the per-digest pair fan-out bounded by the cap (work
+    ∝ Σ bucket², bucket ≤ cap). Components use alternating min-label
+    propagation + pointer jumping — O(log diameter) rounds, each two
+    digest-sized shuffles, the standard large-graph CC recipe (the
+    labels frame is (v, lbl) longs only). Each round localCheckpoints
+    to cut lineage; convergence is an exact changed-row count. The
+    reference has no graph operator; this is the Spark-native closure
+    of its dedup story.
+    """
+    docs = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_ch = F.floor(F.size(words) / D13_SPAN_WORDS).cast("int")
+    # guard n_ch=0: sequence(0, -1) is DESCENDING [0, -1] in Spark, not
+    # empty — short docs would fabricate chunks the oracle doesn't have
+    idxs = F.when(n_ch > 0, F.sequence(F.lit(0), n_ch - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idxs,
+                    lambda i: F.array_join(
+                        F.slice(words, i * D13_SPAN_WORDS + 1, D13_SPAN_WORDS), " "
+                    ),
+                )
+            ).alias("chunk"),
+        )
+        .select("doc_id", F.md5("chunk").alias("digest"))
+        .distinct()
+    )
+    keep = (
+        chunks.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where((F.col("n_docs") >= 2) & (F.col("n_docs") <= D13_MAX_SPAN_DOCS))
+        .select("digest")
+    )
+    pruned = chunks.join(keep, "digest")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    und = und.localCheckpoint()  # edge set reused every round: cut the scan
+
+    labels = und.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    labels = labels.localCheckpoint()
+    for _ in range(D13_MAX_ITERS):
+        # 1) relax across edges: lbl(v) ← min(lbl(v), min lbl(neighbors))
+        nbr = (
+            und.join(labels, und["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        relaxed = (
+            labels.join(nbr, labels["v"] == nbr["src"], "left")
+            .select(
+                labels["v"].alias("v"),
+                F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias("lbl"),
+            )
+        )
+        # 2) pointer jump: lbl(v) ← lbl(lbl(v)) — halves chain depth
+        ptr = relaxed.select(F.col("v").alias("pv"), F.col("lbl").alias("plbl"))
+        jumped = (
+            relaxed.join(ptr, relaxed["lbl"] == ptr["pv"], "left")
+            .select(
+                relaxed["v"].alias("v"),
+                F.least(relaxed["lbl"], F.coalesce("plbl", relaxed["lbl"])).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("comp_id"))
