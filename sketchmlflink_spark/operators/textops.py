@@ -389,3 +389,68 @@ def t07_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# t08 — repetition stats (Gopher-style repeated-n-gram filter signals).
+# --------------------------------------------------------------------------
+T08_TOP_FRAC = 0.08  # docs whose top bigram exceeds this fraction are flagged
+
+
+@register(
+    "t08_repetition_stats",
+    oracle=f"""
+WITH bg AS (
+    SELECT doc_id,
+           list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bgs
+    FROM (SELECT doc_id, {_duck_tokens()} AS tk FROM documents)
+    WHERE len(tk) >= 2
+),
+cnt AS (
+    SELECT doc_id, b AS bigram, count(*) AS n
+    FROM bg, unnest(bgs) AS u(b)
+    GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT)       AS n_bigrams,
+       CAST(count(*) AS BIGINT)     AS n_distinct_bigrams,
+       round(max(n) * 1.0 / sum(n), 6) AS top_bigram_frac,
+       (max(n) * 1.0 / sum(n)) > {T08_TOP_FRAC} AS flagged
+FROM cnt
+GROUP BY doc_id
+""",
+    tags=("text", "quality", "repetition"),
+)
+def t08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram signals (the Gopher repetition filters): per doc,
+    total/distinct bigram counts and the fraction of the most frequent
+    bigram; docs above T08_TOP_FRAC are flagged as loop/boilerplate
+    suspects. Complements t06's unigram repetition rule (dr) with
+    phrase-level structure.
+
+    Scale shape: bigrams are built scan-side with zip_with over two
+    array slices (no Python, no pre-shuffle explosion materialized);
+    the explode feeds a (doc_id, bigram) partial count that collapses
+    map-side before ONE shuffle, and the second doc_id aggregation
+    rides the same hash clustering (doc_id is a prefix of the first
+    key). State per doc is three longs — nothing scales with doc
+    length past the scan."""
+    docs = t(spark, sf_dir, "documents")
+    tk = T.tokens("text")
+    sig = docs.select("doc_id", tk.alias("tk")).where(F.size("tk") >= 2)
+    bigrams = F.zip_with(
+        F.slice("tk", 1, F.size("tk") - 1),
+        F.slice("tk", 2, F.size("tk") - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    cnt = (
+        sig.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_bigram_frac"),
+        ((F.max("n") / F.sum("n")) > T08_TOP_FRAC).alias("flagged"),
+    )

@@ -453,3 +453,53 @@ def st13_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = P.documents_jsonl_stream(spark, sf_dir)
     out = P.run_to_batch(P.decontaminate_stream(parsed, ev))
     return out.where(F.col("doc_id") >= DECON_EVAL_DOCS)
+
+
+# --------------------------------------------------------------------------
+# st14 — streaming trending top-k (windowed counts → per-window rank)
+# --------------------------------------------------------------------------
+@register(
+    "st14_stream_trending_topk",
+    oracle="""
+WITH c AS (
+    SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(rnk AS INT)  AS rank
+FROM (
+    SELECT h, event_type, n,
+           row_number() OVER (PARTITION BY h ORDER BY n DESC, event_type) AS rnk
+    FROM c
+)
+WHERE rnk <= 3
+""",
+    tags=("streaming", "window-agg", "topk"),
+)
+def st14_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard: top-3 event types per tumbling hour. The
+    heavy windowed count runs on the STREAM (st01's watermarked state);
+    the per-window rank is a batch projection over the tiny flushed
+    result — Structured Streaming forbids stacking a rank on an
+    in-flight aggregation outside append mode, and ranking
+    (windows × types) rows batch-side costs nothing at any scale.
+    Deterministic tiebreak (count desc, type asc) keeps it in the
+    hash-checked set."""
+    from pyspark.sql.window import Window
+
+    agg = P.run_to_batch(P.hourly_counts(P.events_stream(spark, sf_dir)))
+    w = Window.partitionBy("hour_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            F.col("rnk").cast("int").alias("rank"),
+        )
+    )
