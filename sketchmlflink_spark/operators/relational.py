@@ -1083,3 +1083,82 @@ def q30_full_priority_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("custkey"), "n_orders", "n_priorities"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q31 — bucketed co-located join (bucketing kills the join shuffle).
+# --------------------------------------------------------------------------
+Q31_BUCKETS = 16
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders and customer as bucketed+sorted managed tables
+    (once per sf_dir — guarded by catalog existence). At 100 TB this is
+    the one-time layout investment that removes the shuffle from every
+    subsequent custkey join: both sides land in Q31_BUCKETS
+    hash-buckets of the SAME key, so the join reads co-located buckets
+    directly."""
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    t_orders, t_customer = f"b_orders_{tag}", f"b_customer_{tag}"
+
+    def _write(table: str, src: str, key: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # the in-memory catalog is per-process but the warehouse dir
+        # persists: clear a stale location left by an earlier process
+        # (bucketing metadata lives in the catalog, so the files alone
+        # are unusable as a bucketed table anyway)
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), table.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        (
+            load_table(spark, sf_dir, src)
+            .write.bucketBy(Q31_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    _write(t_orders, "orders", "o_custkey")
+    _write(t_customer, "customer", "c_custkey")
+    return t_orders, t_customer
+
+
+@register(
+    "q31_bucketed_segment_revenue",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+    tags=("relational", "bucketed-join", "layout"),
+)
+def q31_bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through a BUCKETED co-located join:
+    both sides pre-bucketed on the join key, so the sort-merge join has
+    NO Exchange on either input (plan-locked in test_plans) — the
+    layout-level answer to "big joins shuffle on their keys". The merge
+    hint keeps Spark from broadcasting the small side at test scale,
+    which would hide the property being demonstrated; at 100 TB neither
+    side broadcasts and the bucket layout is exactly what you want.
+    Decimal-cast sum keeps the aggregate exact vs the oracle."""
+    tune_for_session(spark)
+    t_orders, t_customer = _bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    c = spark.table(t_customer)
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )

@@ -232,3 +232,14 @@ def test_t07_no_token_explode_no_wide_shuffle(spark, queries):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
     assert cols == ["doc_id", "text"], m.group(0)
+
+
+def test_q31_bucketed_join_no_join_shuffle(spark, queries):
+    """The bucketed co-located join must read both sides as bucketed
+    scans and sort-merge WITHOUT an Exchange on either join input — the
+    only Exchange allowed is the downstream segment rollup."""
+    plan = formatted_plan(spark, queries["q31_bucketed_segment_revenue"].build(spark, SF_SMALL))
+    body = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in body
+    assert plan.count("Bucketed: true") == 2, plan
+    assert body.count("Exchange") == 1, body  # segment rollup only
