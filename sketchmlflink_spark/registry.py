@@ -76,8 +76,11 @@ _PRIORITY = (
     "q22_asof_click_to_view", "q23_pivot_daily_events", "q24_revenue_moving_avg",
     "q25_batch_sessionize", "q26_grouping_sets_orders", "q27_sole_supplier_orders",
     "q28_order_value_deciles", "q13_events_json_bucket", "q15_promo_revenue_share",
-    "q17_big_orders", "q19_cube_parts", "q06_customer_distribution",
-    "q08_rollup_sales", "q20_above_customer_avg",
+    "q17_big_orders", "q19_cube_parts",
+    # round-3 headliners: graph-closure dedup, bucketed-layout join,
+    # BM25 lexical retrieval
+    "d13_dup_graph_components", "q31_bucketed_segment_revenue",
+    "t07_bm25_keyword_search",
 )
 
 

@@ -110,3 +110,24 @@ class _forced_smj:
     def __exit__(self, *exc):
         for k, v in self.saved.items():
             self.spark.conf.set(k, v)
+
+
+def test_p04_writes_lang_partitioned_layout(spark):
+    """The curated sink must produce a lang=<value> hive-partitioned
+    directory tree (partition pruning depends on the physical layout,
+    not just the logical result)."""
+    import os
+    import tempfile
+
+    from sketchmlflink_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    all_queries()["p04_curated_sink_roundtrip"].build(spark, SF_SMALL).count()
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "curated_" + SF_SMALL.strip("/").replace("/", "_")
+    )
+    parts = sorted(d for d in os.listdir(out_dir) if d.startswith("lang="))
+    assert len(parts) >= 2, f"expected lang=* partition dirs, got {os.listdir(out_dir)}"
+    for p in parts:
+        files = os.listdir(os.path.join(out_dir, p))
+        assert any(f.endswith(".parquet") for f in files), (p, files)
