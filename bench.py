@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "p06_mixture_manifest",
     "t07_bm25_keyword_search",
     "d13_dup_graph_components",
+    "t08_repetition_stats",
+    "q31_bucketed_segment_revenue",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past
