@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Full local oracle sweep: every registered query vs its DuckDB oracle
+(or rows-only execution) at a given sf dir. Prints one line per query
+and a final tally — the reproducible backing for SURVEY.md §8 status
+claims.
+
+Usage: python bin/oracle_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    from sketchmlflink_spark.registry import all_queries
+    from sketchmlflink_spark.session import get_spark
+    from tests.oracle_check import compare_query, duck_connection
+
+    spark = get_spark("sketchmlflink-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(SF_DIR)
+    queries = all_queries()
+
+    n_hash = n_rows_only = n_fail = 0
+    for name, q in queries.items():
+        t0 = time.monotonic()
+        try:
+            df = q.build(spark, SF_DIR)
+            if q.oracle is not None:
+                problems = compare_query(df, con, q.oracle)
+                ok = not problems
+                kind = "hash"
+            else:
+                ok = df.count() >= 1
+                problems = [] if ok else ["empty result"]
+                kind = "rows"
+        except Exception as e:  # noqa: BLE001
+            ok, kind, problems = False, "err", [f"{type(e).__name__}: {e}"[:300]]
+        dt = time.monotonic() - t0
+        if ok and kind == "hash":
+            n_hash += 1
+        elif ok:
+            n_rows_only += 1
+        else:
+            n_fail += 1
+        status = "OK" if ok else "FAIL"
+        print(f"{name:40s} {kind:5s} {status:4s} {dt:6.2f}s"
+              + ("" if ok else "  " + "; ".join(problems[:3])), flush=True)
+
+    total = len(queries)
+    print(
+        f"\nSWEEP {SF_DIR}: {n_hash} hash-matched + {n_rows_only} rows-only OK "
+        f"= {n_hash + n_rows_only}/{total} green, {n_fail} failed"
+    )
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,69 +1,64 @@
 #!/usr/bin/env python
-"""Full local oracle sweep: every registered query vs its DuckDB oracle
-(or rows-only execution) at a given sf dir. Prints one line per query
-and a final tally — the reproducible backing for SURVEY.md §8 status
-claims.
+"""Benchmark sweep — the reference's ``bin/runtest.sh`` (RT:31-43)
+re-expressed: nested loops over parallelism x dimension x iterations with
+stepSize=0.5 / threshold=0.001 fixed, one CSV_Line record per config.
 
-Usage: python bin/sweep.py [sf_dir]
+Usage (argument order mirrors runtest.sh):
+    python bin/sweep.py minIter maxIter iterStep minPar maxPar parStep \
+        initDim finalDim dimStep trainingFile method compression [outPath]
+
+Unlike the reference (one ``flink run`` JVM per config), the whole grid
+runs in ONE SparkSession — on a cluster each config is still a fresh
+training job; only the session bootstrap is amortized.
 """
 
 from __future__ import annotations
 
-import os
 import sys
-import time
 
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPO_ROOT = __file__.rsplit("/bin/", 1)[0]
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+def main(argv: list[str]) -> int:
+    if len(argv) < 12:
+        print(__doc__)
+        return 1
+    (min_it, max_it, it_step, min_par, max_par, par_step,
+     init_dim, final_dim, dim_step) = (int(x) for x in argv[:9])
+    training_file, method, compression = argv[9:12]
+    out_path = argv[12] if len(argv) > 12 else f"sweep_{method}_{compression}.txt"
 
-def main() -> None:
-    from sketchmlflink_spark.registry import all_queries
+    from sketchmlflink_spark.experiment import build_arg_parser, format_log, run_experiment
     from sketchmlflink_spark.session import get_spark
-    from tests.oracle_check import compare_query, duck_connection
 
     spark = get_spark("sketchmlflink-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    con = duck_connection(SF_DIR)
-    queries = all_queries()
-
-    n_hash = n_rows_only = n_fail = 0
-    for name, q in queries.items():
-        t0 = time.monotonic()
-        try:
-            df = q.build(spark, SF_DIR)
-            if q.oracle is not None:
-                problems = compare_query(df, con, q.oracle)
-                ok = not problems
-                kind = "hash"
-            else:
-                ok = df.count() >= 1
-                problems = [] if ok else ["empty result"]
-                kind = "rows"
-        except Exception as e:  # noqa: BLE001
-            ok, kind, problems = False, "err", [f"{type(e).__name__}: {e}"[:300]]
-        dt = time.monotonic() - t0
-        if ok and kind == "hash":
-            n_hash += 1
-        elif ok:
-            n_rows_only += 1
-        else:
-            n_fail += 1
-        status = "OK" if ok else "FAIL"
-        print(f"{name:40s} {kind:5s} {status:4s} {dt:6.2f}s"
-              + ("" if ok else "  " + "; ".join(problems[:3])), flush=True)
-
-    total = len(queries)
-    print(
-        f"\nSWEEP {SF_DIR}: {n_hash} hash-matched + {n_rows_only} rows-only OK "
-        f"= {n_hash + n_rows_only}/{total} green, {n_fail} failed"
-    )
-    spark.stop()
-    sys.exit(1 if n_fail else 0)
+    for par in range(min_par, max_par + 1, par_step):
+        print(f"> Running with parallelism {par}")
+        for dim in range(init_dim, final_dim + 1, dim_step):
+            print(f">>> Truncating the data to {dim} dimensions")
+            for iters in range(min_it, max_it + 1, it_step):
+                print(f">>>>>> Running SGD with {iters} iterations")
+                args = build_arg_parser().parse_args(
+                    [
+                        "--inputTrain", training_file,
+                        "--parallelism", str(par),
+                        "--iterations", str(iters),
+                        "--stepSize", "0.5",          # RT:40 fixed
+                        "--compressionType", compression,
+                        "--threshold", "0.001",       # RT:41 fixed (inactive, Test:47)
+                        "--sketchOrFlink", method,
+                        "--maxDim", str(dim),
+                    ]
+                )
+                text = format_log(run_experiment(spark, args))
+                with open(out_path, "a") as fh:
+                    fh.write(text)
+                sys.stdout.write(text)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main(sys.argv[1:]))

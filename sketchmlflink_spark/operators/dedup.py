@@ -1098,4 +1098,12 @@ def d13_dup_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = jumped
         if changed == 0:
             break
+    else:
+        # an unconverged run would silently return wrong labels that
+        # surface only as a confusing oracle hash mismatch — fail loud
+        raise RuntimeError(
+            f"d13 label propagation did not converge in {D13_MAX_ITERS} "
+            f"rounds ({changed} labels still changing); the span graph "
+            f"has a pathological diameter — raise D13_MAX_ITERS"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("comp_id"))

@@ -326,9 +326,12 @@ def p04_curated_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = sig.where(keep).select("doc_id", "lang", "source", "n_chars", "text")
 
+    # per-process dir: a fixed path would let two concurrent sessions
+    # race overwrite-vs-read on the same files; within one process the
+    # overwrite is idempotent (deterministic content)
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        "curated_" + sf_dir.strip("/").replace("/", "_"),
+        f"curated_{os.getpid()}_" + sf_dir.strip("/").replace("/", "_"),
     )
     (
         kept.repartition("lang")

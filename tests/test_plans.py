@@ -28,6 +28,7 @@ def test_q01_filter_pushed_and_columns_pruned(spark, queries):
     plan = formatted_plan(spark, queries["q01_pricing_summary"].build(spark, SF_SMALL))
     assert "LessThan(l_shipdate" in plan  # range form reaches the scan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None, f"no ReadSchema in plan:\n{plan}"
     cols = m.group(1).split(",")
     assert len(cols) == 7, f"lineitem scan should read 7 of 16 columns, got {cols}"
     assert "partial_sum" in plan  # map-side combine before the exchange
@@ -102,6 +103,7 @@ def test_q23_pivot_no_discovery_scan(spark, queries):
     # encoding-agnostic column-pruning lock: exactly {ts, event_type}
     # regardless of ts's physical type (bigint nanos vs timestamp[us])
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None, f"no ReadSchema in plan:\n{plan}"
     cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
     assert cols == ["event_type", "ts"], m.group(0)
 
@@ -205,6 +207,7 @@ def test_p05_single_stratum_shuffle_no_text(spark, queries):
     body = plan.split("\n\n")[0]
     assert body.count("Exchange") == 1, body
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None, f"no ReadSchema in plan:\n{plan}"
     cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
     assert cols == ["doc_id", "lang"], m.group(0)
 
@@ -217,6 +220,7 @@ def test_p06_manifest_zero_shuffle(spark, queries):
     assert "Exchange" not in body, body
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None, f"no ReadSchema in plan:\n{plan}"
     cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
     assert cols == ["doc_id", "source"], m.group(0)
 
@@ -230,6 +234,7 @@ def test_t07_no_token_explode_no_wide_shuffle(spark, queries):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan  # global top-N, no full sort
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None, f"no ReadSchema in plan:\n{plan}"
     cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
     assert cols == ["doc_id", "text"], m.group(0)
 

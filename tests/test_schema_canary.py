@@ -52,19 +52,32 @@ EXPECTED = {
         "embedding": (pa.list_(pa.float32()), pa.list_(pa.float64())),
         "label": (pa.int32(), pa.int64()),
     },
+    # NOTE: l_shipdate/o_orderdate get NO ts normalization (only
+    # events.ts goes through normalize_event_ts), so their allowed set
+    # is strictly what a raw spark.read handles: µs timestamps or dates.
+    # A drift to ns/int64 here MUST fail this test until the loaders
+    # grow a branch.
     "lineitem": {
         "l_orderkey": (pa.int64(),),
         "l_quantity": (pa.float64(),),
         "l_extendedprice": (pa.float64(),),
         "l_discount": (pa.float64(),),
-        "l_shipdate": TS_OK + (pa.date32(),),
+        "l_shipdate": (
+            pa.timestamp("us"),
+            pa.timestamp("us", tz="UTC"),
+            pa.date32(),
+        ),
         "l_returnflag": (pa.string(), pa.large_string()),
     },
     "orders": {
         "o_orderkey": (pa.int64(),),
         "o_custkey": (pa.int64(),),
         "o_totalprice": (pa.float64(),),
-        "o_orderdate": TS_OK + (pa.date32(),),
+        "o_orderdate": (
+            pa.timestamp("us"),
+            pa.timestamp("us", tz="UTC"),
+            pa.date32(),
+        ),
         "o_orderpriority": (pa.string(), pa.large_string()),
     },
 }

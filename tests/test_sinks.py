@@ -124,7 +124,8 @@ def test_p04_writes_lang_partitioned_layout(spark):
 
     all_queries()["p04_curated_sink_roundtrip"].build(spark, SF_SMALL).count()
     out_dir = os.path.join(
-        tempfile.gettempdir(), "curated_" + SF_SMALL.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        f"curated_{os.getpid()}_" + SF_SMALL.strip("/").replace("/", "_"),
     )
     parts = sorted(d for d in os.listdir(out_dir) if d.startswith("lang="))
     assert len(parts) >= 2, f"expected lang=* partition dirs, got {os.listdir(out_dir)}"
