@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "d13_dup_graph_components",
     "t08_repetition_stats",
     "q31_bucketed_segment_revenue",
+    "sk04_histogram_percentile_rollup",
+    "mm05_frame_perceptual_dedup",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past

@@ -313,3 +313,93 @@ def mm04_frame_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k.frame_idx").alias("keeper_frame_idx"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mm05 — perceptual frame dedup (dHash-style gradient signature).
+# --------------------------------------------------------------------------
+PHASH_BITS = 31  # adjacent-byte gradient bits per frame (fits a BIGINT)
+
+
+@register(
+    "mm05_frame_perceptual_dedup",
+    # deterministic byte math on the ASCII corpus ⇒ DuckDB replays the
+    # exact signature arithmetic (see mm02 note)
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, length(text) // {FRAME_BYTES}, {FRAME_STRIDE})) AS BIGINT) AS frame_idx,
+         text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, frame_idx,
+         list_sum(list_transform(range(0, {PHASH_BITS}),
+           j -> CASE WHEN ord(text[CAST(frame_idx * {FRAME_BYTES} + 1 + j AS INT)])
+                        > ord(text[CAST(frame_idx * {FRAME_BYTES} + 2 + j AS INT)])
+                     THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS sig
+  FROM f
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY sig ORDER BY doc_id, frame_idx) AS rn
+  FROM s
+)
+SELECT sig,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       max(CASE WHEN rn = 1 THEN doc_id END)    AS keeper_doc_id,
+       max(CASE WHEN rn = 1 THEN frame_idx END) AS keeper_frame_idx
+FROM r GROUP BY sig HAVING count(*) >= 2
+""",
+    tags=("multimodal", "frames", "perceptual", "dedup"),
+)
+def mm05_frame_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL frame dedup — mm04's exact-digest twin with a
+    dHash-style signature: bit j of a frame's 31-bit signature records
+    whether byte j exceeds byte j+1 (the adjacent-gradient pattern a
+    real dHash computes on a downscaled image). Frames whose gradient
+    pattern is identical collapse into one group even when absolute
+    byte values differ — the invariance that makes perceptual hashing
+    robust to brightness/re-encode changes; here it is deterministic
+    byte math, so the oracle replays it exactly.
+
+    Plan shape: signatures are pure Catalyst (aggregate over a
+    sequence of ascii(substring) comparisons — no Python, no decode),
+    then ONE shuffle on the 8-byte signature with map-side-combinable
+    aggregates. Frame bytes never leave the scan. A hamming-radius
+    (≤k) variant adds d05's pigeonhole banding on the same signature
+    column; exact-signature grouping is the production default
+    (pHash-bucket dedup)."""
+    docs = t(spark, sf_dir, "documents")
+    n_frames = F.floor(F.length("text") / FRAME_BYTES).cast("int")
+    frame_idxs = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE)),
+    ).otherwise(F.array().cast("array<int>"))
+    frames = docs.select(
+        "doc_id", "text", F.explode(frame_idxs).alias("fi")
+    ).select("doc_id", "text", F.col("fi").cast("long").alias("frame_idx"))
+    sig = F.expr(
+        f"aggregate(sequence(0, {PHASH_BITS - 1}), CAST(0 AS BIGINT), (acc, j) -> "
+        f"acc + IF(ascii(substring(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS INT) + j, 1)) "
+        f"> ascii(substring(text, CAST(frame_idx * {FRAME_BYTES} + 2 AS INT) + j, 1)), "
+        f"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+    )
+    keeper = F.min(F.struct("doc_id", "frame_idx")).alias("k")
+    return (
+        frames.select("doc_id", "frame_idx", sig.alias("sig"))
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            keeper,
+        )
+        .where(F.col("n_frames") >= 2)
+        .select(
+            "sig",
+            "n_frames",
+            "n_docs",
+            F.col("k.doc_id").alias("keeper_doc_id"),
+            F.col("k.frame_idx").alias("keeper_frame_idx"),
+        )
+    )

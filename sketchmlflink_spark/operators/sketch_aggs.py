@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sketchmlflink_spark.operators.relational import t
 from sketchmlflink_spark.registry import register
@@ -138,4 +139,88 @@ def sk03_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.25, 1000000).alias("p25"),
         F.percentile_approx("value", 0.5, 1000000).alias("p50"),
         F.percentile_approx("value", 0.75, 1000000).alias("p75"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sk04 — mergeable fixed-bin histogram → percentile rollup (deterministic
+# re-aggregatable quantiles, the t-digest/KLL pattern with an exact oracle).
+# --------------------------------------------------------------------------
+SK04_BIN_W = 4.0
+SK04_BINS = 128  # covers [0, 512) — events.value sits in [0, ~490]
+SK04_PCTS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "sk04_histogram_percentile_rollup",
+    oracle=f"""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day,
+           CAST(least(floor(value / {SK04_BIN_W}), {SK04_BINS - 1}) AS INT) AS bin,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+merged AS (SELECT bin, sum(cnt) AS cnt FROM daily GROUP BY bin),
+cum AS (
+    SELECT bin, cnt,
+           sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS running,
+           sum(cnt) OVER () AS total
+    FROM merged
+),
+p(pct) AS (VALUES {", ".join(f"(CAST({p} AS DOUBLE))" for p in SK04_PCTS)})
+SELECT p.pct,
+       CAST(min(c.bin) AS INT)                 AS bin,
+       round(min(c.bin) * {SK04_BIN_W}, 2)     AS est_lo,
+       round((min(c.bin) + 1) * {SK04_BIN_W}, 2) AS est_hi
+FROM p JOIN cum c ON c.running >= CAST(ceiling(p.pct * c.total) AS BIGINT)
+GROUP BY p.pct
+""",
+    tags=("sketch", "histogram", "percentile", "mergeable"),
+)
+def sk04_histogram_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable percentiles with DETERMINISTIC semantics: per-day
+    fixed-bin value histograms (the mergeable daily sketch a metrics
+    store materializes) merged into a global histogram, percentile = the
+    first bin whose running count reaches ceil(p·total). Unlike
+    percentile_approx (whose quantile-summary estimates drift with
+    accuracy/partitioning and need tolerance bands — sk03), the
+    histogram answer is exactly reproducible by any engine, which is
+    what lets it stay in the hash-checked oracle set.
+
+    Scale shape: the day×bin frame is ≤ 128 rows/day regardless of
+    event volume — the shuffle after the scan-side partial agg carries
+    sketch rows, never events; merging a month is a 128-row-per-day
+    aggregation with no re-scan of the fact table. Bin width trades
+    error (≤ SK04_BIN_W) for state, exactly the histogram-sketch
+    contract."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.least(
+                F.floor(F.col("value") / SK04_BIN_W), F.lit(SK04_BINS - 1)
+            ).cast("int").alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = daily.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "bin",
+        F.sum("cnt").over(w_cum).alias("running"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    pcts = spark.createDataFrame([(p,) for p in SK04_PCTS], "pct double")
+    return (
+        F.broadcast(pcts)
+        .join(cum, cum["running"] >= F.ceil(pcts["pct"] * cum["total"]).cast("long"))
+        .groupBy("pct")
+        .agg(F.min("bin").cast("int").alias("bin"))
+        .select(
+            "pct",
+            "bin",
+            F.round(F.col("bin") * SK04_BIN_W, 2).alias("est_lo"),
+            F.round((F.col("bin") + 1) * SK04_BIN_W, 2).alias("est_hi"),
+        )
     )
