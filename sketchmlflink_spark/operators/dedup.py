@@ -1107,3 +1107,86 @@ def d13_dup_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"has a pathological diameter — raise D13_MAX_ITERS"
         )
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("comp_id"))
+
+
+# --------------------------------------------------------------------------
+# d14 — MinHash Jaccard ESTIMATE vs exact (sketch-accuracy audit,
+# fully hash-checkable because the hash family is md5-based).
+# --------------------------------------------------------------------------
+D14_SLOTS = 16
+
+
+def _d14_spark_slot(i: int):
+    from pyspark.sql import functions as F2
+
+    return F2.array_min(
+        F2.transform("sh", lambda x: F2.md5(F2.concat(F2.lit(f"{i}:"), x)))
+    ).alias(f"slot_{i}")
+
+
+def _d14_duck_slots() -> str:
+    return ",\n           ".join(
+        f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS slot_{i}"
+        for i in range(D14_SLOTS)
+    )
+
+
+@register(
+    "d14_minhash_estimate_accuracy",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id, sh,
+           {_d14_duck_slots()}
+    FROM (
+        SELECT doc_id, {{}} AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)
+    )
+    WHERE len(sh) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(({" + ".join(f"CASE WHEN a.slot_{i} = b.slot_{i} THEN 1 ELSE 0 END" for i in range(D14_SLOTS))})
+             / {D14_SLOTS}.0, 4) AS est_jaccard,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS exact_jaccard
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+""".format(_duck_shingles("tk")),
+    tags=("dedup", "minhash", "sketch-accuracy"),
+)
+def d14_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy audit: the Jaccard ESTIMATE from a 16-slot
+    MinHash signature next to the exact Jaccard, per adjacent-id pair
+    (d03's pair set). The hash family is md5(i || ':' || shingle) with
+    the min taken over the lowercase-hex STRING ordering — engine-
+    portable byte-for-byte, which is what lets a sketch ESTIMATE sit in
+    the hash-checked oracle set instead of a tolerance band (d04's
+    xxhash-based production signatures can't be replayed by DuckDB).
+
+    Plan shape: all 16 signature slots are scan-side column expressions
+    (array_min over transform — no explode, no shuffle for signature
+    construction); the only join is the linear adjacent-id pair join.
+    This is the audit you run once per corpus snapshot to pick the slot
+    count the d04 LSH path deploys."""
+    docs = t(spark, sf_dir, "documents")
+    s = (
+        docs.select("doc_id", T.tokens("text").alias("tk"))
+        .select("doc_id", shingles(F.col("tk")).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
+    sig = s.select("doc_id", "sh", *[_d14_spark_slot(i) for i in range(D14_SLOTS)])
+    a, b = sig.alias("a"), sig.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.slot_{i}") == F.col(f"b.slot_{i}"), 1).otherwise(0)
+        for i in range(D14_SLOTS)
+    )
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(matches / F.lit(float(D14_SLOTS)), 4).alias("est_jaccard"),
+            F.round(jac, 4).alias("exact_jaccard"),
+        )
+    )
