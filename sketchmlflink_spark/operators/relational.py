@@ -1162,3 +1162,79 @@ def q31_bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q32 — cross-table as-of join: each event ↔ the customer's latest order
+# at event time (q22's self-join pattern generalized to two fact tables).
+# --------------------------------------------------------------------------
+@register(
+    "q32_asof_event_order",
+    oracle="""
+WITH u AS (
+    SELECT o_custkey AS user_id, o_orderdate AS ts2, 0 AS kind,
+           o_orderkey, CAST(NULL AS BIGINT) AS event_id
+    FROM orders
+    UNION ALL
+    SELECT user_id, ts AS ts2, 1 AS kind,
+           CAST(NULL AS BIGINT) AS o_orderkey, event_id
+    FROM events
+),
+w AS (
+    SELECT user_id, ts2, kind, event_id,
+           last_value(o_orderkey IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts2, kind, coalesce(o_orderkey, event_id)
+               ROWS UNBOUNDED PRECEDING
+           ) AS last_order_key
+    FROM u
+)
+SELECT event_id, user_id,
+       strftime(ts2, '%Y-%m-%d %H:%M:%S') AS ts,
+       last_order_key
+FROM w WHERE kind = 1
+""",
+    tags=("relational", "asof-join", "temporal"),
+)
+def q32_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join ACROSS tables: every event annotated with the
+    customer's most recent order key at event time (order date <= event
+    ts; same-instant orders count; ties broken by max orderkey via the
+    sort order). The union-tag + last_value(ignore nulls) rewrite turns
+    what a naive engine does as a per-event correlated scan into ONE
+    shuffle on user_id and a single ordered pass — the standard Spark
+    shape for temporal enrichment at scale (both inputs arrive pre-
+    pruned to two columns; nothing wider crosses the exchange). q22
+    pins the same pattern as a self-join; this entry pins the
+    two-table form a feature-store backfill uses."""
+    tune_for_session(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts2"),
+        F.lit(0).alias("kind"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("ts2"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+    )
+    u = orders.unionByName(events)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts2", "kind", F.coalesce("o_orderkey", "event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("last_order_key", F.last("o_orderkey", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts2", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "last_order_key",
+        )
+    )
