@@ -1060,12 +1060,22 @@ def d13_dup_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
     )
+    return label_propagate(edges).select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("comp_id")
+    )
+
+
+def label_propagate(edges: DataFrame, max_iters: int = D13_MAX_ITERS) -> DataFrame:
+    """Connected components over an (src, dst) edge DataFrame by
+    alternating min-label relaxation + pointer jumping; returns
+    (v, lbl) with lbl = min vertex id of v's component. Extracted from
+    d13 so property tests can drive it with arbitrary graphs."""
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     und = und.localCheckpoint()  # edge set reused every round: cut the scan
 
     labels = und.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
     labels = labels.localCheckpoint()
-    for _ in range(D13_MAX_ITERS):
+    for _ in range(max_iters):
         # 1) relax across edges: lbl(v) ← min(lbl(v), min lbl(neighbors))
         nbr = (
             und.join(labels, und["dst"] == labels["v"])
@@ -1102,11 +1112,11 @@ def d13_dup_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # an unconverged run would silently return wrong labels that
         # surface only as a confusing oracle hash mismatch — fail loud
         raise RuntimeError(
-            f"d13 label propagation did not converge in {D13_MAX_ITERS} "
-            f"rounds ({changed} labels still changing); the span graph "
-            f"has a pathological diameter — raise D13_MAX_ITERS"
+            f"label propagation did not converge in {max_iters} "
+            f"rounds ({changed} labels still changing); the graph "
+            f"has a pathological diameter — raise max_iters"
         )
-    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("comp_id"))
+    return labels
 
 
 # --------------------------------------------------------------------------
