@@ -503,3 +503,66 @@ def st14_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# st15 — streaming partitioned parquet SINK (foreachBatch, idempotent
+# dynamic-partition overwrite) + read-back audit.
+# --------------------------------------------------------------------------
+@register(
+    "st15_stream_partitioned_sink",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "sink", "foreachBatch", "partitioned"),
+)
+def st15_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → lake: the event stream lands in an hour-partitioned
+    parquet dataset via foreachBatch with DYNAMIC partition overwrite —
+    re-processing a micro-batch rewrites exactly the partitions it
+    touches (idempotent under retries, the exactly-once-by-overwrite
+    recipe), never the whole dataset. The returned frame is the
+    READ-BACK per-(hour, type) count audit, hash-matched against the
+    batch oracle — proving the sink landed every event exactly once.
+
+    Scale notes: each micro-batch repartitions by the partition column
+    before writing so a 1000-task batch doesn't open a file per task
+    per hour; partition dirs mean downstream hourly consumers prune by
+    directory. State: none beyond the file-source log — the sink IS the
+    state."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"st15_sink_{os.getpid()}_" +
+                           sf_dir.strip("/").replace("/", "_"))
+    ev = P.events_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH").alias("hour_part"),
+    )
+
+    def land(batch_df: DataFrame, _eid: int) -> None:
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            batch_df.repartition("hour_part")
+            .write.mode("overwrite")
+            .partitionBy("hour_part")
+            .parquet(out_dir)
+        )
+
+    P.run_foreach_batch(ev, land, output_mode="append")
+    landed = spark.read.parquet(out_dir)
+    return (
+        landed.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
