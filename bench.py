@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "q31_bucketed_segment_revenue",
     "sk04_histogram_percentile_rollup",
     "mm05_frame_perceptual_dedup",
+    "d14_minhash_estimate_accuracy",
+    "q32_asof_event_order",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past
