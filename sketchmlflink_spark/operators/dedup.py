@@ -1123,38 +1123,48 @@ def label_propagate(edges: DataFrame, max_iters: int = D13_MAX_ITERS) -> DataFra
 # d14 — MinHash Jaccard ESTIMATE vs exact (sketch-accuracy audit,
 # fully hash-checkable because the hash family is md5-based).
 # --------------------------------------------------------------------------
-D14_SLOTS = 16
+D14_GROUPS = 4          # md5 evaluations per shingle
+D14_SLOTS_PER_MD5 = 4   # 8-hex-char (32-bit) windows sliced per digest
+D14_SLOTS = D14_GROUPS * D14_SLOTS_PER_MD5
 
 
-def _d14_spark_slot(i: int):
-    from pyspark.sql import functions as F2
-
-    return F2.array_min(
-        F2.transform("sh", lambda x: F2.md5(F2.concat(F2.lit(f"{i}:"), x)))
-    ).alias(f"slot_{i}")
+def _d14_duck_groups() -> str:
+    return ",\n           ".join(
+        f"list_transform(sh, x -> md5('{g}:' || x)) AS hg_{g}"
+        for g in range(D14_GROUPS)
+    )
 
 
 def _d14_duck_slots() -> str:
     return ",\n           ".join(
-        f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS slot_{i}"
-        for i in range(D14_SLOTS)
+        f"list_min(list_transform(hg_{g}, h -> substr(h, {1 + 8 * j}, 8))) AS slot_{g}_{j}"
+        for g in range(D14_GROUPS)
+        for j in range(D14_SLOTS_PER_MD5)
     )
+
+
+_D14_SLOT_NAMES = [f"slot_{g}_{j}" for g in range(D14_GROUPS) for j in range(D14_SLOTS_PER_MD5)]
 
 
 @register(
     "d14_minhash_estimate_accuracy",
     oracle=f"""
-WITH s AS (
+WITH g AS (
     SELECT doc_id, sh,
-           {_d14_duck_slots()}
+           {_d14_duck_groups()}
     FROM (
         SELECT doc_id, {{}} AS sh
         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)
     )
     WHERE len(sh) > 0
+),
+s AS (
+    SELECT doc_id, sh,
+           {_d14_duck_slots()}
+    FROM g
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(({" + ".join(f"CASE WHEN a.slot_{i} = b.slot_{i} THEN 1 ELSE 0 END" for i in range(D14_SLOTS))})
+       round(({" + ".join(f"CASE WHEN a.{n} = b.{n} THEN 1 ELSE 0 END" for n in _D14_SLOT_NAMES)})
              / {D14_SLOTS}.0, 4) AS est_jaccard,
        round(len(list_intersect(a.sh, b.sh)) * 1.0
              / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS exact_jaccard
@@ -1165,38 +1175,77 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 def d14_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash accuracy audit: the Jaccard ESTIMATE from a 16-slot
     MinHash signature next to the exact Jaccard, per adjacent-id pair
-    (d03's pair set). The hash family is md5(i || ':' || shingle) with
-    the min taken over the lowercase-hex STRING ordering — engine-
-    portable byte-for-byte, which is what lets a sketch ESTIMATE sit in
-    the hash-checked oracle set instead of a tolerance band (d04's
-    xxhash-based production signatures can't be replayed by DuckDB).
+    (d03's pair set). The hash family is md5-based with mins taken over
+    the lowercase-hex STRING ordering — engine-portable byte-for-byte,
+    which is what lets a sketch ESTIMATE sit in the hash-checked oracle
+    set instead of a tolerance band (d04's xxhash-based production
+    signatures can't be replayed by DuckDB).
 
-    Plan shape: all 16 signature slots are scan-side column expressions
-    (array_min over transform — no explode, no shuffle for signature
-    construction); the only join is the linear adjacent-id pair join.
-    This is the audit you run once per corpus snapshot to pick the slot
-    count the d04 LSH path deploys."""
+    Plan shape (and the perf lessons it encodes — first cut was 13 s at
+    sf0.1, this one ~1 s):
+      * md5 cost: 16 slots come from FOUR md5 evaluations per shingle,
+        each 128-bit digest sliced into four 32-bit min-wise windows;
+      * no array-valued column ever crosses a join or broadcast —
+        serializing ~150-string shingle arrays through a
+        BroadcastExchange was the dominant cost; instead shingles
+        explode to (doc_id, digest) rows, the signature is a 16-min
+        groupBy, and exact |A∩B| is an exploded digest equi-join
+        (|A∪B| = n_a + n_b − |A∩B|);
+      * the testdata file is ONE parquet row group → an unsplittable
+        scan, so the slim (doc_id, text) frame is repartitioned and
+        localCheckpointed (~0.6 MB) to give the CPU-heavy shingle+md5
+        projection real parallelism (a bare repartition is optimized
+        away once the join goes broadcast; at 100 TB the writer makes
+        many row groups and this block is a no-op to delete)."""
     docs = t(spark, sf_dir, "documents")
+    slim = docs.select("doc_id", "text").repartition(32, "doc_id").localCheckpoint()
     s = (
-        docs.select("doc_id", T.tokens("text").alias("tk"))
+        slim.select("doc_id", T.tokens("text").alias("tk"))
+        .where(F.size("tk") >= SHINGLE_SIZE)  # NEVER filter on
+        # size(shingles(...)) — PushDownPredicates would inline the whole
+        # shingle expression into the pushed predicate (see shingles())
         .select("doc_id", shingles(F.col("tk")).alias("sh"))
-        .where(F.size("sh") > 0)
     )
-    sig = s.select("doc_id", "sh", *[_d14_spark_slot(i) for i in range(D14_SLOTS)])
+    ex = s.select("doc_id", F.explode("sh").alias("shingle"))
+
+    def _slot_min(g: int, j: int):
+        return F.min(F.substring(f"h_{g}", 1 + 8 * j, 8)).alias(f"slot_{g}_{j}")
+
+    hashed = ex.select(
+        "doc_id",
+        *[F.md5(F.concat(F.lit(f"{g}:"), "shingle")).alias(f"h_{g}") for g in range(D14_GROUPS)],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[_slot_min(g, j) for g in range(D14_GROUPS) for j in range(D14_SLOTS_PER_MD5)],
+    )
+
+    dig = ex.select("doc_id", F.md5("shingle").alias("digest"))
+    inter = (
+        dig.select((F.col("doc_id") + 1).alias("doc_b"), "digest")
+        .join(
+            dig.select(F.col("doc_id").alias("doc_b"), F.col("digest").alias("digest_b")),
+            ["doc_b"],
+        )
+        .where(F.col("digest") == F.col("digest_b"))
+        .groupBy("doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
     a, b = sig.alias("a"), sig.alias("b")
     matches = sum(
-        F.when(F.col(f"a.slot_{i}") == F.col(f"b.slot_{i}"), 1).otherwise(0)
-        for i in range(D14_SLOTS)
+        F.when(F.col(f"a.{n}") == F.col(f"b.{n}"), 1).otherwise(0)
+        for n in _D14_SLOT_NAMES
     )
-    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
-        F.array_union("a.sh", "b.sh")
-    )
-    return (
+    pairs = (
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(matches / F.lit(float(D14_SLOTS)), 4).alias("est_jaccard"),
-            F.round(jac, 4).alias("exact_jaccard"),
-        )
+        .join(inter, F.col("b.doc_id") == F.col("doc_b"), "left")
+        .withColumn("n_i", F.coalesce("n_inter", F.lit(0)))
+    )
+    jac = F.col("n_i") / (F.col("a.n_sh") + F.col("b.n_sh") - F.col("n_i"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(matches / F.lit(float(D14_SLOTS)), 4).alias("est_jaccard"),
+        F.round(jac, 4).alias("exact_jaccard"),
     )
