@@ -344,7 +344,7 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY sig ORDER BY doc_id, frame_idx) AS rn
   FROM s
 )
-SELECT sig,
+SELECT CAST(sig AS BIGINT) AS sig,
        CAST(count(*) AS BIGINT) AS n_frames,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        max(CASE WHEN rn = 1 THEN doc_id END)    AS keeper_doc_id,
