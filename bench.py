@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "mm05_frame_perceptual_dedup",
     "d14_minhash_estimate_accuracy",
     "q32_asof_event_order",
+    "p07_sequence_packing",
 ]
 
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past

@@ -447,3 +447,81 @@ def p06_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("epoch_idx").cast("int").alias("epoch_idx"))
     )
+
+
+# --------------------------------------------------------------------------
+# p07 — sequence packing: contiguous token-budget assignment (the
+# pretraining sequence-construction op), via a SCALABLE two-phase
+# prefix sum instead of a single-partition global window.
+# --------------------------------------------------------------------------
+P07_BUDGET = 2048      # tokens per packed training sequence
+P07_BUCKET = 256       # docs per prefix-sum bucket (stage-1 granularity)
+
+
+@register(
+    "p07_sequence_packing",
+    oracle=f"""
+WITH n AS (
+    SELECT doc_id, len({_duck_tokens()}) AS n_tokens FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens AS cum_before
+    FROM n
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT)                    AS n_tokens,
+       CAST(floor(cum_before / {P07_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {P07_BUDGET} AS BIGINT)   AS seq_offset
+FROM c
+""",
+    tags=("pipeline", "packing", "sequences"),
+)
+def p07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents are concatenated in doc_id order and
+    split into {P07_BUDGET}-token training sequences; each doc gets the
+    sequence id and offset where it STARTS — the manifest a pretraining
+    data loader consumes (the doc/boundary split itself happens at
+    tokenization time from (seq_id, seq_offset)).
+
+    The interesting part is HOW the running token total is computed.
+    The naive form is a global ORDER BY window — a single-partition
+    sort that serializes the whole corpus through one task at 100 TB.
+    Instead: classic two-phase prefix sum. Stage 1 computes per-bucket
+    token totals (doc_id div {P07_BUCKET}); the bucket-prefix frame is
+    corpus_size/{P07_BUCKET} rows (tiny), so its own running sum is a
+    cheap small-frame window; stage 2 broadcasts those bucket prefixes
+    back and adds a WITHIN-bucket running sum, which partitions by
+    bucket and parallelizes perfectly. The oracle uses the naive global
+    window — same answer, different physics."""
+    docs = t(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / P07_BUCKET).cast("long").alias("bucket"),
+    )
+    bucket_totals = n.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_prefix = bucket_totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_bucket), F.lit(0)).alias("bucket_prefix"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        n.join(F.broadcast(bucket_prefix), "bucket")
+        .withColumn(
+            "cum_before",
+            F.col("bucket_prefix") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+        )
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("cum_before") / P07_BUDGET).cast("long").alias("seq_id"),
+        (F.col("cum_before") % P07_BUDGET).cast("long").alias("seq_offset"),
+    )
