@@ -80,6 +80,35 @@ EXPECTED = {
         ),
         "o_orderpriority": (pa.string(), pa.large_string()),
     },
+    # dimension tables: join keys must keep integer types (int32/int64
+    # both join fine against each other in Spark AND DuckDB)
+    "customer": {
+        "c_custkey": (pa.int64(), pa.int32()),
+        "c_nationkey": (pa.int32(), pa.int64()),
+        "c_acctbal": (pa.float64(),),
+        "c_mktsegment": (pa.string(), pa.large_string()),
+    },
+    "supplier": {
+        "s_suppkey": (pa.int64(), pa.int32()),
+        "s_nationkey": (pa.int32(), pa.int64()),
+        "s_acctbal": (pa.float64(),),
+    },
+    "part": {
+        "p_partkey": (pa.int64(), pa.int32()),
+        "p_size": (pa.int32(), pa.int64()),
+        "p_retailprice": (pa.float64(),),
+        "p_brand": (pa.string(), pa.large_string()),
+        "p_type": (pa.string(), pa.large_string()),
+    },
+    "nation": {
+        "n_nationkey": (pa.int32(), pa.int64()),
+        "n_regionkey": (pa.int32(), pa.int64()),
+        "n_name": (pa.string(), pa.large_string()),
+    },
+    "region": {
+        "r_regionkey": (pa.int32(), pa.int64()),
+        "r_name": (pa.string(), pa.large_string()),
+    },
 }
 
 
