@@ -89,8 +89,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-ORDER BY list_dot_product(a.v, b.v)
-         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) DESC,
+ORDER BY round(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
          a.vec_id, b.vec_id
 LIMIT 20
 """,
@@ -98,18 +98,24 @@ LIMIT 20
 )
 def s02_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs top-20 — the embedding-cosine near-dup check.
-    O(n²): correctness anchor at test scale; d04/s03 are the scale
-    paths (LSH candidates instead of the cross product)."""
+    Exact all-pairs is inherently O(n²) FLOPs, but since round 3 the
+    pairs come from d06's distributed block-pair dgemm kernel
+    (`exact_cosine_pairs` at threshold −1 = every pair) instead of a
+    Catalyst cross-join: task memory is bounded by two blocks, the
+    FLOPs run in numpy dgemm, and the global top-20 is a
+    TakeOrderedAndProject over the kernel's output (20 rows per
+    partition cross the shuffle, not the n²/2 pair stream). Ordering
+    is on the 6dp-ROUNDED cosine + ids in both engines, so boundary
+    ties are deterministic. d04/s03 remain the sub-quadratic scale
+    paths (LSH candidates instead of all pairs)."""
+    from sketchmlflink_spark.operators.dedup import exact_cosine_pairs
+
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    pairs = exact_cosine_pairs(emb, threshold=-1.01)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos"))
-        .orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b"))
+        pairs.orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .select("id_a", "id_b", "cosine")
     )
 
 
