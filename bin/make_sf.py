@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Deterministic scale-up of the driver testdata tables.
+
+Replicates a source sf dir ``factor`` times with key offsets that
+preserve referential integrity exactly (copy 0 is the identity, so the
+source data is a subset of the output):
+
+  customer.c_custkey   += i * (max_custkey + 1)
+  orders.o_orderkey    += i * (max_orderkey + 1), o_custkey follows customer
+  lineitem.l_orderkey  follows orders, l_partkey/l_suppkey follow part/supplier
+  events.event_id/user_id offset by their own domain sizes
+  documents.doc_id offset; text perturbed per copy (" v<i>" suffix) so the
+    corpus is not 10x exact duplicates; n_chars recomputed = len(text)
+  embeddings.vec_id offset; per-copy seeded gaussian jitter (sigma=0.01)
+    so ANN neighbours are near- rather than exact-duplicates
+
+region/nation are dimension tables and are copied verbatim.
+
+Everything is seeded — same (src, factor, seed) in, same bytes out —
+so an sf1 fixture set can be regenerated anywhere from the driver's
+sf0.1 data.  Used for the VERDICT r3 item 1 "prove it at sf1" runs.
+
+Usage: python bin/make_sf.py [--src /root/testdata/sf0.1] \
+                             [--dst testdata_sf1] [--factor 10] [--seed 42]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# (table, key columns to offset keyed by the domain table that owns them)
+# domain -> (table that defines the domain, its key column)
+DOMAINS = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+
+def domain_sizes(con: duckdb.DuckDBPyConnection, src: str) -> dict[str, int]:
+    sizes = {}
+    for dom, (table, col) in DOMAINS.items():
+        (mx,) = con.execute(
+            f"SELECT max({col}) FROM read_parquet('{src}/{table}.parquet')"
+        ).fetchone()
+        sizes[dom] = int(mx) + 1
+    return sizes
+
+
+def scale_sql_tables(con, src: str, dst: str, factor: int, d: dict[str, int]) -> None:
+    """Relational tables via one DuckDB COPY each (cross join with range(factor))."""
+    plans = {
+        "region": "r_regionkey, r_name",
+        "nation": "n_nationkey, n_name, n_regionkey",
+        "customer": (
+            f"c_custkey + i*{d['custkey']} AS c_custkey, c_name, c_nationkey, "
+            "c_acctbal, c_mktsegment"
+        ),
+        "supplier": (
+            f"s_suppkey + i*{d['suppkey']} AS s_suppkey, s_name, s_nationkey, s_acctbal"
+        ),
+        "part": (
+            f"p_partkey + i*{d['partkey']} AS p_partkey, p_name, p_brand, p_type, "
+            "p_size, p_retailprice"
+        ),
+        "orders": (
+            f"o_orderkey + i*{d['orderkey']} AS o_orderkey, "
+            f"o_custkey + i*{d['custkey']} AS o_custkey, "
+            "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+        ),
+        "lineitem": (
+            f"l_orderkey + i*{d['orderkey']} AS l_orderkey, "
+            f"l_partkey + i*{d['partkey']} AS l_partkey, "
+            f"l_suppkey + i*{d['suppkey']} AS l_suppkey, "
+            "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+            "l_returnflag, l_linestatus, l_shipdate"
+        ),
+        "events": (
+            f"event_id + i*{d['event_id']} AS event_id, ts, "
+            f"user_id + i*{d['user_id']} AS user_id, event_type, value, props"
+        ),
+        "documents": (
+            f"doc_id + i*{d['doc_id']} AS doc_id, "
+            "CASE WHEN i = 0 THEN text ELSE text || ' v' || i::VARCHAR END AS text, "
+            "lang, source, "
+            "length(CASE WHEN i = 0 THEN text ELSE text || ' v' || i::VARCHAR END)"
+            "::BIGINT AS n_chars"
+        ),
+    }
+    for table, cols in plans.items():
+        reps = 1 if table in ("region", "nation") else factor
+        con.execute(
+            f"COPY (SELECT {cols} "
+            f"FROM read_parquet('{src}/{table}.parquet') "
+            f"CROSS JOIN range({reps}) t(i) "
+            f"ORDER BY i) "
+            f"TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"  {table}: x{reps}", flush=True)
+
+
+def scale_embeddings(src: str, dst: str, factor: int, seed: int, d: dict[str, int]) -> None:
+    t = pq.read_table(f"{src}/embeddings.parquet")
+    vec_id = t.column("vec_id").to_numpy()
+    emb = np.stack(t.column("embedding").to_pylist()).astype(np.float32)
+    label = t.column("label").to_numpy()
+    n, dim = emb.shape
+    ids, vecs, labels = [], [], []
+    for i in range(factor):
+        rng = np.random.default_rng(seed + i)
+        jitter = 0.0 if i == 0 else rng.normal(0.0, 0.01, size=emb.shape).astype(np.float32)
+        ids.append(vec_id + i * d["vec_id"])
+        vecs.append(emb + jitter)
+        labels.append(label)
+    all_vecs = np.concatenate(vecs)
+    out = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(all_vecs.reshape(-1), type=pa.float32()), dim
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(np.concatenate(labels), type=pa.int32()),
+        }
+    )
+    pq.write_table(out, f"{dst}/embeddings.parquet")
+    print(f"  embeddings: x{factor} (jitter sigma=0.01)", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="testdata_sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    os.makedirs(args.dst, exist_ok=True)
+    con = duckdb.connect()
+    d = domain_sizes(con, args.src)
+    print(f"domain sizes: {d}", flush=True)
+    scale_sql_tables(con, args.src, args.dst, args.factor, d)
+    scale_embeddings(args.src, args.dst, args.factor, args.seed, d)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        (n,) = con.execute(
+            f"SELECT count(*) FROM read_parquet('{args.dst}/{t}.parquet')"
+        ).fetchone()
+        print(f"{t}: {n} rows", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,11 @@
 and a final tally — the reproducible backing for SURVEY.md §8 status
 claims.
 
-Usage: python bin/oracle_sweep.py [sf_dir]
+Usage: python bin/oracle_sweep.py [sf_dir] [--skip name1,name2]
+
+--skip applies the BASELINE.md scale guard at SF >= 1: the labeled
+quadratic correctness anchors (s01/s02, and d06 past its replication
+budget) are excluded from large-scale sweeps by name.
 """
 
 from __future__ import annotations
@@ -17,7 +21,14 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+SKIP: set[str] = set()
+for _a in sys.argv[1:]:
+    if _a.startswith("--skip"):
+        SKIP = set(_a.split("=", 1)[1].split(",")) if "=" in _a else set(
+            sys.argv[sys.argv.index(_a) + 1].split(",")
+        )
 
 
 def main() -> None:
@@ -32,6 +43,9 @@ def main() -> None:
 
     n_hash = n_rows_only = n_fail = 0
     for name, q in queries.items():
+        if name in SKIP:
+            print(f"{name:40s} skip  (scale guard)", flush=True)
+            continue
         t0 = time.monotonic()
         try:
             df = q.build(spark, SF_DIR)
@@ -56,10 +70,12 @@ def main() -> None:
         print(f"{name:40s} {kind:5s} {status:4s} {dt:6.2f}s"
               + ("" if ok else "  " + "; ".join(problems[:3])), flush=True)
 
-    total = len(queries)
+    skipped = SKIP & set(queries)
+    total = len(queries) - len(skipped)
     print(
         f"\nSWEEP {SF_DIR}: {n_hash} hash-matched + {n_rows_only} rows-only OK "
         f"= {n_hash + n_rows_only}/{total} green, {n_fail} failed"
+        + (f" ({len(skipped)} skipped by scale guard: {sorted(skipped)})" if skipped else "")
     )
     spark.stop()
     sys.exit(1 if n_fail else 0)

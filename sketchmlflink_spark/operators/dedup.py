@@ -338,6 +338,12 @@ def d05_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 COSINE_DUP_THRESHOLD = 0.4
 D06_BLOCK_ROWS = 4096  # target rows per block: task memory = 2·block·dim doubles
+# Replication budget: the block-pair shuffle writes n_blocks copies of the
+# corpus (shuffle rows = n_blocks·n, see _replicate_blocks). 64 blocks ≈
+# 64× replication ≈ 2⁶·|data| shuffle bytes — already generous for an
+# exact-anchor operator. Past this the O(n²) flops are the real problem
+# anyway: use d07 (LSH candidates + the same dgemm kernel as verify).
+D06_MAX_BLOCKS = 64
 
 
 @register(
@@ -382,26 +388,13 @@ def d06_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_cosine_pairs(emb)
 
 
-def exact_cosine_pairs(
-    emb: DataFrame,
-    threshold: float = COSINE_DUP_THRESHOLD,
-    block_rows: int = D06_BLOCK_ROWS,
-) -> DataFrame:
-    """The d06 distributed block-pair dgemm as a reusable kernel:
-    (vec_id, v) → all unordered pairs with cosine >= threshold. See
-    d06_embed_cosine_neardup for the full scale rationale."""
-    import math
-
-    import numpy as np
-    import pandas as pd
-
-    n = emb.count()  # distributed scalar, not a collect
-    n_blocks = max(1, math.ceil(n / block_rows))
-
+def _replicate_blocks(emb: DataFrame, n_blocks: int) -> DataFrame:
+    """Block-pair replication for the exact dgemm: each row lands in the
+    n_blocks (pi <= pj) block-pair groups it participates in — shuffle
+    row count is EXACTLY n_blocks·n (pinned by tests/test_dedup.py).
+    For other == blk the (u, u) triangle group is emitted exactly once."""
     blk = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
-    # replicate each row to every block-pair (least, greatest) it joins;
-    # for other == blk the (u, u) triangle group is emitted exactly once
-    replicated = (
+    return (
         emb.withColumn("blk", blk)
         .select(
             "vec_id",
@@ -417,6 +410,45 @@ def exact_cosine_pairs(
             F.greatest("blk", "other").alias("pj"),
         )
     )
+
+
+def exact_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    block_rows: int | None = None,
+    max_blocks: int | None = None,
+) -> DataFrame:
+    """The d06 distributed block-pair dgemm as a reusable kernel:
+    (vec_id, v) → all unordered pairs with cosine >= threshold. See
+    d06_embed_cosine_neardup for the full scale rationale.
+
+    block_rows/max_blocks default to the module constants resolved at
+    CALL time (not def time) so tests can monkeypatch D06_BLOCK_ROWS."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if block_rows is None:
+        block_rows = D06_BLOCK_ROWS
+    if max_blocks is None:
+        max_blocks = D06_MAX_BLOCKS
+
+    n = emb.count()  # distributed scalar, not a collect
+    n_blocks = max(1, math.ceil(n / block_rows))
+    if n_blocks > max_blocks:
+        raise ValueError(
+            f"exact_cosine_pairs: {n} rows at block_rows={block_rows} needs "
+            f"{n_blocks} blocks — shuffle volume would be {n_blocks}x the "
+            f"corpus ({n_blocks}·n = {n_blocks * n} shuffle rows), past the "
+            f"replication budget max_blocks={max_blocks}. Exact "
+            "all-pairs is a correctness anchor, not the scale path: use "
+            "d07_embed_lsh_candidate_verify (LSH candidates + this same "
+            "dgemm kernel as verify), or raise block_rows if task memory "
+            "(2·block_rows·dim·8 bytes) allows."
+        )
+
+    replicated = _replicate_blocks(emb, n_blocks)
 
     def pair_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pi, pj = key

@@ -451,3 +451,35 @@ def test_d12_decontamination_planted(spark):
     assert set(out) == {21, 22}
     assert out[21]["is_contaminated"] and out[21]["n_overlap"] == 1
     assert not out[22]["is_contaminated"] and out[22]["n_overlap"] == 0
+
+
+def test_d06_replication_is_exactly_nblocks_times_n(spark):
+    """The block-pair shuffle's row count is the whole scale story of
+    the exact anchor: pin shuffle rows == n_blocks * n (VERDICT r3
+    "what's wrong" #3 — replication must be measured, not assumed)."""
+    from sketchmlflink_spark.operators.dedup import _replicate_blocks
+    from sketchmlflink_spark.functions.vector import as_double_array
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", as_double_array("embedding").alias("v"))
+    )
+    n = emb.count()
+    for n_blocks in (1, 3, 5):
+        assert _replicate_blocks(emb, n_blocks).count() == n_blocks * n
+
+
+def test_d06_replication_budget_raises_loudly(spark):
+    """Past D06_MAX_BLOCKS the exact kernel must refuse (pointing at
+    d07) instead of silently exploding shuffle volume."""
+    import pytest as _pytest
+
+    from sketchmlflink_spark.operators.dedup import exact_cosine_pairs
+    from sketchmlflink_spark.functions.vector import as_double_array
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", as_double_array("embedding").alias("v"))
+    )
+    with _pytest.raises(ValueError, match="replication budget"):
+        exact_cosine_pairs(emb, block_rows=2)  # 500 rows -> 250 blocks

@@ -250,3 +250,16 @@ def test_q31_bucketed_join_no_join_shuffle(spark, queries):
     assert "SortMergeJoin" in body
     assert plan.count("Bucketed: true") == 2, plan
     assert body.count("Exchange") == 1, body  # segment rollup only
+
+
+def test_sk02_single_events_scan(spark):
+    """sk02's CMS build must derive its point-query domain from the SAME
+    single pass that builds the sketch (VERDICT r3 nit: a second
+    distinct scan doubled the query's I/O at scale)."""
+    from sketchmlflink_spark.operators.sketch_aggs import sk02_build_agg
+    from sketchmlflink_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    plan = formatted_plan(spark, sk02_build_agg(ev))
+    body = plan.split("\n\n")[0]
+    assert body.count("Scan parquet") == 1, body
