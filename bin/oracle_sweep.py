@@ -41,7 +41,7 @@ def main() -> None:
     con = duck_connection(SF_DIR)
     queries = all_queries()
 
-    n_hash = n_rows_only = n_fail = 0
+    n_hash = n_rows_only = n_band = n_fail = 0
     for name, q in queries.items():
         if name in SKIP:
             print(f"{name:40s} skip  (scale guard)", flush=True)
@@ -53,6 +53,12 @@ def main() -> None:
                 problems = compare_query(df, con, q.oracle)
                 ok = not problems
                 kind = "hash"
+                if not ok and q.band is not None:
+                    # approximate estimator past its exact regime:
+                    # fall back to its documented tolerance band
+                    problems = compare_query(df, con, q.oracle, rel_tol=q.band)
+                    ok = not problems
+                    kind = f"band{q.band}"
             else:
                 ok = df.count() >= 1
                 problems = [] if ok else ["empty result"]
@@ -62,6 +68,8 @@ def main() -> None:
         dt = time.monotonic() - t0
         if ok and kind == "hash":
             n_hash += 1
+        elif ok and kind.startswith("band"):
+            n_band += 1
         elif ok:
             n_rows_only += 1
         else:
@@ -73,8 +81,9 @@ def main() -> None:
     skipped = SKIP & set(queries)
     total = len(queries) - len(skipped)
     print(
-        f"\nSWEEP {SF_DIR}: {n_hash} hash-matched + {n_rows_only} rows-only OK "
-        f"= {n_hash + n_rows_only}/{total} green, {n_fail} failed"
+        f"\nSWEEP {SF_DIR}: {n_hash} hash-matched + {n_band} band-matched + "
+        f"{n_rows_only} rows-only OK "
+        f"= {n_hash + n_band + n_rows_only}/{total} green, {n_fail} failed"
         + (f" ({len(skipped)} skipped by scale guard: {sorted(skipped)})" if skipped else "")
     )
     spark.stop()

@@ -572,7 +572,8 @@ def q18_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_cube_parts",
     oracle="""
 SELECT p_brand, p_type,
-       round(avg(p_retailprice), 4) AS avg_price,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_price,
        CAST(count(*) AS BIGINT)     AS n_parts
 FROM part
 WHERE p_size <= 25
@@ -582,10 +583,18 @@ GROUP BY CUBE (p_brand, p_type)
 )
 def q19_cube_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE = all 4 grouping sets in one pass (Expand + single hash
-    aggregate — no re-scan per grouping set)."""
+    aggregate — no re-scan per grouping set). The average rides an
+    exact DECIMAL sum (prices are 2-decimal grained) instead of
+    avg(double): float-sum order differs between engines and partial-agg
+    trees, which flipped the 4th decimal at sf1 — decimal accumulation
+    makes the result bit-deterministic at every scale."""
     part = t(spark, sf_dir, "part").where(F.col("p_size") <= 25)
     return part.cube("p_brand", "p_type").agg(
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.round(
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_price"),
         F.count(F.lit(1)).alias("n_parts"),
     )
 
@@ -1101,7 +1110,10 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
     import shutil
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # pid in the tag (like p04/st15): two processes sharing the default
+    # warehouse dir (pytest + oracle_sweep) must never see each other's
+    # half-written table location (ADVICE r3)
+    tag = f"{os.getpid()}_" + sf_dir.strip("/").replace("/", "_").replace(".", "_")
     t_orders, t_customer = f"b_orders_{tag}", f"b_customer_{tag}"
 
     def _write(table: str, src: str, key: str) -> None:

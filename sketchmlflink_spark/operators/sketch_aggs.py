@@ -43,6 +43,11 @@ FROM events
 GROUP BY event_type
 """,
     tags=("sketch", "hll", "rollup"),
+    # HLL lgK=16 is exact through the driver's check scales (sparse
+    # regime); past ~10k distinct per cell the estimator takes its
+    # documented RSE (~0.4% at lgK 16; measured +0.52% at sf1's 15k
+    # users/type) — the sweep's band compare covers that regime.
+    band=0.02,
 )
 def sk01_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(day, type) HLL sketches of user_id, merged per type with

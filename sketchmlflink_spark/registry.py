@@ -24,18 +24,33 @@ class EngineQuery:
     oracle: Optional[str]  # DuckDB SQL, or None → rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Approximate-estimator tolerance: None → exact hash semantics.
+    # A float (e.g. 0.02) documents the estimator's error band; the
+    # local sweep falls back to a band compare when the exact check
+    # fails at scales past the estimator's exact regime (the driver's
+    # own comparator ignores this and stays exact at its sf).
+    band: Optional[float] = None
 
 
 _REGISTRY: dict[str, EngineQuery] = {}
 
 
-def register(name: str, oracle: Optional[str] = None, doc: str = "", tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    oracle: Optional[str] = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    band: Optional[float] = None,
+):
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the catalog."""
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = EngineQuery(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        _REGISTRY[name] = EngineQuery(
+            name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
+            tags=tags, band=band,
+        )
         return fn
 
     return wrap
@@ -51,7 +66,7 @@ _PRIORITY = (
     # §2-core ML (the reference's own surface — never skip these)
     "m01_linear_predict", "m02_dimension_inference", "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics", "m05_sgd_sparse_metrics", "m06_libsvm_cli_e2e",
-    "m07_lr_schedule_sweep",
+    "m07_lr_schedule_sweep", "m08_csvline_report",
     # streaming representatives (hash-checked windowed agg + sketch state)
     "st01_stream_hourly_counts", "st07_stream_sketch_profile",
     # sketch-typed aggregates
@@ -76,7 +91,7 @@ _PRIORITY = (
     "q22_asof_click_to_view", "q23_pivot_daily_events", "q24_revenue_moving_avg",
     "q25_batch_sessionize", "q26_grouping_sets_orders", "q27_sole_supplier_orders",
     "q28_order_value_deciles", "q13_events_json_bucket", "q15_promo_revenue_share",
-    "q17_big_orders", "q19_cube_parts",
+    "q17_big_orders",
     # round-3 headliners: graph-closure dedup, bucketed-layout join,
     # BM25 lexical retrieval
     "d13_dup_graph_components", "q31_bucketed_segment_revenue",

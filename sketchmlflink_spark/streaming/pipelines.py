@@ -33,6 +33,7 @@ def stream_dir_for(path: str) -> str:
     tables are single parquet files in a read-only tree. Expose a file
     as a stable temp directory containing a symlink to it (a real
     deployment would just point at the ingest directory)."""
+    path = os.path.abspath(path)  # a relative target would dangle from /tmp
     d = os.path.join(
         tempfile.gettempdir(),
         "stream_src_" + path.strip("/").replace("/", "_"),
@@ -274,6 +275,27 @@ def run_to_batch(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def land_partitioned(batch_df: DataFrame, eid: int, out_dir: str) -> None:
+    """The st15 sink recipe: dynamic-partition overwrite keyed on
+    (hour_part, _epoch). Retrying epoch e rewrites exactly the
+    (hour, e) partitions it wrote before (idempotent); a different
+    epoch landing rows for the same hour writes DIFFERENT partitions,
+    so multi-batch ingestion of one hour never drops earlier rows
+    (ADVICE r3: plain hour-keyed overwrite silently lost them).
+    Repartition by hour so a wide batch doesn't open a file per task
+    per hour."""
+    batch_df.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    (
+        batch_df.withColumn("_epoch", F.lit(int(eid)))
+        .repartition("hour_part")
+        .write.mode("overwrite")
+        .partitionBy("hour_part", "_epoch")
+        .parquet(out_dir)
+    )
 
 
 def run_foreach_batch(

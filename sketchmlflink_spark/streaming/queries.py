@@ -533,12 +533,16 @@ GROUP BY 1, 2
 )
 def st15_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming → lake: the event stream lands in an hour-partitioned
-    parquet dataset via foreachBatch with DYNAMIC partition overwrite —
-    re-processing a micro-batch rewrites exactly the partitions it
-    touches (idempotent under retries, the exactly-once-by-overwrite
-    recipe), never the whole dataset. The returned frame is the
-    READ-BACK per-(hour, type) count audit, hash-matched against the
-    batch oracle — proving the sink landed every event exactly once.
+    parquet dataset via foreachBatch with DYNAMIC partition overwrite
+    at (hour, epoch) granularity: a RETRIED micro-batch rewrites
+    exactly its own (hour_part, _epoch) partitions (idempotent under
+    retries, the exactly-once-by-overwrite recipe) while DISTINCT
+    epochs never clobber each other — so the sink stays correct even
+    when the file source splits an hour's input across micro-batches
+    (multi-file dirs, maxFilesPerTrigger; ADVICE r3). The returned
+    frame is the READ-BACK per-(hour, type) count audit, hash-matched
+    against the batch oracle — proving the sink landed every event
+    exactly once.
 
     Scale notes: each micro-batch repartitions by the partition column
     before writing so a 1000-task batch doesn't open a file per task
@@ -555,18 +559,9 @@ def st15_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH").alias("hour_part"),
     )
 
-    def land(batch_df: DataFrame, _eid: int) -> None:
-        batch_df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        (
-            batch_df.repartition("hour_part")
-            .write.mode("overwrite")
-            .partitionBy("hour_part")
-            .parquet(out_dir)
-        )
-
-    P.run_foreach_batch(ev, land, output_mode="append")
+    P.run_foreach_batch(
+        ev, lambda bdf, eid: P.land_partitioned(bdf, eid, out_dir), output_mode="append"
+    )
     landed = spark.read.parquet(out_dir)
     return (
         landed.groupBy(

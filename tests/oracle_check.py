@@ -51,8 +51,14 @@ def _sort_key(row):
     return tuple((x is None, str(x)) for x in row)
 
 
-def compare_query(spark_df, con, sql: str) -> list[str]:
-    """Returns a list of human-readable diffs; empty == match."""
+def compare_query(spark_df, con, sql: str, rel_tol: float = 1e-9) -> list[str]:
+    """Returns a list of human-readable diffs; empty == match.
+
+    ``rel_tol`` loosens the numeric comparison for approximate-estimator
+    queries whose EngineQuery carries a documented tolerance band (e.g.
+    sk01's HLL estimate past its sparse-exact regime): floats AND
+    integer estimates compare within the band instead of exactly. The
+    default keeps the strict behavior (ints exact, floats 1e-9)."""
     problems: list[str] = []
     spark_rows = spark_df.collect()
     spark_cols = sorted(spark_df.columns)
@@ -78,8 +84,17 @@ def compare_query(spark_df, con, sql: str) -> list[str]:
             if isinstance(sv, float) and isinstance(dv, float):
                 if not (
                     (math.isnan(sv) and math.isnan(dv))
-                    or math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-9)
+                    or math.isclose(sv, dv, rel_tol=rel_tol, abs_tol=1e-9)
                 ):
+                    problems.append(f"row {i} col {c}: spark={sv!r} duck={dv!r}")
+            elif (
+                rel_tol > 1e-9
+                and isinstance(sv, (int, float))
+                and isinstance(dv, (int, float))
+                and not isinstance(sv, bool)
+                and not isinstance(dv, bool)
+            ):
+                if not math.isclose(sv, dv, rel_tol=rel_tol):
                     problems.append(f"row {i} col {c}: spark={sv!r} duck={dv!r}")
             elif sv != dv:
                 problems.append(f"row {i} col {c}: spark={sv!r} duck={dv!r}")

@@ -151,3 +151,24 @@ def test_incremental_sgd_multi_batch_converges(spark, tmp_path):
     denom = max(float(np.linalg.norm(full.weights)), 1e-9)
     rel = float(np.linalg.norm(state["w"] - full.weights)) / denom
     assert rel < 0.5, f"incremental model too far from batch model: rel={rel:.3f}"
+
+
+def test_st15_sink_multi_batch_and_retry_safe(spark, tmp_path):
+    """The (hour_part, _epoch) overwrite grain: two epochs landing rows
+    in the SAME hour coexist, and a retried epoch replaces only its own
+    slice (ADVICE r3 — hour-grain overwrite dropped earlier batches)."""
+    from sketchmlflink_spark.streaming.pipelines import land_partitioned
+
+    out = str(tmp_path / "sink")
+    schema = "event_id long, hour_part string, event_type string"
+    b0 = spark.createDataFrame([(1, "2024-01-01-00", "a"), (2, "2024-01-01-01", "b")], schema)
+    b1 = spark.createDataFrame([(3, "2024-01-01-00", "c")], schema)
+
+    land_partitioned(b0, 0, out)
+    land_partitioned(b1, 1, out)  # same hour 00 as epoch 0
+    got = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3}  # multi-batch hour kept both epochs
+
+    land_partitioned(b0, 0, out)  # retry of epoch 0: idempotent
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
