@@ -216,7 +216,9 @@ def m08_csvline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 HASH_DIM = 1 << 17  # 131072 — wide-sparse regime (dim ≥ 1e5)
 
 
-def _sparse_training_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sparse_training_df(
+    spark: SparkSession, sf_dir: str, hash_dim: int = None
+) -> DataFrame:
     """Wide sparse COO training set via the hashing trick over document
     tokens: indices = hash(token) mod 2^17, values = 1.0 per occurrence
     (a multiset feature map — duplicate indices sum downstream). The
@@ -233,7 +235,7 @@ def _sparse_training_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            F.transform(toks, lambda tk: F.pmod(F.hash(tk), F.lit(HASH_DIM)).cast("int")).alias(
+            F.transform(toks, lambda tk: F.pmod(F.hash(tk), F.lit(hash_dim or HASH_DIM)).cast("int")).alias(
                 "indices"
             ),
             F.transform(toks, lambda _: F.lit(1.0)).alias("values"),
@@ -266,6 +268,35 @@ def m05_sgd_sparse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlr.fit_evaluate_report(
         spark, df, input_file="documents_hashing_trick", max_dim=HASH_DIM, dim=HASH_DIM,
         split_key="doc_id",
+    ).select(*DET_COLS)
+
+
+HASH_DIM_WIDE = 1 << 20  # 1,048,576 — the reference's maxDim-in-the-millions axis
+
+
+@register(
+    "m09_sgd_million_dim",
+    oracle=_det_oracle(
+        "Sketch", 3, 0.01, "Sketch", "documents_hashing_trick_1m", HASH_DIM_WIDE,
+        "SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 4 = 3",
+    ),
+    tags=("ml", "train", "sparse-arm", "wide-dim"),
+)
+def m09_sgd_million_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m05's sparse arm at dim 2^20 ≈ 1e6 — the reference's maxDim
+    stress axis (Test.scala:150, runtest.sh:34-36). Every structure
+    except the dense model vector (8 MB broadcast, by design) stays
+    O(nnz): COO blocks, compress_kv partials, kv-merge combine hops.
+    tests/test_sgd.py::test_widedim_payload_is_o_nnz pins the shipped
+    payload bound; tests/test_sketch_codec.py proves the codec at a
+    dim where densifying is physically impossible (2^33 → 64 GiB)."""
+    from sketchmlflink_spark.ml.regression import MultipleLinearRegression
+
+    df = _sparse_training_df(spark, sf_dir, hash_dim=HASH_DIM_WIDE)
+    mlr = MultipleLinearRegression(iterations=3, step_size=0.01, compression="Sketch")
+    return mlr.fit_evaluate_report(
+        spark, df, input_file="documents_hashing_trick_1m",
+        max_dim=HASH_DIM_WIDE, dim=HASH_DIM_WIDE, split_key="doc_id",
     ).select(*DET_COLS)
 
 

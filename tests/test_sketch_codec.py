@@ -128,3 +128,35 @@ def test_serialization_roundtrip():
 
 def test_count_nnz():
     assert SK.count_nnz(np.array([0.0, 1e-12, 3.0, -2.0])) == 2
+
+
+def test_kv_codec_at_physically_impossible_dim():
+    """compress_kv / merge / decompress_kv at dim 2^33: a dense buffer
+    would be 64 GiB, so the mere fact this runs proves the kv path
+    never densifies on the combine/ship side (the dense model vector
+    at the DRIVER is the only dim-sized structure in training, by
+    design)."""
+    import numpy as np
+
+    from sketchmlflink_spark.config import SketchConfig
+    from sketchmlflink_spark.ml import sketch as SK
+
+    dim = 1 << 33
+    cfg = SketchConfig(compression_type="Sketch", auto_fallback_nnz=0)
+    rng = np.random.default_rng(3)
+    ka = np.unique(rng.integers(0, dim, 1500))
+    kb = np.unique(rng.integers(0, dim, 1500))
+    a = SK.compress_kv(ka, rng.normal(size=ka.size), cfg, dim)
+    b = SK.compress_kv(kb, rng.normal(size=kb.size), cfg, dim)
+    assert a.payload_bytes() < 200_000 and b.payload_bytes() < 200_000
+
+    m = SK.merge(a, b, cfg, dim)
+    assert m.payload_bytes() < 400_000
+    keys, vals = SK.decompress_kv(m)
+    assert set(keys) == set(np.concatenate([ka, kb]))
+    assert vals.shape == keys.shape
+    rt = SK.to_bytes(m)
+    assert len(rt) < 400_000
+    m2 = SK.from_bytes(rt)
+    k2, v2 = SK.decompress_kv(m2)
+    assert np.array_equal(k2, keys) and np.allclose(v2, vals)
