@@ -97,8 +97,17 @@ BENCH_QUERIES = [
 # sf1 they would dominate the suite while saying nothing new — the LSH
 # (s03) and IVF (s05) scale paths stay in. (VERDICT r1 item 7.)
 QUADRATIC_ANCHORS = {"s01_knn_cosine_brute", "s02_top_similar_pairs"}
-if _sf_of(SF_DIR) >= 1.0:
-    BENCH_QUERIES = [q for q in BENCH_QUERIES if q not in QUADRATIC_ANCHORS]
+
+
+def bench_names(queries: dict) -> list[str]:
+    """The stable anchor list (order preserved — per-query times are
+    compared round-over-round) followed by EVERY other registered query
+    (VERDICT r3 item 8: the whole catalog gets a timed anchor), minus
+    the quadratic anchors at SF >= 1."""
+    names = BENCH_QUERIES + [n for n in queries if n not in BENCH_QUERIES]
+    if _sf_of(SF_DIR) >= 1.0:
+        names = [n for n in names if n not in QUADRATIC_ANCHORS]
+    return names
 
 
 def main() -> None:
@@ -108,6 +117,7 @@ def main() -> None:
     spark = get_spark("sketchmlflink-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    names = bench_names(queries)
 
     # Fault isolation: one broken query must degrade the artifact, not
     # zero it (round 2's BENCH was rc=1 with no timings because the
@@ -122,7 +132,7 @@ def main() -> None:
     # the codegen stages the timed run will execute — warming at a
     # smaller SF leaves 1-2 s of Janino compile noise in first timed
     # runs (observed in this repo; ADVICE r1).
-    for name in BENCH_QUERIES:
+    for name in names:
         try:
             queries[name].build(spark, "/root/testdata/sf0.001").count()
             queries[name].build(spark, SF_DIR).count()
@@ -131,7 +141,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for name in names:
         if name in errors:
             continue
         q = queries[name]

@@ -277,6 +277,50 @@ def run_to_batch(
     return spark.table(name)
 
 
+def incremental_sgd_driver(
+    stream: DataFrame,
+    training_df_for_batch,
+    dim: int,
+    step_size: float = 0.5,
+    timeout_s: int = 300,
+) -> dict:
+    """The st06 incremental-training loop: each micro-batch warm-starts
+    from the previous model and runs ONE epoch, with ``epoch_offset``
+    carrying the eta0/sqrt(t) schedule across batches — so N micro-
+    batches take the same N schedule steps a batch run of N epochs
+    takes. Returns the driver-held state dict (raw weights/intercept
+    included) so tests can assert batch-arm parity on the actual model,
+    not a projection (VERDICT r3 next-round item 7).
+
+    ``training_df_for_batch(batch_df)`` maps the raw micro-batch to the
+    (features, label) frame."""
+    import numpy as np
+
+    from sketchmlflink_spark.config import SolverConfig
+    from sketchmlflink_spark.ml import sgd
+
+    state = {"w": np.zeros(dim), "b": 0.0, "batches": 0, "loss": None, "n": 0}
+
+    def step(batch_df: DataFrame, _eid: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = sgd.train(
+            training_df_for_batch(batch_df),
+            SolverConfig(iterations=1, step_size=step_size),
+            dim=dim,
+            init_weights=state["w"],
+            init_intercept=state["b"],
+            epoch_offset=state["batches"],
+        )
+        state["w"], state["b"] = res.weights, res.intercept
+        state["batches"] += 1
+        state["loss"] = res.losses[-1]
+        state["n"] += res.n_train
+
+    run_foreach_batch(stream, step, output_mode="append", timeout_s=timeout_s)
+    return state
+
+
 def land_partitioned(batch_df: DataFrame, eid: int, out_dir: str) -> None:
     """The st15 sink recipe: dynamic-partition overwrite keyed on
     (hour_part, _epoch). Retrying epoch e rewrites exactly the

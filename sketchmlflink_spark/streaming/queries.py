@@ -240,8 +240,6 @@ def st06_stream_incremental_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    from sketchmlflink_spark.config import SolverConfig
-    from sketchmlflink_spark.ml import sgd
     from sketchmlflink_spark.ml_queries import EMBED_DIM, _training_df
     from sketchmlflink_spark.session import ensure_workers_can_import, tune_for_session
 
@@ -254,26 +252,9 @@ def st06_stream_incremental_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .load(P.stream_dir_for(os.path.join(sf_dir, "embeddings.parquet")))
     )
-    state = {"w": np.zeros(EMBED_DIM), "b": 0.0, "batches": 0, "loss": None, "n": 0}
-
-    def step(batch_df: DataFrame, _eid: int) -> None:
-        if batch_df.isEmpty():
-            return
-        train_df = _training_df(spark, sf_dir, emb=batch_df)
-        res = sgd.train(
-            train_df,
-            SolverConfig(iterations=1, step_size=0.5),
-            dim=EMBED_DIM,
-            init_weights=state["w"],
-            init_intercept=state["b"],
-            epoch_offset=state["batches"],
-        )
-        state["w"], state["b"] = res.weights, res.intercept
-        state["batches"] += 1
-        state["loss"] = res.losses[-1]
-        state["n"] += res.n_train
-
-    P.run_foreach_batch(stream, step, output_mode="append")
+    state = P.incremental_sgd_driver(
+        stream, lambda bdf: _training_df(spark, sf_dir, emb=bdf), EMBED_DIM
+    )
     return spark.createDataFrame(
         [
             {

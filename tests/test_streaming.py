@@ -172,3 +172,66 @@ def test_st15_sink_multi_batch_and_retry_safe(spark, tmp_path):
     land_partitioned(b0, 0, out)  # retry of epoch 0: idempotent
     got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]
+
+
+def _stream_from_dir(spark, d, schema):
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+
+
+def test_st06_incremental_matches_batch_arm(spark, tmp_path):
+    """Parity of the foreachBatch incremental trainer vs the batch arm
+    (VERDICT r3 item 7). (a) Exact: one micro-batch == one batch epoch
+    bit-for-bit (epoch_offset=0 continuity). (b) Multi-batch: three
+    micro-batches (schedule steps t=1,2,3 via epoch_offset) land within
+    a few percent of the batch arm's three full epochs on the same
+    seeded linear data — mini-batch vs full-gradient steps, same
+    schedule."""
+    import numpy as np
+
+    from sketchmlflink_spark.config import SolverConfig, SketchConfig
+    from sketchmlflink_spark.ml import sgd
+    from sketchmlflink_spark.streaming.pipelines import incremental_sgd_driver
+
+    dim = 16
+    rng = np.random.default_rng(11)
+    w_star = rng.normal(size=dim)
+    X = rng.normal(size=(600, dim))
+    y = X @ w_star + 0.25
+    rows = [
+        (int(i), [float(v) for v in X[i]], float(y[i])) for i in range(len(y))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, features array<double>, label double")
+
+    src = str(tmp_path / "train_parquet")
+    df.repartition(3).write.parquet(src)
+
+    schema = "vec_id long, features array<double>, label double"
+
+    # (a) single micro-batch: exact parity with one batch epoch
+    one = str(tmp_path / "one_file")
+    df.coalesce(1).write.parquet(one)
+    state1 = incremental_sgd_driver(
+        _stream_from_dir(spark, one, schema), lambda b: b, dim, step_size=0.1
+    )
+    assert state1["batches"] == 1
+    ref1 = sgd.train(df, SolverConfig(iterations=1, step_size=0.1), dim=dim)
+    assert np.allclose(state1["w"], ref1.weights, rtol=1e-9, atol=1e-12)
+    assert state1["b"] == pytest.approx(ref1.intercept, rel=1e-9)
+
+    # (b) three micro-batches vs three batch epochs
+    state3 = incremental_sgd_driver(
+        _stream_from_dir(spark, src, schema), lambda b: b, dim, step_size=0.1
+    )
+    assert state3["batches"] == 3
+    ref3 = sgd.train(df, SolverConfig(iterations=3, step_size=0.1), dim=dim)
+    # same schedule trajectory, mini-batch noise only: weights close in
+    # relative L2, and both models predict near-identically
+    dist = float(np.linalg.norm(state3["w"] - ref3.weights))
+    scale = float(np.linalg.norm(ref3.weights))
+    assert dist / scale < 0.15, (dist, scale)
+    assert state3["b"] == pytest.approx(ref3.intercept, rel=0.3, abs=0.05)
