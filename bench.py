@@ -110,7 +110,18 @@ def bench_names(queries: dict) -> list[str]:
     return names
 
 
+# Full-catalog benching (104 queries) takes minutes; if the harness
+# enforces a tighter wall clock, dying mid-loop must still leave a
+# parseable artifact (round 2's empty-stdout BENCH is the failure mode
+# this guards). Two layers: a soft budget that stops timing new queries
+# and reports the rest as skipped, and a SIGTERM/SIGINT handler that
+# prints the JSON-so-far before exiting.
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+
+
 def main() -> None:
+    import signal
+
     from sketchmlflink_spark.registry import all_queries
     from sketchmlflink_spark.session import get_spark
 
@@ -119,31 +130,74 @@ def main() -> None:
     queries = all_queries()
     names = bench_names(queries)
 
+    start = time.monotonic()
+    emitted = {"done": False}
+
+    def emit(payload: dict) -> None:
+        if emitted["done"]:
+            return
+        emitted["done"] = True
+        print(json.dumps(payload), flush=True)
+
+    state: dict = {"timings": {}, "errors": {}, "total": 0.0,
+                   "calib_mm": None, "calib_rng": None}
+
+    def payload_now() -> dict:
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        skipped = [n for n in names
+                   if n not in state["timings"] and n not in state["errors"]]
+        out = {
+            "metric": "headline_suite_wall",
+            "value": round(state["total"], 3),
+            "unit": "sec",
+            "queries": state["timings"],
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "errors": state["errors"],
+        }
+        if state["calib_mm"] is not None:
+            out["calib_matmul_sec"] = state["calib_mm"]
+            out["calib_jvm_range_sec"] = state["calib_rng"]
+        if skipped:
+            out["skipped_budget"] = skipped
+        return out
+
+    def on_term(_sig, _frm):
+        emit(payload_now())
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
     # Fault isolation: one broken query must degrade the artifact, not
     # zero it (round 2's BENCH was rc=1 with no timings because the
     # warm-up loop died on a single AnalysisException). Queries that
     # error in warm-up are excluded from the timed loop and recorded in
     # an `errors` map; everything else still gets timed.
-    errors: dict[str, str] = {}
+    errors = state["errors"]
 
     # Warm-up pass 1 (sf0.001): Python-worker imports, broadcast-thread
     # start, Arrow init. Pass 2 (untimed, at SF_DIR itself): AQE picks
     # join strategies per scale, so only a same-SF run actually compiles
     # the codegen stages the timed run will execute — warming at a
     # smaller SF leaves 1-2 s of Janino compile noise in first timed
-    # runs (observed in this repo; ADVICE r1).
+    # runs (observed in this repo; ADVICE r1). Warm-up stops at 60% of
+    # the wall budget (un-warmed queries still get timed, slightly
+    # noisier — better than an empty artifact).
     for name in names:
+        if time.monotonic() - start > BENCH_BUDGET_S * 0.6:
+            break
         try:
             queries[name].build(spark, "/root/testdata/sf0.001").count()
             queries[name].build(spark, SF_DIR).count()
         except Exception as e:  # noqa: BLE001 — keep benching the rest
             errors[name] = f"{type(e).__name__}: {e}"[:500]
 
-    timings: dict[str, float] = {}
-    total = 0.0
+    timings = state["timings"]
     for name in names:
         if name in errors:
             continue
+        if time.monotonic() - start > BENCH_BUDGET_S:
+            break  # remaining names land in skipped_budget
         q = queries[name]
         t0 = time.monotonic()
         try:
@@ -153,7 +207,7 @@ def main() -> None:
             continue
         dt = time.monotonic() - t0
         timings[name] = round(dt, 3)
-        total += dt
+        state["total"] += dt
 
     # Machine-speed calibration: query wall times vary ~2x across the
     # containers that run this bench round-over-round, so the JSON
@@ -165,26 +219,12 @@ def main() -> None:
     a = np.random.default_rng(0).standard_normal((2000, 2000))
     t0 = time.monotonic()
     _ = a @ a
-    calib_mm = time.monotonic() - t0
+    state["calib_mm"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
     spark.range(2_000_000_000).selectExpr("sum(id)").collect()
-    calib_rng = time.monotonic() - t0
+    state["calib_rng"] = round(time.monotonic() - t0, 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "calib_matmul_sec": round(calib_mm, 3),
-                "calib_jvm_range_sec": round(calib_rng, 3),
-                "errors": errors,
-            }
-        )
-    )
+    emit(payload_now())
     spark.stop()
 
 
