@@ -20,6 +20,8 @@ scales is pinned by tests/test_sketch_aggs.py bands.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -241,3 +243,219 @@ def sk04_histogram_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             F.round((F.col("bin") + 1) * SK04_BIN_W, 2).alias("est_hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sk05 — Misra-Gries / space-saving heavy hitters: bounded per-batch
+# frequency summaries merged by a plain hash-agg. The mergeable-summary
+# counterpart of sk02's CMS (point query) — this one ENUMERATES the
+# heavy items instead of answering point lookups.
+# --------------------------------------------------------------------------
+SK05_K = 65536  # counters per batch summary (≥ sf1's user cardinality → exact)
+SK05_TOPN = 20
+
+
+def mg_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-Arrow-batch Misra-Gries summaries of ``col``: exact batch
+    counts trimmed to ≤ k counters by subtracting the (k+1)-th largest
+    count (the MG decrement run to completion). Each batch's summary
+    undercounts any item by at most that cut value c_(k+1) ≤ n_batch/(k+1),
+    and summing summaries keeps the bound additive: total undercount
+    ≤ Σ_b cut_b ≤ n/(k+1). A trimmed batch also emits one NULL-keyed
+    sentinel row carrying its cut, so the merged frame can compute the
+    exact error bound without a second pass.
+
+    Scale shape: the shuffle after mapInPandas carries ≤ min(k, batch
+    distinct) rows per batch instead of raw events — state per task is
+    one value_counts over an Arrow batch, independent of total n."""
+
+    def summarize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            cut = 0
+            if len(vc) > k:
+                cut = int(vc.iloc[k])  # (k+1)-th largest batch count
+                vc = (vc - cut)[lambda s: s > 0]
+            out = pd.DataFrame(
+                {col: vc.index.to_numpy(object), "cnt": vc.to_numpy("int64")}
+            )
+            out["cut"] = 0
+            if cut > 0:
+                out = pd.concat(
+                    [out, pd.DataFrame({col: [None], "cnt": [0], "cut": [cut]})],
+                    ignore_index=True,
+                )
+            yield out
+
+    # summaries keep the key's native Spark type (the sentinel row is NULL)
+    key_type = dict(df.dtypes)[col]
+    return df.select(col).mapInPandas(
+        summarize, schema=f"{col} {key_type}, cnt long, cut long"
+    )
+
+
+@register(
+    "sk05_heavy_hitters",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err_bound
+FROM events
+GROUP BY user_id
+ORDER BY est_count DESC, user_id
+LIMIT {SK05_TOPN}
+""",
+    tags=("sketch", "heavyhitter", "misra-gries", "mergeable"),
+    # k=65536 ≥ the distinct-user domain through sf1 (15k) AND ≥ the
+    # Arrow batch size (10k rows), so no batch ever trims → estimates
+    # exact, err_bound 0, oracle hash-checkable. The approximate regime
+    # (k < batch cardinality) is pinned by tests/test_sketch_aggs.py on
+    # zipf data: est ∈ [true - n/(k+1), true].
+)
+def sk05_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N users by estimated event count via merged Misra-Gries
+    summaries, with the summary-derived deterministic error bound as a
+    column. The 100-TB shape: raw events never shuffle — each input
+    split contributes a ≤ k-row summary, the merge is one hash-agg over
+    summaries, and the top-N is TakeOrdered. Unlike exact groupBy-count,
+    worst-case shuffle volume is k·n_splits regardless of key
+    cardinality (the classic heavy-hitter contract)."""
+    ev = t(spark, sf_dir, "events")
+    merged = (
+        mg_summaries(ev, "user_id", SK05_K)
+        .groupBy("user_id")
+        .agg(F.sum("cnt").alias("est_count"), F.sum("cut").alias("cut"))
+    )
+    # global additive undercount bound = sum of the sentinel rows' cuts;
+    # the window runs over the already-aggregated (≤ distinct+1)-row frame
+    w_all = Window.partitionBy()
+    return (
+        merged.withColumn(
+            "err_bound",
+            F.coalesce(
+                F.sum(F.when(F.col("user_id").isNull(), F.col("cut"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "est_count", "err_bound")
+        .orderBy(F.col("est_count").desc(), "user_id")
+        .limit(SK05_TOPN)
+    )
+
+
+# --------------------------------------------------------------------------
+# sk06 — KMV (k-minimum-values / theta) distinct sketches with SET
+# OPERATIONS: the capability HLL (sk01) lacks. Per-type sketches of the
+# k smallest user-id hashes support union, intersection and Jaccard
+# between any pair of types without re-scanning events.
+# --------------------------------------------------------------------------
+SK06_K = 65536
+_SK06_HASH_BITS = 60  # conv() of 15 hex chars → uniform in [0, 2^60)
+
+
+def kmv_sketches(ev: DataFrame, k: int) -> DataFrame:
+    """Per-event_type KMV sketch: the k smallest 60-bit md5 hashes of
+    user_id, as a sorted array plus its size. Build = hash-agg dedup of
+    (type, h) (map-side combine collapses repeats before the shuffle)
+    then a per-type rank filter — the shuffle carries distinct hashes,
+    never raw events, and the final state is ≤ k longs per type."""
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    distinct_h = ev.select("event_type", h).groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wk = Window.partitionBy("event_type").orderBy("h")
+    return (
+        distinct_h.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("sk"),
+            F.count(F.lit(1)).alias("sk_n"),
+        )
+    )
+
+
+def kmv_setops(ev: DataFrame, k: int) -> DataFrame:
+    """All type-pair set-operation estimates from KMV sketches.
+
+    Exact arm: a sketch with sk_n < k retained EVERY distinct hash, so
+    sizes/intersections are exact (modulo 60-bit collisions, p ≈ 1e-10
+    at sf1) — this is the regime the oracle hash-checks.
+
+    Estimator arm (either sketch full): standard theta combination —
+    θ = the k-th smallest hash of the pair's union scaled to (0,1],
+    est_union = (k-1)/θ, est_intersect = |{h ∈ A∩B : h < θ_raw}|/θ.
+    Accuracy (RSE ≈ 1/√(k-2)) is pinned by tests/test_sketch_aggs.py
+    with a small k over synthetic cardinalities ≫ k."""
+    kmv = kmv_sketches(ev, k)
+    a, b = kmv.alias("a"), kmv.alias("b")
+    pair = a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+    exact = (F.col("a.sk_n") < k) & (F.col("b.sk_n") < k)
+    inter_sk = F.array_intersect("a.sk", "b.sk")
+    union_sk = F.array_sort(F.array_union("a.sk", "b.sk"))
+    theta_raw = F.element_at(union_sk, k).cast("double")
+    theta = theta_raw / F.lit(float(2 ** _SK06_HASH_BITS))
+    est_a = F.when(exact, F.col("a.sk_n")).otherwise(
+        F.round((k - 1) / (F.element_at("a.sk", k) / F.lit(float(2 ** _SK06_HASH_BITS))))
+    ).cast("long")
+    est_b = F.when(exact, F.col("b.sk_n")).otherwise(
+        F.round((k - 1) / (F.element_at("b.sk", k) / F.lit(float(2 ** _SK06_HASH_BITS))))
+    ).cast("long")
+    est_union = F.when(
+        exact, F.col("a.sk_n") + F.col("b.sk_n") - F.size(inter_sk)
+    ).otherwise(F.round((k - 1) / theta)).cast("long")
+    est_inter = F.when(exact, F.size(inter_sk)).otherwise(
+        F.round(
+            F.size(F.filter(inter_sk, lambda x: x < theta_raw.cast("long"))) / theta
+        )
+    ).cast("long")
+    return pair.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_union.alias("est_union"),
+        est_inter.alias("est_intersect"),
+        F.round(est_inter / est_union, 4).alias("est_jaccard"),
+    )
+
+
+@register(
+    "sk06_kmv_distinct_setops",
+    oracle="""
+WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+i AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s a JOIN s b USING (user_id)
+      WHERE a.event_type < b.event_type GROUP BY 1, 2)
+SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+       ca.n AS est_a, cb.n AS est_b,
+       ca.n + cb.n - coalesce(i.n, 0) AS est_union,
+       coalesce(i.n, 0) AS est_intersect,
+       round(coalesce(i.n, 0) / (ca.n + cb.n - coalesce(i.n, 0)), 4)
+           AS est_jaccard
+FROM c ca
+JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN i ON i.ta = ca.event_type AND i.tb = cb.event_type
+""",
+    tags=("sketch", "kmv", "theta", "setops"),
+    # k=65536 ≥ per-type user cardinality through sf1 → sketches are
+    # complete sets, the exact arm fires, oracle hash-checkable. Past
+    # that the theta estimator takes its 1/√(k-2) RSE (pytest band).
+    band=0.02,
+)
+def sk06_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user set algebra between every pair of event types from
+    per-type KMV sketches: |A|, |B|, |A∪B|, |A∩B| and Jaccard — the
+    set-operation queries an HLL rollup (sk01) cannot answer. One scan
+    of events builds all sketches; every pairwise estimate is array
+    math over ≤ k-element arrays on a 5-row frame."""
+    return kmv_setops(t(spark, sf_dir, "events"), SK06_K)

@@ -454,3 +454,102 @@ def t08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("n") / F.sum("n"), 6).alias("top_bigram_frac"),
         ((F.max("n") / F.sum("n")) > T08_TOP_FRAC).alias("flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# t09 — PII / deny-list scrubbing: the redaction pass every
+# training-data pipeline runs before a corpus ships. Pure Catalyst
+# regexp_extract_all / regexp_replace (JVM regex, codegen'd — no Python
+# in the path), with per-source audit aggregates as the output.
+# --------------------------------------------------------------------------
+# Patterns are written in the RE2 ∩ java.util.regex common dialect
+# (\b, \d, (?:...) — no lookbehind) so the SAME strings run in Spark
+# and in the DuckDB oracle.
+T09_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    # deny-list term (entity names, internal codewords, ... — here a
+    # term that actually occurs in the synthetic corpus so the replace
+    # path is exercised end-to-end, not vacuously)
+    "deny": r"\bcustomer\b",
+}
+T09_MASK = "<PII>"
+
+
+def scrub_text(col):
+    """text → scrubbed text: every pattern class replaced by the mask.
+    Composable (used by t09's audit and by pipeline sinks)."""
+    out = col
+    for pat in T09_PATTERNS.values():
+        out = F.regexp_replace(out, pat, T09_MASK)
+    return out
+
+
+@register(
+    "t09_pii_scrub_audit",
+    oracle=f"""
+WITH hits AS (
+    SELECT source,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '{T09_PATTERNS["email"]}')) AS n_email,
+           len(regexp_extract_all(text, '{T09_PATTERNS["ipv4"]}'))  AS n_ipv4,
+           len(regexp_extract_all(text, '{T09_PATTERNS["ssn"]}'))   AS n_ssn,
+           len(regexp_extract_all(text, '{T09_PATTERNS["deny"]}'))  AS n_deny,
+           length(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '{T09_PATTERNS["email"]}', '{T09_MASK}', 'g'),
+                           '{T09_PATTERNS["ipv4"]}', '{T09_MASK}', 'g'),
+                       '{T09_PATTERNS["ssn"]}', '{T09_MASK}', 'g'),
+                   '{T09_PATTERNS["deny"]}', '{T09_MASK}', 'g')
+           ) AS n_chars_scrubbed
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN n_email + n_ipv4 + n_ssn + n_deny > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_ipv4) AS BIGINT)  AS ipv4s,
+       CAST(sum(n_ssn) AS BIGINT)   AS ssns,
+       CAST(sum(n_deny) AS BIGINT)  AS deny_hits,
+       CAST(sum(n_chars - n_chars_scrubbed) AS BIGINT) AS chars_removed
+FROM hits
+GROUP BY source
+""",
+    tags=("text", "pii", "scrub", "redaction"),
+)
+def t09_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-mask audit per source: match counts for each PII
+    class (email / IPv4 / SSN / deny-term) plus the exact character
+    delta the scrub produced. Single scan, scan-side projection, one
+    hash-agg on source — at 100 TB this is bandwidth-bound parquet
+    streaming with a 20-row result. The scrubbed corpus itself is the
+    same `scrub_text` expression written through a partitioned sink
+    (p04's path); pytest covers real PII strings round-trip
+    (tests/test_textops.py)."""
+    docs = t(spark, sf_dir, "documents")
+    hit = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        *[
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(f"n_{k}")
+            for k, pat in T09_PATTERNS.items()
+        ],
+        F.length(scrub_text(F.col("text"))).alias("n_chars_scrubbed"),
+    )
+    flagged = (
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_ssn") + F.col("n_deny")) > 0
+    ).cast("long")
+    return hit.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(flagged).alias("docs_flagged"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ipv4").alias("ipv4s"),
+        F.sum("n_ssn").alias("ssns"),
+        F.sum("n_deny").alias("deny_hits"),
+        F.sum(F.col("n_chars") - F.col("n_chars_scrubbed")).alias("chars_removed"),
+    )

@@ -132,3 +132,109 @@ def test_hll_sketch_table_parquet_roundtrip(spark, duck, tmp_path):
         .collect()
     }
     assert merged == direct
+
+
+# --------------------------------------------------------------------------
+# sk05 — Misra-Gries heavy hitters
+# --------------------------------------------------------------------------
+def _zipfish_rows():
+    """Deterministic skewed multiset: key i contributes ~600/i rows."""
+    rows = []
+    for i in range(1, 201):
+        rows.extend([(f"k{i:03d}",)] * (600 // i))
+    return rows
+
+
+def test_sk05_exact_regime_matches_groupby(spark, queries, duck):
+    got = queries["sk05_heavy_hitters"].build(spark, SF_MID).collect()
+    exact = duck.execute(
+        """SELECT user_id, CAST(count(*) AS BIGINT) FROM events
+           GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20"""
+    ).fetchall()
+    assert [(r["user_id"], r["est_count"]) for r in got] == exact
+    assert all(r["err_bound"] == 0 for r in got)
+
+
+def test_sk05_mg_bound_in_approximate_regime(spark):
+    """k=16 over 200 distinct keys per batch: every merged estimate
+    undercounts by at most the summary-derived bound, and every item
+    whose true count exceeds the bound survives the trim (the MG
+    guarantee)."""
+    from pyspark.sql import functions as F
+
+    from sketchmlflink_spark.operators.sketch_aggs import mg_summaries
+
+    rows = _zipfish_rows()
+    df = spark.createDataFrame(rows, "user_id string").repartition(4)
+    k = 16
+    merged = (
+        mg_summaries(df, "user_id", k)
+        .groupBy("user_id")
+        .agg(F.sum("cnt").alias("est"), F.sum("cut").alias("cut"))
+        .collect()
+    )
+    bound = sum(r["cut"] for r in merged if r["user_id"] is None)
+    est = {r["user_id"]: r["est"] for r in merged if r["user_id"] is not None}
+    true = {}
+    for (u,) in rows:
+        true[u] = true.get(u, 0) + 1
+    n = len(rows)
+    assert 0 < bound <= n // (k + 1)  # trims actually happened, bound additive
+    for u, e in est.items():
+        assert e <= true[u], f"{u}: overcount {e} > {true[u]}"
+        assert true[u] - e <= bound, f"{u}: undercount beyond bound"
+    # completeness: anything heavier than the bound must be present
+    for u, c in true.items():
+        if c > bound:
+            assert u in est, f"heavy item {u} (count {c}) lost"
+
+
+# --------------------------------------------------------------------------
+# sk06 — KMV / theta set operations
+# --------------------------------------------------------------------------
+def _two_type_events(spark, n_a, n_b, n_common):
+    rows = [("a", f"u{i}") for i in range(n_a)]
+    rows += [("b", f"u{i}") for i in range(n_a - n_common, n_a - n_common + n_b)]
+    return spark.createDataFrame(rows, "event_type string, user_id string")
+
+
+def test_sk06_exact_arm_matches_set_algebra(spark):
+    from sketchmlflink_spark.operators.sketch_aggs import kmv_setops
+
+    ev = _two_type_events(spark, 300, 200, 120)
+    r = kmv_setops(ev, 65536).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["est_a"], row["est_b"]) == (300, 200)
+    assert row["est_intersect"] == 120
+    assert row["est_union"] == 380
+    assert row["est_jaccard"] == round(120 / 380, 4)
+
+
+def test_sk06_theta_estimator_band_past_k(spark):
+    """k=256 over cardinalities ≫ k: every estimate within 5/√(k-2)
+    (≈ 5σ of the KMV RSE) of the exact set sizes."""
+    from sketchmlflink_spark.operators.sketch_aggs import kmv_setops
+
+    n_a, n_b, n_common = 6000, 4000, 2000
+    k = 256
+    ev = _two_type_events(spark, n_a, n_b, n_common)
+    row = kmv_setops(ev, k).collect()[0]
+    tol = 5.0 / (k - 2) ** 0.5
+    for got, exact in [
+        (row["est_a"], n_a),
+        (row["est_b"], n_b),
+        (row["est_union"], n_a + n_b - n_common),
+        (row["est_intersect"], n_common),
+    ]:
+        assert abs(got - exact) / exact <= tol, f"est {got} vs {exact} (tol {tol:.3f})"
+
+
+def test_sk06_sketch_state_is_bounded(spark):
+    """The per-type sketch never holds more than k hashes, whatever the
+    input cardinality — the property that makes the state shippable."""
+    from sketchmlflink_spark.operators.sketch_aggs import kmv_sketches
+
+    ev = _two_type_events(spark, 5000, 3000, 0)
+    sizes = {r["event_type"]: r["sk_n"] for r in kmv_sketches(ev, 128).collect()}
+    assert sizes == {"a": 128, "b": 128}

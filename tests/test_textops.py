@@ -36,3 +36,42 @@ def test_quality_filter_rules_fire(spark):
     assert len(labels) >= 2, labels
     assert dropped > 0
     df.unpersist()
+
+
+# --------------------------------------------------------------------------
+# t09 — PII scrub on documents that actually contain PII
+# --------------------------------------------------------------------------
+def test_t09_scrub_masks_real_pii(spark):
+    from pyspark.sql import functions as F
+
+    from sketchmlflink_spark.operators.textops import T09_PATTERNS, scrub_text
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "contact john.doe%x@sub.example.com or admin@a.io now"),
+            ("d2", "server 10.0.0.1 and 192.168.255.12 reachable"),
+            ("d3", "ssn 123-45-6789 for customer record"),
+            ("d4", "clean text with no sensitive content at all"),
+        ],
+        "doc_id string, text string",
+    )
+    hit = docs.select(
+        "doc_id",
+        scrub_text(F.col("text")).alias("scrubbed"),
+        *[
+            F.size(F.regexp_extract_all("text", F.lit(p), F.lit(0))).alias(f"n_{k}")
+            for k, p in T09_PATTERNS.items()
+        ],
+    )
+    rows = {r["doc_id"]: r for r in hit.collect()}
+    assert (rows["d1"]["n_email"], rows["d2"]["n_ipv4"], rows["d3"]["n_ssn"]) == (2, 2, 1)
+    assert rows["d3"]["n_deny"] == 1
+    assert sum(rows["d4"][f"n_{k}"] for k in T09_PATTERNS) == 0
+    # nothing sensitive survives the scrub, and clean text is untouched
+    for k, p in T09_PATTERNS.items():
+        leftover = hit.select(
+            F.sum(F.size(F.regexp_extract_all("scrubbed", F.lit(p), F.lit(0)))).alias("n")
+        ).first()["n"]
+        assert leftover == 0, f"pattern {k} survived scrubbing"
+    assert rows["d4"]["scrubbed"] == "clean text with no sensitive content at all"
+    assert "<PII>" in rows["d1"]["scrubbed"] and "<PII>" in rows["d3"]["scrubbed"]
