@@ -525,3 +525,74 @@ def p07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cum_before") / P07_BUDGET).cast("long").alias("seq_id"),
         (F.col("cum_before") % P07_BUDGET).cast("long").alias("seq_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# p08 — incremental materialized-rollup maintenance: merge a new
+# partition's partial aggregate into a STORED rollup instead of
+# re-scanning history. The batch counterpart of the streaming
+# stateful aggregations (st01/st07) and the day-sketch pattern (sk01),
+# for plain additive metrics.
+# --------------------------------------------------------------------------
+P08_DELTA_DAYS = 2  # the "newly arrived" tail treated as the delta
+
+
+@register(
+    "p08_incremental_rollup",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("pipeline", "incremental", "rollup", "materialized-view"),
+)
+def p08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, proven by equivalence: the historic
+    prefix of events is rolled up to (day, type) grain and PERSISTED as
+    the stored rollup table; the last P08_DELTA_DAYS arrive as a delta
+    whose scan carries a pushed half-open ts range (only the new
+    partition's row groups are read); merge = unionByName(stored, delta)
+    + one re-aggregation over ROLLUP ROWS, never over raw history. The
+    result must equal a full recompute — which is exactly what the
+    oracle computes.
+
+    Scale shape: after day one, the only fact-table I/O is the delta
+    partition; the merge input is |days|·|types| rollup rows. Additive
+    metrics (count, sum) merge exactly; non-additive ones ride sketch
+    columns instead (sk01's HLL rollup — same storage pattern, same
+    merge)."""
+    import datetime
+    import os
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    # stats-only split point: max(ts) comes from parquet footer stats,
+    # no data scan of consequence
+    max_day = ev.agg(F.max(F.to_date("ts")).alias("d")).first()["d"]
+    cut_day = max_day - datetime.timedelta(days=P08_DELTA_DAYS - 1)
+    cut = F.lit(cut_day.isoformat()).cast("timestamp_ntz")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    stored_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rollup_{os.getpid()}_" + sf_dir.strip("/").replace("/", "_").replace(".", "_"),
+    )
+    rollup(ev.where(F.col("ts") < cut)).write.mode("overwrite").parquet(stored_dir)
+
+    stored = spark.read.parquet(stored_dir)
+    delta = rollup(ev.where(F.col("ts") >= cut))
+    return (
+        stored.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )

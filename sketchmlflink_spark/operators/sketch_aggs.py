@@ -328,11 +328,19 @@ def sk05_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("cnt").alias("est_count"), F.sum("cut").alias("cut"))
     )
-    # global additive undercount bound = sum of the sentinel rows' cuts;
-    # the window runs over the already-aggregated (≤ distinct+1)-row frame
+    # All sentinel rows share the NULL key, so the merge agg collapses
+    # them into ONE row holding the global bound. Take (that row ∪ the
+    # top N) in a single distributed TakeOrderedAndProject — no global
+    # window ever sees the full distinct-key frame — then attach the
+    # bound with a window over the ≤ N+1 surviving rows.
+    cand = merged.orderBy(
+        F.col("user_id").isNull().desc(),
+        F.col("est_count").desc(),
+        F.col("user_id"),
+    ).limit(SK05_TOPN + 1)
     w_all = Window.partitionBy()
     return (
-        merged.withColumn(
+        cand.withColumn(
             "err_bound",
             F.coalesce(
                 F.sum(F.when(F.col("user_id").isNull(), F.col("cut"))).over(w_all),
@@ -394,7 +402,10 @@ def kmv_setops(ev: DataFrame, k: int) -> DataFrame:
     est_union = (k-1)/θ, est_intersect = |{h ∈ A∩B : h < θ_raw}|/θ.
     Accuracy (RSE ≈ 1/√(k-2)) is pinned by tests/test_sketch_aggs.py
     with a small k over synthetic cardinalities ≫ k."""
-    kmv = kmv_sketches(ev, k)
+    # Materialize the sketch table once (tiny: one ≤ k-long array per
+    # type) before the pairwise self-join — without this, each join
+    # alias re-derives its input and events is scanned twice.
+    kmv = kmv_sketches(ev, k).localCheckpoint()
     a, b = kmv.alias("a"), kmv.alias("b")
     pair = a.join(b, F.col("a.event_type") < F.col("b.event_type"))
     exact = (F.col("a.sk_n") < k) & (F.col("b.sk_n") < k)

@@ -263,3 +263,46 @@ def test_sk02_single_events_scan(spark):
     plan = formatted_plan(spark, sk02_build_agg(ev))
     body = plan.split("\n\n")[0]
     assert body.count("Scan parquet") == 1, body
+
+
+def test_sk05_single_scan_distributed_topk(spark, queries):
+    """sk05 heavy hitters: exactly one events scan feeding mapInPandas,
+    top-N via TakeOrderedAndProject, and NO single-partition exchange —
+    the merged distinct-key frame must never be funneled through one
+    task (the bound rides a ≤ N+1-row candidate frame instead)."""
+    plan = formatted_plan(spark, queries["sk05_heavy_hitters"].build(spark, SF_SMALL))
+    body = plan.split("\n\n")[0]
+    assert body.count("Scan parquet") == 1, body
+    assert "TakeOrderedAndProject" in body, body
+    assert "SinglePartition" not in plan, plan
+    assert re.search(r"ReadSchema: struct<user_id:bigint>", plan), plan
+
+
+def test_sk06_joins_materialized_sketches_not_rescans(spark, queries):
+    """sk06's pairwise self-join must join the MATERIALIZED sketch table
+    (localCheckpoint), not re-derive each alias from events — otherwise
+    the fact table is scanned once per join side."""
+    plan = formatted_plan(
+        spark, queries["sk06_kmv_distinct_setops"].build(spark, SF_SMALL)
+    )
+    body = plan.split("\n\n")[0]
+    assert body.count("Scan parquet") == 0, body
+    assert "Scan ExistingRDD" in body or "LogicalRDD" in plan, body
+
+
+def test_p08_delta_scan_pushed_merge_reads_rollup(spark, queries):
+    """p08 incremental rollup: the only events scan in the merged plan
+    is the DELTA branch (pushed half-open ts range — history is never
+    re-read); the other scan is the stored rollup table at (day, type)
+    grain."""
+    plan = formatted_plan(
+        spark, queries["p08_incremental_rollup"].build(spark, SF_SMALL)
+    )
+    body = plan.split("\n\n")[0]
+    assert body.count("Scan parquet") == 2, body
+    assert len(re.findall(r"PushedFilters:.*GreaterThanOrEqual\(ts", plan)) == 1, plan
+    # the stored-rollup scan reads aggregate columns, not raw events
+    assert re.search(
+        r"ReadSchema: struct<day:date,event_type:string,n_events:bigint,sum_value:double>",
+        plan,
+    ), plan
