@@ -47,6 +47,10 @@ class SolverConfig:
     iterations: int = 10
     step_size: float = 0.1
     convergence_threshold: float | None = None
+    # Pluggable loss over the linear prediction (the reference's M1
+    # plugin point, SURVEY.md §2.5 — squared loss is its shipped
+    # instance): {"squared", "logistic"} (logistic expects ±1 labels).
+    loss: str = "squared"
     regularization: str = "none"  # {"none", "l1", "l2"}
     reg_lambda: float = 0.0
     # FlinkML LearningRateMethod parity (FlinkMultipleLinearRegression

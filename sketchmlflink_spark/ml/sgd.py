@@ -114,9 +114,37 @@ def _blockify_sparse(batches):
         yield pd.DataFrame({"blob": [pickle.dumps(blk, protocol=5)]})
 
 
-def _make_partial_fn(bc, dim: int, sketch_cfg: SketchConfig):
+def _loss_grad(name: str):
+    """Pluggable loss over the linear prediction p = x·w + b (M1, the
+    reference's LossFunction plugin point — squared loss is its shipped
+    instance, SketchMultipleLinearRegression.scala squared-loss path).
+    Returns f(p, y) -> (g, loss_sum) where g[i] = dloss_i/dp_i — every
+    downstream step (grad = g @ X, intercept = g.sum(), sketch compress,
+    averaging, takeStep) is loss-agnostic."""
+    if name == "squared":
+
+        def f(p: np.ndarray, y: np.ndarray):
+            r = p - y
+            return r, 0.5 * float(r @ r)
+
+    elif name == "logistic":
+
+        def f(p: np.ndarray, y: np.ndarray):  # y ∈ {-1, +1}
+            z = y * p
+            # stable log(1+exp(-z)); g = -y·sigma(-z) without overflow
+            loss = float(np.logaddexp(0.0, -z).sum())
+            g = -y / (1.0 + np.exp(z))
+            return g, loss
+
+    else:
+        raise ValueError(f"unknown loss: {name!r} (use 'squared' or 'logistic')")
+    return f
+
+
+def _make_partial_fn(bc, dim: int, sketch_cfg: SketchConfig, loss_name: str = "squared"):
     """Per-partition gradient pass over cached numpy blocks. Nested so
     cloudpickle ships it by value; touches only numpy + sketch codec."""
+    loss_fn = _loss_grad(loss_name)
 
     def fn(blocks):
         w, b = bc.value
@@ -125,10 +153,10 @@ def _make_partial_fn(bc, dim: int, sketch_cfg: SketchConfig):
         loss = 0.0
         n = 0
         for X, y in blocks:
-            r = X @ w + b - y  # residual of linear prediction
-            grad += r @ X  # d/dw of 0.5*r^2 summed over examples
-            isum += float(r.sum())
-            loss += 0.5 * float(r @ r)
+            g, l = loss_fn(X @ w + b, y)  # g = dloss/dprediction per example
+            grad += g @ X
+            isum += float(g.sum())
+            loss += l
             n += len(y)
         # ZeroGradient elision (P8): an all-zero partition gradient ships
         # a null payload and is skipped by the combiner (SGD:261-270)
@@ -148,7 +176,7 @@ def _make_partial_fn(bc, dim: int, sketch_cfg: SketchConfig):
     return fn
 
 
-def _make_partial_fn_sparse(bc, dim: int, sketch_cfg: SketchConfig):
+def _make_partial_fn_sparse(bc, dim: int, sketch_cfg: SketchConfig, loss_name: str = "squared"):
     """Per-partition gradient pass over cached COO blocks. The gradient
     sum is accumulated SPARSELY (unique feature keys seen in this
     partition only) and compressed via the codec's kv path — no
@@ -156,6 +184,8 @@ def _make_partial_fn_sparse(bc, dim: int, sketch_cfg: SketchConfig):
     at dim 10^5-10^7 where the dense path's np.stack would blow memory
     (the reference's actual workload: wide LibSVM swept over --maxDim,
     runtest.sh:34-36)."""
+
+    loss_fn = _loss_grad(loss_name)
 
     def fn(blocks):
         w, b = bc.value
@@ -166,11 +196,11 @@ def _make_partial_fn_sparse(bc, dim: int, sketch_cfg: SketchConfig):
         for row_ids, idx, val, y in blocks:
             # per-row prediction: scatter-sum of val * w[idx] by row
             pred = np.bincount(row_ids, weights=val * w[idx], minlength=len(y))[: len(y)]
-            r = pred + b - y
+            g, l = loss_fn(pred + b, y)  # g = dloss/dprediction per example
             idx_parts.append(idx)
-            contrib_parts.append(val * r[row_ids])  # d/dw of 0.5*r^2
-            isum += float(r.sum())
-            loss += 0.5 * float(r @ r)
+            contrib_parts.append(val * g[row_ids])
+            isum += float(g.sum())
+            loss += l
             n += len(y)
         sg = None
         if n > 0:
@@ -353,7 +383,7 @@ def train(
         bc = sc.broadcast((w, b))
         try:
             mk = _make_partial_fn_sparse if sparse else _make_partial_fn
-            partial_rdd = blocks.mapPartitions(mk(bc, dim, sketch_cfg))
+            partial_rdd = blocks.mapPartitions(mk(bc, dim, sketch_cfg, solver.loss))
             if solver.aggregation == "reduce":
                 # distributed tree reduction; every combine hop ships a
                 # re-sketched partial (SGD:256-281 "Reduce" mode) — the

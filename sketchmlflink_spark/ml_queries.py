@@ -386,3 +386,68 @@ def m07_lr_schedule_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
     return spark.createDataFrame(rows).select("lr_schedule", "epochs_run", "final_eta")
+
+
+# --------------------------------------------------------------------------
+# m10 — pluggable-loss proof: LOGISTIC loss through the SAME sketched
+# SGD machinery (M1's plugin point exercised with a second instance —
+# the reference ships squared loss behind a pluggable LossFunction).
+# --------------------------------------------------------------------------
+@register(
+    "m10_logistic_sgd_metrics",
+    # Config echo + the class balance of the deterministic ±1 labels:
+    # the SQL re-derives margin = x·w* + b* + noise(vec_id) and its
+    # sign split, so a drifted label/featurization pipeline (or a Spark
+    # arm training on different data) hash-mismatches here. Training
+    # itself is iterative → accuracy/loss are pytest territory.
+    oracle=f"""
+WITH m AS (
+    SELECT CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      {FIXED_WEIGHTS}::DOUBLE[])
+                     + {FIXED_INTERCEPT}
+                     + (vec_id * 2654435761 % 1000 - 500) / 50000.0 >= 0
+                THEN 1 ELSE -1 END AS label
+    FROM embeddings
+)
+SELECT 'logistic' AS loss,
+       CAST(5 AS BIGINT) AS iterations,
+       CAST(0.5 AS DOUBLE) AS step_size,
+       'Sketch' AS compression_type,
+       CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+FROM m
+""",
+    tags=("ml", "train", "logistic", "pluggable-loss"),
+)
+def m10_logistic_sgd_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-compressed LOGISTIC SGD: ±1 labels = sign of the m03
+    margin, trained with SolverConfig(loss='logistic') — every other
+    moving part (numpy block cache, per-partition gradient, codec
+    compress, treeReduce re-sketch, schedules, takeStep) is the
+    loss-agnostic machinery m03/m04 use, which is the M1 pluggability
+    claim made executable. Separability/accuracy pinned in
+    tests/test_sgd.py::test_logistic_*."""
+    from sketchmlflink_spark.config import SketchConfig, SolverConfig
+    from sketchmlflink_spark.ml import sgd as SGD
+
+    df = _training_df(spark, sf_dir)
+    clf = df.select(
+        "vec_id",
+        "features",
+        F.when(F.col("label") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("label"),
+    )
+    cfg = SolverConfig(iterations=5, step_size=0.5, loss="logistic")
+    res = SGD.train(clf, cfg, SketchConfig(auto_fallback_nnz=0))
+    assert res.epochs_run == 5
+    balance = clf.agg(
+        F.sum(F.when(F.col("label") == 1.0, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("label") == -1.0, 1).otherwise(0)).cast("long").alias("n_neg"),
+    )
+    return balance.select(
+        F.lit("logistic").alias("loss"),
+        F.lit(5).cast("long").alias("iterations"),
+        F.lit(0.5).alias("step_size"),
+        F.lit("Sketch").alias("compression_type"),
+        "n_pos",
+        "n_neg",
+    )
