@@ -255,6 +255,20 @@ SK05_K = 65536  # counters per batch summary (≥ sf1's user cardinality → exa
 SK05_TOPN = 20
 
 
+def mg_trim(vc, k: int):
+    """Pure Misra-Gries trim of an exact count series (descending
+    value_counts): subtract the (k+1)-th largest count from everything,
+    keep positives. Returns (trimmed_counts, cut). Invariants (hypothesis
+    property-tested in tests/test_sketch_aggs.py): ≤ k survivors,
+    cut ≤ n/(k+1), and every item undercounts by exactly
+    min(count, cut)."""
+    cut = 0
+    if len(vc) > k:
+        cut = int(vc.iloc[k])  # (k+1)-th largest count
+        vc = (vc - cut)[lambda s: s > 0]
+    return vc, cut
+
+
 def mg_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-Arrow-batch Misra-Gries summaries of ``col``: exact batch
     counts trimmed to ≤ k counters by subtracting the (k+1)-th largest
@@ -273,11 +287,7 @@ def mg_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            vc = pdf[col].value_counts()
-            cut = 0
-            if len(vc) > k:
-                cut = int(vc.iloc[k])  # (k+1)-th largest batch count
-                vc = (vc - cut)[lambda s: s > 0]
+            vc, cut = mg_trim(pdf[col].value_counts(), k)
             out = pd.DataFrame(
                 {col: vc.index.to_numpy(object), "cnt": vc.to_numpy("int64")}
             )

@@ -238,3 +238,75 @@ def test_sk06_sketch_state_is_bounded(spark):
     ev = _two_type_events(spark, 5000, 3000, 0)
     sizes = {r["event_type"]: r["sk_n"] for r in kmv_sketches(ev, 128).collect()}
     assert sizes == {"a": 128, "b": 128}
+
+
+# --------------------------------------------------------------------------
+# sk05 core math: hypothesis property tests (pure pandas, no Spark jobs)
+# --------------------------------------------------------------------------
+from collections import Counter
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st_
+
+
+@st_.composite
+def _multisets(draw):
+    keys = draw(st_.integers(min_value=1, max_value=300))
+    counts = draw(
+        st_.lists(st_.integers(min_value=1, max_value=1000), min_size=keys, max_size=keys)
+    )
+    return {f"k{i}": c for i, c in enumerate(counts)}
+
+
+@given(data=_multisets(), k=st_.integers(min_value=1, max_value=64))
+@settings(max_examples=200, deadline=None)
+def test_mg_trim_invariants(data, k):
+    from sketchmlflink_spark.operators.sketch_aggs import mg_trim
+
+    vc = pd.Series(data).sort_values(ascending=False)
+    n = int(vc.sum())
+    trimmed, cut = mg_trim(vc, k)
+    assert len(trimmed) <= k
+    assert 0 <= cut <= n // (k + 1)  # ≥ k+1 items each ≥ cut ⇒ (k+1)·cut ≤ n
+    for item, c in data.items():
+        est = int(trimmed.get(item, 0))
+        assert est == max(c - cut, 0)  # undercount is exactly min(c, cut)
+
+
+@given(
+    data=_multisets(),
+    k=st_.integers(min_value=1, max_value=64),
+    n_batches=st_.integers(min_value=1, max_value=8),
+    seed=st_.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_mg_merge_bound_any_partitioning(data, k, n_batches, seed):
+    """Summing per-batch MG summaries over ANY partitioning of the
+    multiset keeps the additive guarantee: est ≤ true and
+    true − est ≤ Σ batch cuts ≤ n/(k+1). This is the distributed-merge
+    soundness sk05 relies on, independent of how Spark batches rows."""
+    import numpy as np
+
+    from sketchmlflink_spark.operators.sketch_aggs import mg_trim
+
+    rng = np.random.default_rng(seed)
+    items = np.repeat(
+        np.array(list(data.keys())), np.array(list(data.values()), dtype=int)
+    )
+    rng.shuffle(items)
+    bounds = np.sort(rng.integers(0, len(items) + 1, size=n_batches - 1))
+    merged: Counter = Counter()
+    total_cut = 0
+    for chunk in np.split(items, bounds):
+        if not len(chunk):
+            continue
+        trimmed, cut = mg_trim(pd.Series(chunk).value_counts(), k)
+        merged.update(trimmed.to_dict())
+        total_cut += cut
+    n = len(items)
+    assert total_cut <= n // (k + 1)
+    for item, c in data.items():
+        est = merged.get(item, 0)
+        assert est <= c
+        assert c - est <= total_cut
