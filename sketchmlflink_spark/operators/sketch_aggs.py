@@ -333,34 +333,39 @@ def sk05_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst-case shuffle volume is k·n_splits regardless of key
     cardinality (the classic heavy-hitter contract)."""
     ev = t(spark, sf_dir, "events")
-    merged = (
-        mg_summaries(ev, "user_id", SK05_K)
-        .groupBy("user_id")
-        .agg(F.sum("cnt").alias("est_count"), F.sum("cut").alias("cut"))
+    return mg_merge_topn(mg_summaries(ev, "user_id", SK05_K), "user_id", SK05_TOPN)
+
+
+def mg_merge_topn(summaries: DataFrame, col: str, topn: int) -> DataFrame:
+    """Merge MG summary rows (col, cnt, cut) → top-N estimates with the
+    additive error bound. All sentinel rows share the NULL key, so the
+    merge agg collapses them into ONE row holding the global bound.
+    Take (that row ∪ the top N) in a single distributed
+    TakeOrderedAndProject — no global window ever sees the full
+    distinct-key frame — then attach the bound with a window over the
+    ≤ N+1 surviving rows. Shared by sk05 (batch) and st16 (streaming
+    state merge)."""
+    merged = summaries.groupBy(col).agg(
+        F.sum("cnt").alias("est_count"), F.sum("cut").alias("cut")
     )
-    # All sentinel rows share the NULL key, so the merge agg collapses
-    # them into ONE row holding the global bound. Take (that row ∪ the
-    # top N) in a single distributed TakeOrderedAndProject — no global
-    # window ever sees the full distinct-key frame — then attach the
-    # bound with a window over the ≤ N+1 surviving rows.
     cand = merged.orderBy(
-        F.col("user_id").isNull().desc(),
+        F.col(col).isNull().desc(),
         F.col("est_count").desc(),
-        F.col("user_id"),
-    ).limit(SK05_TOPN + 1)
+        F.col(col),
+    ).limit(topn + 1)
     w_all = Window.partitionBy()
     return (
         cand.withColumn(
             "err_bound",
             F.coalesce(
-                F.sum(F.when(F.col("user_id").isNull(), F.col("cut"))).over(w_all),
+                F.sum(F.when(F.col(col).isNull(), F.col("cut"))).over(w_all),
                 F.lit(0),
             ),
         )
-        .where(F.col("user_id").isNotNull())
-        .select("user_id", "est_count", "err_bound")
-        .orderBy(F.col("est_count").desc(), "user_id")
-        .limit(SK05_TOPN)
+        .where(F.col(col).isNotNull())
+        .select(col, "est_count", "err_bound")
+        .orderBy(F.col("est_count").desc(), col)
+        .limit(topn)
     )
 
 

@@ -553,3 +553,74 @@ def st15_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# --------------------------------------------------------------------------
+# st16 — streaming GLOBAL heavy hitters with bounded state (sk05's
+# streaming twin: per-micro-batch Misra-Gries summaries landed as
+# epoch-partitioned state, merged relationally at read time).
+# --------------------------------------------------------------------------
+@register(
+    "st16_stream_heavy_hitters",
+    # Shares sk05's oracle: in the exact regime (k ≥ batch cardinality)
+    # summed MG summaries equal exact counts whatever the micro-batch
+    # split — the merge-soundness property proven for ANY partitioning
+    # in tests/test_sketch_aggs.py::test_mg_merge_bound_any_partitioning.
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err_bound
+FROM events
+GROUP BY user_id
+ORDER BY est_count DESC, user_id
+LIMIT 20
+""",
+    tags=("streaming", "sketch", "heavyhitter", "misra-gries"),
+)
+def st16_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global top-N users: each micro-batch is compressed to a
+    ≤ k-counter MG summary (mg_summaries on the batch frame) and landed
+    in an _epoch-partitioned parquet state table via dynamic-partition
+    overwrite — a RETRIED epoch rewrites exactly its own partition
+    (idempotent, st15's recipe), and state grows as k·n_epochs summary
+    rows, never as raw events. The final answer merges summary rows
+    only (mg_merge_topn, shared with batch sk05) and must equal the
+    batch oracle in the exact regime.
+
+    This is the unbounded-stream answer to "who are the heaviest keys
+    ever seen": windowed counts (st14) bound state by watermark
+    eviction; here state is bounded by the SUMMARY size instead, so the
+    aggregate spans the whole stream history."""
+    import os
+    import shutil
+    import tempfile
+
+    from sketchmlflink_spark.operators.sketch_aggs import (
+        SK05_K,
+        SK05_TOPN,
+        mg_merge_topn,
+        mg_summaries,
+    )
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"st16_state_{os.getpid()}_" + sf_dir.strip("/").replace("/", "_").replace(".", "_"),
+    )
+    # fresh state per build: epochs from an earlier build of this same
+    # query would otherwise double-count (checkpoint dirs are per-run)
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def land_summaries(bdf: DataFrame, eid: int) -> None:
+        bdf.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            mg_summaries(bdf, "user_id", SK05_K)
+            .withColumn("_epoch", F.lit(int(eid)))
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(state_dir)
+        )
+
+    ev = P.events_stream(spark, sf_dir).select("user_id")
+    P.run_foreach_batch(ev, land_summaries, output_mode="append")
+    state = spark.read.parquet(state_dir).drop("_epoch")
+    return mg_merge_topn(state, "user_id", SK05_TOPN)

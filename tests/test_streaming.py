@@ -235,3 +235,68 @@ def test_st06_incremental_matches_batch_arm(spark, tmp_path):
     scale = float(np.linalg.norm(ref3.weights))
     assert dist / scale < 0.15, (dist, scale)
     assert state3["b"] == pytest.approx(ref3.intercept, rel=0.3, abs=0.05)
+
+
+def test_st16_multi_epoch_heavy_hitters_match_batch_and_retry_safe(
+    spark, multi_file_events_dir, tmp_path
+):
+    """st16's state recipe under REAL multi-batch ingestion: 4
+    micro-batches each land an MG summary partition; the merged top-N
+    equals the exact batch answer (merge soundness across epochs), and
+    re-landing an epoch (simulated retry) changes nothing (idempotent
+    dynamic overwrite)."""
+    from pyspark.sql import functions as F
+
+    from sketchmlflink_spark.operators.sketch_aggs import (
+        SK05_K,
+        mg_merge_topn,
+        mg_summaries,
+    )
+    from sketchmlflink_spark.streaming.pipelines import run_foreach_batch
+
+    state = str(tmp_path / "st16_state")
+    seen_epochs = []
+    epoch_rows = {}  # eid -> pandas capture, to replay an exact retry
+
+    def land(bdf, eid):
+        seen_epochs.append(int(eid))
+        epoch_rows[int(eid)] = bdf.toPandas()
+        bdf.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            mg_summaries(bdf, "user_id", SK05_K)
+            .withColumn("_epoch", F.lit(int(eid)))
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(state)
+        )
+
+    ev = _streamed_events(spark, multi_file_events_dir).select("user_id")
+    run_foreach_batch(ev, land, output_mode="append")
+    assert len(seen_epochs) >= 3, f"expected multi-batch ingestion, got {seen_epochs}"
+
+    def topn():
+        return [
+            (r["user_id"], r["est_count"], r["err_bound"])
+            for r in mg_merge_topn(
+                spark.read.parquet(state).drop("_epoch"), "user_id", 20
+            ).collect()
+        ]
+
+    exact = [
+        (r["user_id"], r["n"], 0)
+        for r in spark.read.parquet(multi_file_events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(20)
+        .collect()
+    ]
+    got = topn()
+    assert got == exact
+
+    # retry epoch 0: re-land exactly the batch it processed — the
+    # overwrite replaces that epoch's partition with identical content,
+    # so the merged answer must not change
+    e0 = seen_epochs[0]
+    land(spark.createDataFrame(epoch_rows[e0]), e0)
+    assert topn() == got
