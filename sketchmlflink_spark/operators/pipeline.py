@@ -596,3 +596,71 @@ def p08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sum_value"), 2).alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p09 — batch CSV corpus intake with quarantine (st09's batch cousin,
+# completing the format matrix: parquet / JSONL / LibSVM / text / CSV).
+# --------------------------------------------------------------------------
+P09_N_BAD = 3  # deterministic malformed lines planted in the fixture
+
+
+@register(
+    "p09_csv_intake_quarantine",
+    oracle=f"""
+SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+UNION ALL
+SELECT '__corrupt__' AS bucket, CAST({P09_N_BAD} AS BIGINT) AS n_docs
+""",
+    tags=("pipeline", "csv", "ingest", "quarantine"),
+)
+def p09_csv_intake_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CSV intake: the documents table serialized once to a
+    headerless CSV drop directory (plus P09_N_BAD deterministic torn
+    lines — a bad-typed id, a short row, a long row), read back through
+    read_csv_quarantine (raw text scan + from_csv, PERMISSIVE +
+    corrupt-record quarantine — sources/csvfile.py), counted per
+    language with the malformed lines in '__corrupt__'. Clean counts
+    must equal the batch answer on the source table: the CSV round-trip
+    neither drops nor duplicates rows, and every torn line is
+    quarantined rather than silently absorbed."""
+    import os
+    import tempfile
+
+    from sketchmlflink_spark.sources.csvfile import read_csv_quarantine
+
+    fixture_dir = os.path.join(
+        tempfile.gettempdir(),
+        "csv_fixture_" + sf_dir.strip("/").replace("/", "_").replace(".", "_"),
+    )
+    marker = os.path.join(fixture_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = t(spark, sf_dir, "documents")
+        lines = docs.select(
+            F.concat_ws(
+                ",",
+                F.col("doc_id").cast("string"),
+                "text",
+                "lang",
+                "source",
+                F.col("n_chars").cast("string"),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(fixture_dir)
+        # planted torn lines: type mismatch, too few cols, too many cols
+        with open(os.path.join(fixture_dir, "bad-lines.txt"), "w") as fh:
+            fh.write(
+                "notanid,torn text,en,web,9\n"
+                "42,too,few\n"
+                "43,surplus text,en,web,12,EXTRA\n"
+            )
+    clean, quarantine = read_csv_quarantine(spark, fixture_dir)
+    per_lang = clean.groupBy(F.col("lang").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    corrupt = quarantine.agg(
+        F.lit("__corrupt__").alias("bucket"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return per_lang.unionByName(corrupt)
