@@ -226,12 +226,26 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_near_duplicates(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup pairs verified with exact Jaccard."""
+    """End-to-end MinHash-LSH near-dup pairs verified with exact Jaccard.
+
+    Materialization discipline (the shingle frame feeds FOUR plan
+    branches — the signature build duplicated by the banded self-join,
+    plus both sides of the exact-verify join — and Catalyst duplicates
+    unshared subtrees, so the naive plan tokenizes the corpus 4×):
+    ``sh`` is persisted (memory-and-disk — the cache-the-shingles step
+    every MinHash pipeline runs; ~6× the token bytes, spillable) and
+    the tiny signature table (n_docs × 33) is localCheckpoint'ed so the
+    self-join joins materialized rows. Net: documents is scanned and
+    tokenized exactly ONCE."""
+    from pyspark import StorageLevel
+
     tok = docs.select("doc_id", T.tokens("text").alias("tk")).where(
         F.size("tk") >= SHINGLE_SIZE  # cheap, scan-pushable; see shingles()
     )
-    sh = tok.select("doc_id", shingles(F.col("tk")).alias("sh"))
-    sigs = minhash_signatures(sh)
+    sh = tok.select("doc_id", shingles(F.col("tk")).alias("sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(sh).localCheckpoint()
     cands = lsh_candidate_pairs(sigs)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -288,8 +302,13 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """Pigeonhole banding: 4×16-bit chunks — any pair within hamming≤3
-    agrees on ≥1 chunk; verify with bit_count(xor)."""
-    sh = simhash_signatures(docs)
+    agrees on ≥1 chunk; verify with bit_count(xor).
+
+    The signature table (doc_id + one long) is localCheckpoint'ed
+    before the banded self-join — Catalyst duplicates unshared join
+    subtrees, so without it the corpus is tokenized and bit-voted once
+    per side (same discipline as minhash_near_duplicates / sk06)."""
+    sh = simhash_signatures(docs).localCheckpoint()
     chunks = F.array(
         *[
             F.struct(

@@ -230,8 +230,12 @@ def p03_language_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup; the corpus is read once and never shuffles its text."""
     docs = t(spark, sf_dir, "documents")
     cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    min_docs = cnt.agg(F.min("n_docs").alias("min_docs"))
-    thr = cnt.crossJoin(F.broadcast(min_docs)).select(
+    # global min via a window over the ALREADY-AGGREGATED ≤|langs|-row
+    # frame — a second agg branch would re-derive cnt and re-scan the
+    # corpus (Catalyst duplicates unshared subtrees)
+    thr = cnt.withColumn(
+        "min_docs", F.min("n_docs").over(Window.partitionBy())
+    ).select(
         "lang",
         "n_docs",
         F.format_string(

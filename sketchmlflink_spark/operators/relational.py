@@ -685,28 +685,33 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
 )
 def q22_asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (inclusive: view.ts <= click.ts) without a range
-    join: union both sides with a marker, then one running
+    join: tag click/view roles in place on one scan, then one running
     ``last(..., ignorenulls)`` window per user carries the latest view
     timestamp forward onto every later click.
 
-    Scale shape: exactly ONE hash shuffle on user_id (+ in-partition
-    sort) — linear in input, no per-user quadratic inequality join, no
-    broadcast requirement on either side. Ties at equal ts resolve
+    Scale shape: exactly ONE scan (pushed isin filter) and ONE hash
+    shuffle on user_id (+ in-partition sort) — linear in input, no
+    per-user quadratic inequality join, no broadcast requirement on
+    either side. Ties at equal ts resolve
     view-before-click via the marker in the sort key, matching DuckDB
     ASOF's inclusive bound; clicks with no prior view drop (inner
     semantics). Output is the integer microsecond gap, so any tie
     between two views at the same instant cannot change the hash.
     """
-    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("is_click"), F.lit(None).cast("long").alias("view_us")
-    )
-    views = ev.where(F.col("event_type") == "view").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.lit(0).alias("is_click"),
-        F.unix_micros("ts").alias("view_us"),
+    # both roles tagged IN PLACE from one pushed isin scan — a union of
+    # two filtered branches reads the fact table once per side (Catalyst
+    # doesn't fuse union legs over the same scan)
+    is_click = (F.col("event_type") == "click").cast("int")
+    tagged = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.when(is_click == 1, F.col("event_id")).alias("event_id"),
+            "user_id",
+            "ts",
+            is_click.alias("is_click"),
+            F.when(is_click == 0, F.unix_micros("ts")).alias("view_us"),
+        )
     )
     w = (
         Window.partitionBy("user_id")
@@ -714,8 +719,7 @@ def q22_asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        clicks.unionByName(views)
-        .withColumn("asof_view_us", F.last("view_us", ignorenulls=True).over(w))
+        tagged.withColumn("asof_view_us", F.last("view_us", ignorenulls=True).over(w))
         .where((F.col("is_click") == 1) & F.col("asof_view_us").isNotNull())
         .select(
             "event_id",

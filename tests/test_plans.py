@@ -306,3 +306,31 @@ def test_p08_delta_scan_pushed_merge_reads_rollup(spark, queries):
         r"ReadSchema: struct<day:date,event_type:string,n_events:bigint,sum_value:double>",
         plan,
     ), plan
+
+
+def test_q22_single_scan_single_shuffle(spark, queries):
+    """q22 as-of join: both roles tagged in place — exactly one events
+    scan (pushed isin filter) and one user_id exchange feeding the
+    window."""
+    plan = formatted_plan(spark, queries["q22_asof_click_to_view"].build(spark, SF_SMALL))
+    body = plan.split("\n\n")[0]
+    assert body.count("Scan parquet") == 1, body
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+    assert re.search(r"PushedFilters: \[.*In\(event_type", plan), plan
+
+
+def test_d04_single_corpus_scan(spark, queries):
+    """d04 MinHash-LSH: the shingle frame is persisted (InMemoryTableScan
+    on both verify sides) and the signature table checkpointed (Scan
+    ExistingRDD on both self-join sides), so the 4-branch plan
+    tokenizes the corpus exactly once — re-scans hit cache/checkpoint,
+    never the parquet + regex pipeline."""
+    plan = formatted_plan(spark, queries["d04_minhash_lsh_neardup"].build(spark, SF_SMALL))
+    body = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in body, body
+    assert "Scan ExistingRDD" in body, body
+    # any parquet scan in the tree lives INSIDE the cache-build subtree
+    # (InMemoryRelation), not as a free-standing re-read
+    import re as _re
+    free_scans = _re.findall(r"^\s*[:+]?[- ]*\+?- Scan parquet", body, _re.M)
+    assert len(free_scans) == 0 or "InMemoryRelation" in body, body
