@@ -142,10 +142,14 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
     tags=("dedup", "jaccard"),
 )
 def d03_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = t(spark, sf_dir, "documents")
+    # persisted: the self-join would otherwise tokenize+shingle the
+    # corpus once per alias (same discipline as minhash_near_duplicates)
     s = docs.select("doc_id", T.tokens("text").alias("tk")).select(
         "doc_id", shingles(F.col("tk")).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = s.alias("a")
     b = s.alias("b")
     jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
