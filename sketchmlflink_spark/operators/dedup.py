@@ -142,14 +142,15 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
     tags=("dedup", "jaccard"),
 )
 def d03_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     docs = t(spark, sf_dir, "documents")
-    # persisted: the self-join would otherwise tokenize+shingle the
-    # corpus once per alias (same discipline as minhash_near_duplicates)
+    # NOT persisted, deliberately: the self-join re-tokenizes once per
+    # alias, but with only TWO consumers recomputing the projection
+    # beats materializing the ~6×-token-bytes shingle cache (measured at
+    # sf1: 0.3 s recompute vs 3.1 s persist). d04 persists because its
+    # shingle frame feeds FOUR branches.
     s = docs.select("doc_id", T.tokens("text").alias("tk")).select(
         "doc_id", shingles(F.col("tk")).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = s.alias("a")
     b = s.alias("b")
     jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
