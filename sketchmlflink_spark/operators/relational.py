@@ -1254,3 +1254,46 @@ def q32_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_order_key",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q33 — OHLC time-series downsampling: the metrics/market-data rollup
+# (open/high/low/close per bucket) via min_by/max_by — order-aware
+# aggregates in ONE hash-agg pass, no window sort over the fact table.
+# --------------------------------------------------------------------------
+@register(
+    "q33_ohlc_bars",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+       event_type,
+       first(value ORDER BY ts, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("relational", "timeseries", "ohlc", "downsample"),
+)
+def q33_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type. The scale point: open/close are
+    min_by/max_by over the (ts, event_id) ordering — ONE map-side
+    partial hash-agg per bucket (each partial carries a single
+    candidate row), vs the naive first()/last() over a per-bucket
+    window, which sorts every event inside the shuffle. Ties at equal
+    ts resolve by event_id, so the answer is engine-independent."""
+    ev = t(spark, sf_dir, "events")
+    ord_key = F.struct("ts", "event_id")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_bucket"
+        ),
+        "event_type",
+    ).agg(
+        F.min_by("value", ord_key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ord_key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

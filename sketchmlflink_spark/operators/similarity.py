@@ -773,3 +773,94 @@ def s10_retrieval_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# s11 — scalar-quantized (int8) ANN: the memory-bandwidth scale trick.
+# The corpus is scanned as 1-byte-per-dim codes (8× fewer bytes than the
+# float64 math s01 streams), candidates re-ranked exactly.
+# --------------------------------------------------------------------------
+S11_CANDIDATES = 50  # per-query candidate pool before exact re-rank
+
+
+@register(
+    "s11_sq8_ann_cosine",
+    oracle=None,  # quantized candidate generation isn't SQL-expressible;
+    # recall vs s01 pinned in tests/test_similarity_extra.py
+    tags=("similarity", "ann", "scalar-quantization"),
+)
+def s11_sq8_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via symmetric int8 scalar quantization: per-dimension absmax
+    scales (one bounded agg, collected — 64 doubles, the SQ 'codebook'),
+    corpus encoded as tinyint codes, approximate cosine computed on the
+    codes, top-C candidates per query re-ranked with EXACT double
+    cosine, top-k emitted.
+
+    Scale shape: the hot scan reads 1 byte/dim instead of 8 (at 100 TB
+    of vectors that is the difference between bandwidth-bound and
+    compute-trivial); the exact math touches only C×Q candidate rows
+    fetched by a semi-join. Same output schema as s01; recall ≥ 0.95 at
+    C=50 is pytest-pinned, exact re-rank means emitted cosines are true
+    cosines (not estimates)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    # --- train: per-dim absmax (posexplode → 64-row agg → driver) ---
+    scales_rows = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("s"))
+        .collect()
+    )
+    scales = [max(r["s"], 1e-12) for r in sorted(scales_rows, key=lambda r: r["pos"])]
+    sc = F.array(*[F.lit(float(s)) for s in scales])
+
+    def encode(vcol):
+        return F.zip_with(
+            vcol, sc, lambda x, s: F.round(x / s * 127.0).cast("int")
+        )
+
+    coded = emb.select("vec_id", encode(F.col("v")).alias("code"))
+    q = (
+        coded.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("code").alias("qc"))
+    )
+    idot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        F.broadcast(q)
+        .join(coded.select(F.col("vec_id").alias("n_id"), F.col("code").alias("cc")),
+              F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id",
+            (idot(F.col("qc"), F.col("cc"))
+             / F.sqrt(idot(F.col("qc"), F.col("qc")) * idot(F.col("cc"), F.col("cc")))
+             ).alias("acos"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("acos"), F.asc("n_id"))
+    cands = approx.withColumn("crk", F.row_number().over(wq)).where(
+        F.col("crk") <= S11_CANDIDATES
+    ).select("q_id", "n_id")
+    # --- exact re-rank on the C×Q candidate rows only ---
+    qv = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cv = emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv"))
+    exact = (
+        cands.join(F.broadcast(qv), "q_id")
+        .join(cv, "n_id")
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KNN_K)
+        .select(
+            "q_id", "n_id", F.col("rnk").cast("int").alias("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

@@ -483,3 +483,50 @@ def test_d06_replication_budget_raises_loudly(spark):
     )
     with _pytest.raises(ValueError, match="replication budget"):
         exact_cosine_pairs(emb, block_rows=2)  # 500 rows -> 250 blocks
+
+
+def test_s11_sq8_recall_vs_brute(spark):
+    """int8 scalar-quantized ANN: candidate pool + exact re-rank must
+    recover (nearly) the exact top-k, and the emitted cosines are TRUE
+    cosines — identical to s01's values on the overlapping pairs."""
+    from sketchmlflink_spark.registry import all_queries
+
+    qs = all_queries()
+    SF = "/root/testdata/sf0.001"
+    s01 = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in qs["s01_knn_cosine_brute"].build(spark, SF).collect()
+    }
+    s11 = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in qs["s11_sq8_ann_cosine"].build(spark, SF).collect()
+    }
+    overlap = set(s01) & set(s11)
+    assert len(overlap) / len(s01) >= 0.95, f"recall {len(overlap)}/{len(s01)}"
+    for k in overlap:
+        assert s01[k] == s11[k], f"re-ranked cosine differs at {k}"
+
+
+def test_s11_codes_are_int8_range(spark):
+    """The quantizer's whole point: every code fits a signed byte."""
+    from pyspark.sql import functions as F
+
+    from sketchmlflink_spark.operators.similarity import N_QUERIES  # noqa: F401
+    from sketchmlflink_spark.operators.relational import t as t_
+    from sketchmlflink_spark.functions.vector import as_double_array as ada
+
+    emb = t_(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", ada("embedding").alias("v")
+    )
+    scales_rows = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos").agg(F.max(F.abs(F.col("x"))).alias("s")).collect()
+    )
+    sc = F.array(*[F.lit(float(max(r["s"], 1e-12))) for r in sorted(scales_rows, key=lambda r: r["pos"])])
+    coded = emb.select(
+        F.zip_with("v", sc, lambda x, s: F.round(x / s * 127.0).cast("int")).alias("code")
+    )
+    mm = coded.select(
+        F.min(F.array_min("code")).alias("lo"), F.max(F.array_max("code")).alias("hi")
+    ).first()
+    assert -127 <= mm["lo"] and mm["hi"] <= 127
