@@ -864,3 +864,101 @@ def s11_sq8_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# s12 — hybrid retrieval: dense cosine + BM25 fused with reciprocal-rank
+# fusion (the standard hybrid-search recipe: Cormack et al., RRF).
+# --------------------------------------------------------------------------
+S12_QVEC = 0     # the dense query = embedding of vec_id 0 (doc_id 0)
+S12_POOL = 10    # per-arm candidate pool (== BM25_TOPN)
+S12_RRF_K = 60   # canonical RRF constant
+S12_TOPN = 10
+
+
+def _s12_oracle() -> str:
+    from sketchmlflink_spark.operators.textops import _bm25_duck
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = {S12_QVEC}),
+dense AS (
+    SELECT c.vec_id AS doc_id,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+    FROM e c CROSS JOIN q
+    WHERE c.vec_id != {S12_QVEC}
+),
+dpool AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS dense_rank
+    FROM dense ORDER BY cos DESC, doc_id LIMIT {S12_POOL}
+),
+bpool AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS bm25_rank
+    FROM ({_bm25_duck()})
+)
+SELECT doc_id,
+       round(coalesce(1.0 / ({S12_RRF_K} + dense_rank), 0.0)
+             + coalesce(1.0 / ({S12_RRF_K} + bm25_rank), 0.0), 6) AS rrf,
+       dense_rank, bm25_rank
+FROM dpool FULL OUTER JOIN bpool USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT {S12_TOPN}
+"""
+
+
+@register(
+    "s12_hybrid_rrf_retrieval",
+    oracle=_s12_oracle(),
+    tags=("similarity", "retrieval", "hybrid", "rrf", "bm25"),
+)
+def s12_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: the dense arm ranks documents by cosine to a query
+    embedding, the lexical arm by BM25 (t07's scan-side kernel), and the
+    two ranked pools are fused with reciprocal-rank fusion
+    ``score = Σ 1/(k + rank)`` (k=60) — the production hybrid-retrieval
+    recipe for RAG corpora, where neither arm alone is recall-complete.
+
+    Plan shape for 100 TB: each arm ends in a TakeOrderedAndProject
+    down to a CONSTANT pool (S12_POOL), so the single-partition
+    row_number windows and the full-outer fuse join run on ≤10-row
+    frames regardless of corpus size — the only wide work is the two
+    arms' own scans, each independently scale-audited (s01's broadcast
+    1-row nested loop; t07's no-explode tf). Dense cosine is
+    Catalyst-only sequential-order double math, so values hash-match
+    DuckDB's list_dot_product bit-for-bit."""
+    from sketchmlflink_spark.operators.textops import t07_bm25_keyword_search
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    q = e.where(F.col("vec_id") == S12_QVEC).select(F.col("v").alias("qv"))
+    dense = (
+        e.where(F.col("vec_id") != S12_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(S12_POOL)
+    )
+    wd = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    dpool = dense.select(
+        "doc_id", F.row_number().over(wd).cast("int").alias("dense_rank")
+    )
+    bm = t07_bm25_keyword_search(spark, sf_dir)  # (doc_id, bm25) pool
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bpool = bm.select(
+        "doc_id", F.row_number().over(wb).cast("int").alias("bm25_rank")
+    )
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(S12_RRF_K) + F.col("dense_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(S12_RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+    )
+    return (
+        dpool.join(bpool, "doc_id", "full_outer")
+        .select("doc_id", F.round(rrf, 6).alias("rrf"), "dense_rank", "bm25_rank")
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(S12_TOPN)
+    )

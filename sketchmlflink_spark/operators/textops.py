@@ -553,3 +553,56 @@ def t09_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_deny").alias("deny_hits"),
         F.sum(F.col("n_chars") - F.col("n_chars_scrubbed")).alias("chars_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# t10 — corpus-trained unigram LM cross-entropy (the CCNet/RedPajama-style
+# "perplexity" quality signal, self-trained so it needs no external model).
+# --------------------------------------------------------------------------
+@register(
+    "t10_unigram_xent",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_duck_tokens()}) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+stats AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v_size FROM vocab)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln((c + 1.0) / (n_total + v_size))), 4) AS xent_nats
+FROM toks JOIN vocab USING (tok) CROSS JOIN stats
+GROUP BY doc_id
+""",
+    tags=("text", "quality", "lm", "perplexity"),
+)
+def t10_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed unigram LM
+    trained on the corpus itself: xent = avg(-ln((c_tok+1)/(N+V))).
+    High-xent documents are token-level outliers — the same signal the
+    CCNet wiki-LM perplexity filter thresholds on, but self-contained
+    (no external model artifact).
+
+    Plan shape for 100 TB: one explode → two aggregations, both with
+    map-side partial aggregation (token counts, then per-doc avg). The
+    token→count join is a shuffle join on the token key; Zipf skew on
+    hot tokens is exactly what AQE skew-join splitting handles (and at
+    small SF AQE turns the vocab side into a broadcast automatically).
+    N and V are a 1-row aggregate broadcast back. In a production run
+    the vocab frame would be truncated to top-V with an OOV bucket,
+    making the join side bounded regardless of corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    nll = -F.log((F.col("c") + F.lit(1.0)) / (F.col("n_total") + F.col("v_size")))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(nll), 4).alias("xent_nats"),
+        )
+    )

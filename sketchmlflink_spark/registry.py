@@ -90,12 +90,15 @@ _PRIORITY = (
     "q14_user_event_gaps", "q18_price_percentiles", "q21_event_type_stats_salted",
     "q22_asof_click_to_view", "q23_pivot_daily_events", "q24_revenue_moving_avg",
     "q25_batch_sessionize", "q26_grouping_sets_orders", "q27_sole_supplier_orders",
-    "q28_order_value_deciles", "q13_events_json_bucket", "q15_promo_revenue_share",
-    "q17_big_orders",
+    "q13_events_json_bucket",
     # round-3 headliners: graph-closure dedup, bucketed-layout join,
     # BM25 lexical retrieval
     "d13_dup_graph_components", "q31_bucketed_segment_revenue",
     "t07_bm25_keyword_search",
+    # round-4 headliners: hybrid RRF fusion, streaming CDC upsert,
+    # unigram-LM quality scoring (q15/q17/q28 rotated out to the sweep-only
+    # tail — all three stay green in SWEEP artifacts)
+    "s12_hybrid_rrf_retrieval", "st17_stream_cdc_upsert", "t10_unigram_xent",
 )
 
 

@@ -624,3 +624,113 @@ def st16_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     P.run_foreach_batch(ev, land_summaries, output_mode="append")
     state = spark.read.parquet(state_dir).drop("_epoch")
     return mg_merge_topn(state, "user_id", SK05_TOPN)
+
+
+# --------------------------------------------------------------------------
+# st17 — streaming CDC upsert: foreachBatch latest-wins MERGE into a
+# bucket-partitioned keyed table (the Delta-MERGE compaction pattern,
+# expressed on plain parquet).
+# --------------------------------------------------------------------------
+ST17_BUCKETS = 16  # key-hash partitions of the state table
+ST17_COLS = ["user_id", "ts", "event_type", "value", "event_id"]
+
+
+def _latest_per_key(df: DataFrame) -> DataFrame:
+    """Latest-wins per user_id (ts DESC, event_id DESC tiebreak)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_merge_batch(bdf: DataFrame, state_dir: str) -> None:
+    """One MERGE step of the st17 upsert sink: fold a batch of change
+    rows into the bucket-partitioned state table, latest-wins. Reads
+    back only the buckets the batch touches (bounded ≤ ST17_BUCKETS
+    driver-side list), rewrites only those partitions, and — because
+    latest-wins merge is idempotent — replaying the same batch (a
+    retried epoch) leaves the state bit-identical (pytest
+    test_cdc_merge_retry_idempotent)."""
+    import os
+
+    sp = bdf.sparkSession
+    sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch = _latest_per_key(bdf.select(*ST17_COLS)).withColumn(
+        "bucket", F.pmod(F.hash("user_id"), F.lit(ST17_BUCKETS))
+    )
+    if os.path.isdir(state_dir):
+        touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
+        old = sp.read.parquet(state_dir).where(F.col("bucket").isin(touched))
+        merged = _latest_per_key(old.unionByName(batch))
+    else:
+        merged = batch
+    # materialize before overwriting the partitions being read
+    merged = merged.repartition("bucket").localCheckpoint(eager=True)
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+
+
+@register(
+    "st17_stream_cdc_upsert",
+    oracle="""
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_event_type,
+       round(value, 6) AS last_value
+FROM (
+    SELECT user_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+    tags=("streaming", "cdc", "upsert", "foreachBatch", "merge"),
+)
+def st17_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-data-capture materialization: the event stream
+    is treated as an upsert feed keyed by user_id, and each micro-batch
+    is MERGEd latest-wins (ts DESC, event_id DESC tiebreak) into a
+    compacted per-key state table — the Delta/Hudi `MERGE INTO` recipe
+    on plain parquet. Returns the final compacted table: one row per
+    user with their latest event, hash-matched against the batch argmax.
+
+    Scale + exactly-once mechanics: the state table is partitioned by
+    ``bucket = pmod(hash(user_id), B)``, so a micro-batch (1) reads back
+    ONLY the buckets its keys touch (partition pruning on the read),
+    (2) shuffles only on the bucket column, and (3) dynamic-partition-
+    overwrites only those buckets. Latest-wins merge is idempotent and
+    associative, so a RETRIED epoch that re-merges the same rows
+    converges to the same state — correctness does not depend on the
+    file source's batch split (ADVICE r3 on st15 applies here too). The
+    merged frame is localCheckpoint()ed before the write because the
+    overwrite truncates the very partitions the plan is reading.
+    State size is O(distinct keys), never O(events)."""
+    import os
+    import shutil
+    import tempfile
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"st17_state_{os.getpid()}_"
+        + sf_dir.strip("/").replace("/", "_").replace(".", "_"),
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    ev = P.events_stream(spark, sf_dir).select(*ST17_COLS)
+    P.run_foreach_batch(
+        ev, lambda bdf, eid: cdc_merge_batch(bdf, state_dir), output_mode="append"
+    )
+    return (
+        spark.read.parquet(state_dir)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )

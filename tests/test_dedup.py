@@ -530,3 +530,28 @@ def test_s11_codes_are_int8_range(spark):
         F.min(F.array_min("code")).alias("lo"), F.max(F.array_max("code")).alias("hi")
     ).first()
     assert -127 <= mm["lo"] and mm["hi"] <= 127
+
+
+def test_s12_rrf_fusion_invariants(spark):
+    """RRF fusion must be consistent with its two arms: every fused doc
+    comes from one of the pools, its rrf equals 1/(60+rank) summed over
+    the arms it appears in, and any doc ranked by BOTH arms outscores a
+    doc holding the same single-arm rank."""
+    from sketchmlflink_spark.operators.similarity import (
+        S12_RRF_K,
+        s12_hybrid_rrf_retrieval,
+    )
+
+    rows = s12_hybrid_rrf_retrieval(spark, "/root/testdata/sf0.001").collect()
+    assert 1 <= len(rows) <= 10
+    for r in rows:
+        assert r["dense_rank"] is not None or r["bm25_rank"] is not None
+        expect = sum(
+            1.0 / (S12_RRF_K + rk)
+            for rk in (r["dense_rank"], r["bm25_rank"])
+            if rk is not None
+        )
+        assert abs(r["rrf"] - round(expect, 6)) < 1e-9, r
+    # result ordered by rrf desc (doc_id asc tiebreak)
+    key = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)

@@ -300,3 +300,52 @@ def test_st16_multi_epoch_heavy_hitters_match_batch_and_retry_safe(
     e0 = seen_epochs[0]
     land(spark.createDataFrame(epoch_rows[e0]), e0)
     assert topn() == got
+
+
+def test_st17_cdc_merge_multi_batch_and_retry_idempotent(spark, tmp_path):
+    """The CDC upsert's two core claims, exercised directly on the merge
+    helper: (1) folding the event stream in as multiple batches yields
+    exactly the batch latest-per-key answer; (2) replaying a batch (a
+    retried epoch after a sink failure) leaves the state unchanged —
+    latest-wins merge is idempotent, so exactly-once does not depend on
+    the micro-batch split."""
+    from pyspark.sql.window import Window
+
+    from sketchmlflink_spark.sources.tables import load_table
+    from sketchmlflink_spark.streaming.queries import ST17_COLS, cdc_merge_batch
+
+    state = str(tmp_path / "st17_state")
+    ev = load_table(spark, SF_SMALL, "events").select(*ST17_COLS)
+    # deterministic 3-way split by event_id (simulates 3 micro-batches,
+    # keys deliberately straddle the batches)
+    batches = [ev.where(F.pmod("event_id", F.lit(3)) == i) for i in range(3)]
+    for b in batches:
+        cdc_merge_batch(b, state)
+
+    def snapshot():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(state).drop("bucket").collect()
+        )
+
+    after = snapshot()
+    # (2) retry: replay the LAST batch; state must be bit-identical
+    cdc_merge_batch(batches[2], state)
+    assert snapshot() == after
+    # replay an EARLY batch (out-of-order retry): still unchanged,
+    # because every key's stored row is already >= any row in batch 0
+    cdc_merge_batch(batches[0], state)
+    assert snapshot() == after
+    # (1) equals the batch argmax on the full table
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn")
+        .collect()
+    )
+    assert after == expect
+    # state is one row per distinct key, not per event
+    assert len(after) == ev.select("user_id").distinct().count()

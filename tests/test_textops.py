@@ -75,3 +75,29 @@ def test_t09_scrub_masks_real_pii(spark):
         assert leftover == 0, f"pattern {k} survived scrubbing"
     assert rows["d4"]["scrubbed"] == "clean text with no sensitive content at all"
     assert "<PII>" in rows["d1"]["scrubbed"] and "<PII>" in rows["d3"]["scrubbed"]
+
+
+def test_t10_xent_bounds_and_token_conservation(spark):
+    """The unigram cross-entropy score must respect the LM's hard
+    bounds — every token the model scores exists in its own training
+    corpus, so c >= 1 and 0 < nll <= -ln(2/(N+V)) — and the per-doc
+    token counts must conserve the corpus total (the token→vocab join
+    drops nothing)."""
+    import math
+
+    df = textops.t10_unigram_xent(spark, SF_SMALL).cache()
+    toks = (
+        textops.t(spark, SF_SMALL, "documents")
+        .select(F.explode(textops.T.tokens("text")).alias("tok"))
+    )
+    n_total = toks.count()
+    v_size = toks.distinct().count()
+    hi = -math.log(2.0 / (n_total + v_size))  # c==1 worst case
+    lo = -math.log((toks.groupBy("tok").count().agg(F.max("count")).first()[0] + 1.0)
+                   / (n_total + v_size))      # most-common-token best case
+    bad = df.where((F.col("xent_nats") < lo - 1e-6) | (F.col("xent_nats") > hi + 1e-6))
+    assert bad.count() == 0
+    assert df.agg(F.sum("n_tokens")).first()[0] == n_total
+    # the score separates the corpus: not all docs identical
+    assert df.select("xent_nats").distinct().count() > 1
+    df.unpersist()
