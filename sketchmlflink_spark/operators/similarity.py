@@ -962,3 +962,129 @@ def s12_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(S12_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# s13 — MMR-diversified retrieval: greedy maximal-marginal-relevance
+# re-rank of a bounded candidate pool (Carbonell & Goldstein '98) —
+# the de-dup-at-serving-time counterpart to d06's de-dup-at-rest.
+# --------------------------------------------------------------------------
+S13_QVEC = 0
+S13_POOL = 20
+S13_K = 5
+S13_LAMBDA = 0.7
+
+
+def _s13_oracle() -> str:
+    """Greedy MMR unrolled into K chained CTE stages — each stage picks
+    argmax(λ·rel − (1−λ)·max_sim_to_selected) over the remaining pool,
+    so the iterative algorithm stays fully SQL-expressible (and
+    hash-checkable) at a fixed K."""
+    head = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = {S13_QVEC}),
+pool AS (
+    SELECT c.vec_id AS id, c.v,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS rel
+    FROM e c CROSS JOIN q
+    WHERE c.vec_id != {S13_QVEC}
+    ORDER BY rel DESC, id LIMIT {S13_POOL}
+),
+pairs AS (
+    SELECT a.id AS a, b.id AS b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+    FROM pool a JOIN pool b ON a.id != b.id
+),
+s1 AS (
+    SELECT id, rel, {S13_LAMBDA} * rel AS mmr, 1 AS step
+    FROM pool ORDER BY rel DESC, id LIMIT 1
+)"""
+    stages, prev_union = [], "SELECT id FROM s1"
+    for k in range(2, S13_K + 1):
+        stages.append(f""",
+c{k} AS (
+    SELECT p.id, p.rel,
+           {S13_LAMBDA} * p.rel - (1 - {S13_LAMBDA}) * max(pr.sim) AS mmr
+    FROM pool p JOIN pairs pr ON pr.a = p.id AND pr.b IN ({prev_union})
+    WHERE p.id NOT IN ({prev_union})
+    GROUP BY p.id, p.rel
+),
+s{k} AS (SELECT id, rel, mmr, {k} AS step FROM c{k} ORDER BY mmr DESC, id LIMIT 1)""")
+        prev_union += f" UNION ALL SELECT id FROM s{k}"
+    union_all = " UNION ALL ".join(f"SELECT * FROM s{k}" for k in range(1, S13_K + 1))
+    return (
+        head + "".join(stages)
+        + f"""
+SELECT id AS doc_id, CAST(step AS INT) AS step,
+       round(rel, 6) AS rel, round(mmr, 6) AS mmr
+FROM ({union_all})
+"""
+    )
+
+
+@register(
+    "s13_mmr_diversified_topk",
+    oracle=_s13_oracle(),
+    tags=("similarity", "retrieval", "mmr", "diversity"),
+)
+def s13_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-K: greedily select K results maximizing
+    ``λ·relevance − (1−λ)·max-similarity-to-already-selected`` over a
+    bounded candidate pool — redundant near-duplicate hits are traded
+    for coverage at serving time.
+
+    Plan shape for 100 TB: ALL corpus-size work is the candidate pool
+    (TakeOrderedAndProject top-{S13_POOL} by cosine — s01's broadcast
+    1-row scan); the pool self-join ({S13_POOL}² pairs) and the greedy
+    K-step loop run on CONSTANT-size frames, so the driver-side
+    selection loop is O(K·pool), independent of corpus size. Cosines —
+    both query-relevance and pool-pairwise — are computed in Catalyst
+    (sequential-order doubles) and only the bounded pool is collected,
+    so greedy arithmetic on the driver reproduces DuckDB's unrolled-CTE
+    evaluation bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    q = e.where(F.col("vec_id") == S13_QVEC).select(F.col("v").alias("qv"))
+    pool = (
+        e.where(F.col("vec_id") != S13_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", cosine(F.col("qv"), F.col("v")).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(S13_POOL)
+    )
+    pool = pool.localCheckpoint(eager=True)  # reused thrice below
+    a, b = pool.alias("a"), pool.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("pa"), F.col("b.vec_id").alias("pb"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+    )
+    rels = {r["vec_id"]: r["rel"] for r in pool.select("vec_id", "rel").collect()}
+    sims = {(r["pa"], r["pb"]): r["sim"] for r in pairs.collect()}
+    selected: list[tuple[int, int, float, float]] = []  # (id, step, rel, mmr)
+    chosen: list[int] = []
+    for step in range(1, S13_K + 1):
+        best = None
+        for cid, rel in rels.items():
+            if cid in chosen:
+                continue
+            if chosen:
+                mmr = S13_LAMBDA * rel - (1 - S13_LAMBDA) * max(
+                    sims[(cid, s)] for s in chosen
+                )
+            else:
+                mmr = S13_LAMBDA * rel
+            key = (-mmr, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel, mmr)
+        _, cid, rel, mmr = best
+        chosen.append(cid)
+        selected.append((cid, step, round(rel, 6), round(mmr, 6)))
+    return spark.createDataFrame(
+        selected, "doc_id long, step int, rel double, mmr double"
+    )

@@ -606,3 +606,73 @@ def t10_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(nll), 4).alias("xent_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t11 — TF-IDF top terms per document (keyword tagging for corpus
+# curation: cluster labeling, topic mixing, search-index boosting).
+# --------------------------------------------------------------------------
+T11_TOPK = 3
+
+
+@register(
+    "t11_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_duck_tokens()}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(rnk AS INT) AS rank, round(score, 6) AS tfidf
+FROM (
+    SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rnk
+    FROM scored
+)
+WHERE rnk <= {T11_TOPK}
+""",
+    tags=("text", "tfidf", "keywords"),
+)
+def t11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by smoothed TF-IDF
+    (sklearn's ``ln((N+1)/(df+1)) + 1`` idf) — the workhorse signal for
+    cluster labeling and topic-mix manifests over a curation corpus.
+
+    Plan shape for 100 TB: explode → (doc, term) count with map-side
+    partial aggregation, df as a second agg on the same exploded frame,
+    then a per-doc row_number window PARTITIONED on doc_id (parallel,
+    never single-partition). The df join is keyed on term — Zipf-skewed,
+    handled by AQE skew splitting; at small SF AQE broadcasts the df
+    side. N is a 1-row broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            (F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+             ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= T11_TOPK)
+        .select(
+            "doc_id", "term", F.col("rnk").cast("int").alias("rank"),
+            F.round("score", 6).alias("tfidf"),
+        )
+    )

@@ -555,3 +555,49 @@ def test_s12_rrf_fusion_invariants(spark):
     # result ordered by rrf desc (doc_id asc tiebreak)
     key = [(-r["rrf"], r["doc_id"]) for r in rows]
     assert key == sorted(key)
+
+
+def test_s13_mmr_diversifies_vs_plain_topk(spark):
+    """MMR's selected set must (a) start with the raw-relevance argmax
+    and (b) be no MORE self-similar than the plain top-K prefix of the
+    same pool — the whole point of the re-rank."""
+    from sketchmlflink_spark.functions.vector import as_double_array, cosine
+    from sketchmlflink_spark.operators.relational import t as t_
+    from sketchmlflink_spark.operators.similarity import (
+        S13_K,
+        S13_QVEC,
+        s13_mmr_diversified_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = s13_mmr_diversified_topk(spark, sf).orderBy("step").collect()
+    assert [r["step"] for r in rows] == list(range(1, S13_K + 1))
+    # (a) step 1 is the pure-relevance winner
+    assert rows[0]["rel"] == max(r["rel"] for r in rows)
+
+    def max_pairwise(ids):
+        e = t_(spark, sf, "embeddings").select(
+            "vec_id", as_double_array("embedding").alias("v")
+        ).where(F.col("vec_id").isin(ids))
+        a, b = e.alias("a"), e.alias("b")
+        return (
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(cosine(F.col("a.v"), F.col("b.v")).alias("s"))
+            .agg(F.max("s")).first()[0]
+        )
+
+    e = t_(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    qv = e.where(F.col("vec_id") == S13_QVEC).select(F.col("v").alias("qv"))
+    plain = [
+        r["vec_id"]
+        for r in e.where(F.col("vec_id") != S13_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cosine(F.col("qv"), F.col("v")).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id")).limit(S13_K).collect()
+    ]
+    mmr_ids = [r["doc_id"] for r in rows]
+    if set(mmr_ids) != set(plain):
+        # (b) diversity: only a meaningful check when the sets differ
+        assert max_pairwise(mmr_ids) <= max_pairwise(plain) + 1e-12
