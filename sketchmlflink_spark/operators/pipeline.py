@@ -668,3 +668,85 @@ def p09_csv_intake_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__corrupt__").alias("bucket"), F.count(F.lit(1)).alias("n_docs")
     )
     return per_lang.unionByName(corrupt)
+
+
+# --------------------------------------------------------------------------
+# p10 — small-file compaction: the lake-maintenance job that bin-packs a
+# fragmented partitioned dataset back to target-sized files.
+# --------------------------------------------------------------------------
+P10_FRAGMENT_TASKS = 64     # fragmentation factor of the staged input
+P10_TARGET_ROWS = 20_000    # compaction target (rows per file)
+
+
+@register(
+    "p10_compact_small_files",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(ceil(count(*) / {P10_TARGET_ROWS}.0) AS BIGINT) AS n_files,
+       CAST(least(count(*), {P10_TARGET_ROWS}) AS BIGINT) AS max_rows_per_file
+FROM events
+GROUP BY event_type
+""",
+    tags=("pipeline", "compaction", "maintenance", "sink"),
+)
+def p10_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE / rewrite-data-files job):
+    stage the events table as a deliberately fragmented
+    event_type-partitioned dataset (~{P10_FRAGMENT_TASKS} files per
+    partition), then rewrite each partition into
+    ``ceil(rows / target)`` files and return the read-back audit —
+    per partition: row count (conservation), compacted file count, and
+    the largest file's row count (greedy fill: full files hold exactly
+    `target` rows, the last file the remainder). The audit is
+    hash-checked against the arithmetic the compactor must satisfy.
+
+    Plan + scale: the compactor is one shuffle on the partition column
+    with AQE coalescing, writing with ``maxRecordsPerFile`` so file
+    count per partition is exactly ceil(rows/target) — deterministic,
+    unlike byte-based targets. At 100 TB this is the nightly job that
+    keeps scan parallelism healthy: without it the st15-style streaming
+    sink accretes thousands of minute-scale files per partition and
+    every downstream scan pays task-per-tiny-file scheduling. File
+    inventory comes from input_file_name() grouping, not a driver-side
+    filesystem walk."""
+    import os
+    import shutil
+    import tempfile
+
+    from sketchmlflink_spark.sources.tables import load_table
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"p10_{os.getpid()}_" + sf_dir.strip("/").replace("/", "_").replace(".", "_"),
+    )
+    frag_dir, compact_dir = base + "_frag", base + "_compact"
+    for d in (frag_dir, compact_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    # stage: the fragmented lake state a streaming sink leaves behind
+    ev.repartition(P10_FRAGMENT_TASKS).write.partitionBy("event_type").parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    # compact: one shuffle on the partition column; maxRecordsPerFile
+    # splits each partition's single write task into equal-size bins
+    (
+        frag.repartition("event_type")
+        .write.option("maxRecordsPerFile", P10_TARGET_ROWS)
+        .partitionBy("event_type")
+        .parquet(compact_dir)
+    )
+    audit = (
+        spark.read.parquet(compact_dir)
+        .withColumn("file", F.input_file_name())
+        .groupBy("event_type", "file")
+        .agg(F.count(F.lit(1)).alias("rows_in_file"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("rows_in_file").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.max("rows_in_file").alias("max_rows_per_file"),
+        )
+    )
+    return audit

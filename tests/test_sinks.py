@@ -132,3 +132,61 @@ def test_p04_writes_lang_partitioned_layout(spark):
     for p in parts:
         files = os.listdir(os.path.join(out_dir, p))
         assert any(f.endswith(".parquet") for f in files), (p, files)
+
+
+def test_max_records_per_file_greedy_fill(spark, tmp_path):
+    """p10's oracle rests on the writer's greedy-fill contract: with
+    maxRecordsPerFile=T a partition of R rows lands in ceil(R/T) files,
+    full files holding EXACTLY T rows — not balanced bins. Pin it."""
+    d = str(tmp_path / "greedy")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type"
+    )
+    target = 50
+    (
+        ev.repartition("event_type")
+        .write.option("maxRecordsPerFile", target)
+        .partitionBy("event_type")
+        .parquet(d)
+    )
+    per_file = (
+        spark.read.parquet(d)
+        .withColumn("file", F.input_file_name())
+        .groupBy("event_type", "file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in per_file:
+        by_type[r["event_type"]].append(r["n"])
+    totals = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_type, "no files written"
+    for et, counts in by_type.items():
+        rows = totals[et]
+        assert len(counts) == -(-rows // target), (et, counts)
+        assert sorted(counts, reverse=True)[:-1] == [target] * (len(counts) - 1), (et, counts)
+        assert sum(counts) == rows
+
+
+def test_p10_compaction_conserves_and_packs(spark):
+    """End-to-end p10 on the small fixture: row conservation per
+    partition and the file count the oracle predicts."""
+    from sketchmlflink_spark.operators.pipeline import (
+        P10_TARGET_ROWS,
+        p10_compact_small_files,
+    )
+
+    rows = {r["event_type"]: r for r in p10_compact_small_files(spark, "/root/testdata/sf0.001").collect()}
+    expect = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(rows) == set(expect)
+    for et, r in rows.items():
+        n = expect[et]
+        assert r["n_rows"] == n
+        assert r["n_files"] == -(-n // P10_TARGET_ROWS)
+        assert r["max_rows_per_file"] == min(n, P10_TARGET_ROWS)
