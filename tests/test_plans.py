@@ -334,3 +334,35 @@ def test_d04_single_corpus_scan(spark, queries):
     import re as _re
     free_scans = _re.findall(r"^\s*[:+]?[- ]*\+?- Scan parquet", body, _re.M)
     assert len(free_scans) == 0 or "InMemoryRelation" in body, body
+
+
+def test_s12_pools_via_topk_then_tiny_fuse(spark, queries):
+    """Each hybrid arm must collapse to a constant pool through
+    TakeOrderedAndProject before the fuse join — the property that keeps
+    the single-partition windows and the full-outer join corpus-size-
+    independent."""
+    plan = formatted_plan(
+        spark, queries["s12_hybrid_rrf_retrieval"].build(spark, SF_SMALL)
+    )
+    assert plan.count("TakeOrderedAndProject") >= 3  # dense pool, bm25 pool, final
+    assert "PythonUDF" not in plan  # both arms Catalyst-only
+
+
+def test_t10_two_aggs_with_partial_combine(spark, queries):
+    """Unigram-LM scoring: vocab count and per-doc avg must both show
+    map-side partial aggregation, and only (doc_id, text) may leave the
+    documents scan."""
+    plan = formatted_plan(spark, queries["t10_unigram_xent"].build(spark, SF_SMALL))
+    assert "partial_count" in plan
+    assert "partial_avg" in plan or "partial_" in plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and all(set(cols.split(",")) <= {"doc_id:bigint", "text:string"} for cols in m), m
+
+
+def test_t11_per_doc_window_is_partitioned(spark, queries):
+    """TF-IDF's top-terms window must be PARTITIONED on doc_id (parallel
+    rank), never a global single-partition window."""
+    plan = formatted_plan(spark, queries["t11_tfidf_top_terms"].build(spark, SF_SMALL))
+    assert re.search(r"row_number\(\).*partition.*doc_id", plan, re.IGNORECASE | re.DOTALL) or \
+        "hashpartitioning(doc_id" in plan, plan[:2000]
+    assert "PythonUDF" not in plan
