@@ -403,3 +403,80 @@ def mm05_frame_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k.frame_idx").alias("keeper_frame_idx"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mm06 — paired media↔embedding curation gate (the CLIP-score filter
+# shape: join raw media to its embedding, score alignment, keep pairs
+# above threshold — how LAION filtered 5B image-text pairs).
+# --------------------------------------------------------------------------
+MM06_THRESHOLD = 0.28
+
+
+@register(
+    "mm06_pair_curation",
+    oracle=f"""
+WITH pairs AS (
+    SELECT d.source,
+           1.0 / (1.0 + abs(ln(CAST(octet_length(encode(d.text)) AS DOUBLE))
+                            - sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])))))
+               AS align_score
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                              AS n_pairs,
+       CAST(sum(CASE WHEN align_score >= {MM06_THRESHOLD}
+                THEN 1 ELSE 0 END) AS BIGINT)                AS n_kept,
+       round(avg(align_score), 4)                            AS avg_score
+FROM pairs
+GROUP BY source
+""",
+    tags=("multimodal", "pair-curation", "clip-gate"),
+)
+def mm06_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media↔embedding pair curation: join each media payload (opaque
+    binary, mm01's table) to its precomputed embedding, score the pair,
+    and gate at a threshold — per-source keep counts + mean score.
+
+    The production scorer is a CLIP forward pass; per the module stub
+    policy the container has no model, so the score is a deterministic
+    stand-in (1/(1+|ln(payload bytes) − ‖embedding‖₂|)) keeping every
+    piece of the Spark plumbing real: binary payload projection, the
+    pair join, JVM-side array math, threshold gate, rollup.
+
+    Plan shape for 100 TB: doc_id = vec_id is a co-keyed equi-join of
+    two petabyte tables — the exact case for storing both bucketed on
+    the id (q31's layout, removing the shuffle entirely); unbucketed,
+    it is one hash-partition exchange per side, never a broadcast. The
+    binary payload itself never moves: the join projects only
+    (source, n_bytes, embedding) — payload bytes reduce to a length at
+    the scan."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    from sketchmlflink_spark.functions.vector import as_double_array, norm2
+
+    media = media_table(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    pairs = media.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    score = 1.0 / (
+        1.0
+        + F.abs(
+            F.log(F.col("n_bytes").cast("double"))
+            - norm2(as_double_array("embedding"))
+        )
+    )
+    return (
+        pairs.select("source", score.alias("align_score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("align_score") >= MM06_THRESHOLD).cast("long")
+            ).alias("n_kept"),
+            F.round(F.avg("align_score"), 4).alias("avg_score"),
+        )
+    )

@@ -750,3 +750,62 @@ def p10_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return audit
+
+
+# --------------------------------------------------------------------------
+# p11 — dataset-card statistics: the per-source summary block every
+# released training corpus ships (docs, tokens, language mix, duplicate
+# rate, length distribution) — produced in ONE scan of the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "p11_dataset_card",
+    oracle=f"""
+SELECT source,
+       CAST(count(*) AS BIGINT)                      AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT)          AS n_langs,
+       CAST(sum(len({_duck_tokens()})) AS BIGINT)    AS total_tokens,
+       round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4)
+                                                     AS exact_dup_rate,
+       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4)
+                                                     AS en_share,
+       round(quantile_cont(n_chars, 0.5), 4)         AS p50_chars,
+       round(avg(n_chars), 4)                        AS avg_chars
+FROM documents
+GROUP BY source
+""",
+    tags=("pipeline", "dataset-card", "stats"),
+)
+def p11_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: corpus size, token volume, language
+    diversity + en share, exact-duplicate rate (1 − distinct digests /
+    docs), and the character-length median — the release-notes table a
+    corpus curator regenerates after every pipeline change.
+
+    Plan shape for 100 TB: a single scan projects (source, lang,
+    digest, token count, n_chars); the two DISTINCT aggregates ride
+    Spark's Expand strategy (rows ×3 into ONE shuffle on source — a
+    constant factor, not a second scan; swap count_distinct for
+    approx_count_distinct when a ±2% card is acceptable and the Expand
+    disappears). The exact median uses the sort-based percentile
+    aggregate, fine per-source; at petabyte scale sk03's GK summary is
+    the drop-in approximate replacement."""
+    docs = t(spark, sf_dir, "documents")
+    proj = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        T.token_count("text").alias("n_tok"),
+        (F.col("lang") == "en").cast("double").alias("is_en"),
+    )
+    return proj.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("digest") / F.count(F.lit(1)), 4
+        ).alias("exact_dup_rate"),
+        F.round(F.avg("is_en"), 4).alias("en_share"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -1297,3 +1297,109 @@ def q33_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", ord_key).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# q34 — ordered conversion funnel (view → click → purchase) via chained
+# running-min windows: the product-analytics "sequence match" pattern
+# (MATCH_RECOGNIZE-lite) expressed with one shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q34_funnel_conversion",
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, event_type, ts, event_id,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS t_view_run
+    FROM events
+),
+s2 AS (
+    SELECT *,
+           min(CASE WHEN event_type = 'click' AND t_view_run IS NOT NULL
+                    THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS t_click_run
+    FROM s1
+),
+per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click'
+                    AND t_view_run IS NOT NULL THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase'
+                    AND t_click_run IS NOT NULL THEN ts END) AS t_purchase
+    FROM s2
+    GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT)           AS n_users,
+       CAST(count(t_view) AS BIGINT)      AS n_viewed,
+       CAST(count(t_click) AS BIGINT)     AS n_clicked_after_view,
+       CAST(count(t_purchase) AS BIGINT)  AS n_purchased_after_click,
+       round(CAST(sum(epoch_us(t_click) - epoch_us(t_view)) AS DOUBLE)
+             / count(t_click), 4)         AS avg_view_to_click_us,
+       round(CAST(sum(epoch_us(t_purchase) - epoch_us(t_click)) AS DOUBLE)
+             / count(t_purchase), 4)      AS avg_click_to_purchase_us
+FROM per_user
+""",
+    tags=("relational", "funnel", "window", "sequence"),
+)
+def q34_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel per user: first view, first
+    click AT OR AFTER that view, first purchase at or after that click
+    — then corpus-level stage counts and mean stage-to-stage latency.
+
+    The sequence constraint ("click only counts if a view precedes it")
+    is expressed as a RUNNING MIN of the previous stage's timestamp
+    over (user, ts)-ordered rows, chained once per stage. Plan shape
+    for 100 TB: BOTH window passes and the per-user aggregate share
+    the user_id hash partitioning, so the whole funnel is ONE shuffle
+    of the events table followed by a 1-row global reduce; no
+    self-joins, no second scan (vs the textbook 3-scan funnel join).
+    Ties resolve by event_id, so the answer is engine-independent."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    s1 = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.min(F.when(is_view, F.col("ts"))).over(w).alias("t_view_run"),
+    )
+    qual_click = (F.col("event_type") == "click") & F.col("t_view_run").isNotNull()
+    s2 = s1.withColumn(
+        "t_click_run", F.min(F.when(qual_click, F.col("ts"))).over(w)
+    )
+    qual_purchase = (
+        (F.col("event_type") == "purchase") & F.col("t_click_run").isNotNull()
+    )
+    per_user = s2.groupBy("user_id").agg(
+        F.min(F.when(is_view, F.col("ts"))).alias("t_view"),
+        F.min(F.when(qual_click, F.col("ts"))).alias("t_click"),
+        F.min(F.when(qual_purchase, F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+        # exact BIGINT sum, ONE double division per metric — bitwise
+        # reproducible across engines (a double avg of 64-bit micros
+        # accumulates ulp drift that flips the last digit of the cast)
+        F.round(
+            F.sum(F.unix_micros("t_click") - F.unix_micros("t_view"))
+            .cast("double")
+            / F.count("t_click"),
+            4,
+        ).alias("avg_view_to_click_us"),
+        F.round(
+            F.sum(F.unix_micros("t_purchase") - F.unix_micros("t_click"))
+            .cast("double")
+            / F.count("t_purchase"),
+            4,
+        ).alias("avg_click_to_purchase_us"),
+    )

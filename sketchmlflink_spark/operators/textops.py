@@ -676,3 +676,82 @@ def t11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("tfidf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t12 — DSIR-style importance weights for domain matching (Xie et al.,
+# "Data Selection for Language Models via Importance Resampling",
+# NeurIPS'23): score every raw document by how much more likely its
+# tokens are under a target-domain unigram LM than under the raw-corpus
+# LM. Positive = looks like the target domain.
+# --------------------------------------------------------------------------
+@register(
+    "t12_dsir_importance",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest({_duck_tokens()}) AS tok FROM documents
+),
+vocab AS (
+    SELECT tok,
+           count(*) AS c_raw,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+    FROM toks GROUP BY tok
+),
+stats AS (
+    SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS v_size
+    FROM vocab
+)
+SELECT doc_id,
+       any_value(lang)          AS lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln((c_tgt + 1.0) / (n_tgt + v_size))
+                 - ln((c_raw + 1.0) / (n_raw + v_size))), 4) AS imp_logratio
+FROM toks JOIN vocab USING (tok) CROSS JOIN stats
+GROUP BY doc_id
+""",
+    tags=("text", "dsir", "importance", "curation"),
+)
+def t12_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: avg over tokens of
+    ln p_target(tok) − ln p_raw(tok), both add-one-smoothed unigram LMs
+    over the SHARED vocabulary (target = lang='en' docs, raw = whole
+    corpus). Resampling raw data ∝ exp(weight) shifts its token
+    distribution toward the target domain — the hashed-n-gram variant
+    of this exact score is how DSIR selected The Pile subsets.
+
+    Plan shape for 100 TB: BOTH LMs come out of ONE hash-agg over the
+    exploded corpus (c_raw and the conditional c_tgt are two aggregates
+    of one groupBy — no separate scan of a target corpus), and that
+    vocab table is localCheckpoint'ed so its two consumers (the 1-row
+    totals and the score join) never re-derive the explode+agg chain:
+    the corpus is scanned exactly twice, both times pruned to
+    (doc_id, lang, text). The score join is keyed on token (Zipf skew →
+    AQE skew split / small-SF broadcast, same as t10). In production
+    the vocab is truncated to top-V + OOV bucket, bounding both the
+    checkpoint and the join side regardless of corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    ).localCheckpoint()
+    stats = vocab.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    logratio = F.log(
+        (F.col("c_tgt") + F.lit(1.0)) / (F.col("n_tgt") + F.col("v_size"))
+    ) - F.log((F.col("c_raw") + F.lit(1.0)) / (F.col("n_raw") + F.col("v_size")))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logratio), 4).alias("imp_logratio"),
+        )
+    )

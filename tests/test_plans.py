@@ -366,3 +366,58 @@ def test_t11_per_doc_window_is_partitioned(spark, queries):
     assert re.search(r"row_number\(\).*partition.*doc_id", plan, re.IGNORECASE | re.DOTALL) or \
         "hashpartitioning(doc_id" in plan, plan[:2000]
     assert "PythonUDF" not in plan
+
+
+def test_q34_single_shuffle_funnel(spark, queries):
+    """The whole funnel (two chained running-min windows + per-user agg)
+    must ride ONE hash partitioning of events on user_id — both Window
+    operators share one Sort, the per-user HashAggregate runs in the
+    same stage, and only the 1-row final reduce adds an exchange."""
+    plan = formatted_plan(spark, queries["q34_funnel_conversion"].build(spark, SF_SMALL))
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
+    assert plan.count("Window") >= 2
+    # exactly one sort feeds both windows (same partitioning + ordering)
+    body = plan.split("== Initial Plan ==")[0]
+    assert body.count("Sort (") == 1, body
+    assert "PythonUDF" not in plan
+
+
+def test_t12_single_explode_shared_vocab_agg(spark, queries):
+    """DSIR weights: both LMs (raw + target counts) must come from ONE
+    exploded-token aggregate — the checkpointed vocab table means the
+    corpus is scanned at most twice (vocab build + score join side),
+    never re-derived per consumer — and only (doc_id, lang, text) may
+    leave any scan."""
+    plan = formatted_plan(spark, queries["t12_dsir_importance"].build(spark, SF_SMALL))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 2, plan[:2000]
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    allowed = {"doc_id:bigint", "lang:string", "text:string"}
+    assert m and all(set(cols.split(",")) <= allowed for cols in m), m
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_p11_one_scan_one_shuffle_card(spark, queries):
+    """The dataset card reads documents ONCE; the distinct aggs ride
+    Expand into a single source-keyed shuffle (constant-factor rows,
+    not extra passes)."""
+    plan = formatted_plan(spark, queries["p11_dataset_card"].build(spark, SF_SMALL))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan[:2000]
+    assert "Expand" in plan  # the documented multi-distinct strategy
+    assert plan.count("hashpartitioning(source") >= 1
+    assert "PythonUDF" not in plan
+
+
+def test_mm06_payload_reduced_at_scan(spark, queries):
+    """Pair curation must never shuffle media bytes: the join inputs
+    carry only (ids, source, n_bytes, embedding) — no binary payload
+    column crosses an exchange — and the doc↔embedding join is a plain
+    equi-join (shuffle or AQE-broadcast), never a cross product."""
+    plan = formatted_plan(spark, queries["mm06_pair_curation"].build(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the binary payload column must be projected away before any join:
+    # no Exchange/Join node may carry it in its Input/Output lists
+    body = plan.split("== Initial Plan ==")[0]
+    for m in re.finditer(r"\(\d+\) (Exchange|BroadcastExchange|\w*Join\w*)[\s\S]*?(?=\(\d+\) |\Z)", body):
+        assert "payload" not in m.group(0), m.group(0)[:500]
