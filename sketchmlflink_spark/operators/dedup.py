@@ -1076,6 +1076,16 @@ def d13_dup_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its dedup story.
     """
     docs = t(spark, sf_dir, "documents")
+    return label_propagate(dup_span_edges(docs)).select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("comp_id")
+    )
+
+
+def dup_span_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst) doc-pair edges of the span-sharing graph — docs that
+    share a D13_SPAN_WORDS-word span, with spans hotter than
+    D13_MAX_SPAN_DOCS docs dropped as boilerplate before pairing.
+    Shared by d13 (connected components) and d15 (PageRank)."""
     words = F.split("text", " ")
     n_ch = F.floor(F.size(words) / D13_SPAN_WORDS).cast("int")
     # guard n_ch=0: sequence(0, -1) is DESCENDING [0, -1] in Spark, not
@@ -1107,7 +1117,7 @@ def d13_dup_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = chunks.join(keep, "digest")
     a = pruned.alias("a")
     b = pruned.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.digest") == F.col("b.digest"))
@@ -1115,9 +1125,6 @@ def d13_dup_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
-    )
-    return label_propagate(edges).select(
-        F.col("v").alias("doc_id"), F.col("lbl").alias("comp_id")
     )
 
 
@@ -1304,4 +1311,90 @@ def d14_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("b.doc_id").alias("doc_b"),
         F.round(matches / F.lit(float(D14_SLOTS)), 4).alias("est_jaccard"),
         F.round(jac, 4).alias("exact_jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# d15 — PageRank centrality over the span-sharing dup graph: rank the
+# docs inside dup clusters so canonical selection can prefer the most
+# central copy (the doc sharing spans with the most/least-peripheral
+# duplicates) instead of d13's arbitrary min-id representative.
+# --------------------------------------------------------------------------
+D15_ITERS = 3
+D15_DAMPING = 0.85
+
+
+def _d15_iter_sql(k: int) -> str:
+    return f"""
+r{k + 1} AS (
+  SELECT e2.dst AS v,
+         {1.0 - D15_DAMPING} / (SELECT n_v FROM n)
+           + {D15_DAMPING} * sum(r{k}.r / d.deg) AS r
+  FROM e2 JOIN r{k} ON e2.src = r{k}.v JOIN deg d ON e2.src = d.v
+  GROUP BY e2.dst
+)"""
+
+
+@register(
+    "d15_dup_graph_pagerank",
+    oracle=_d13_chunks_sql()
+    + f""",
+e2 AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src AS v, count(*) AS deg FROM e2 GROUP BY src),
+n AS (SELECT count(*) AS n_v FROM deg),
+r0 AS (SELECT v, 1.0 / (SELECT n_v FROM n) AS r FROM deg),
+{",".join(_d15_iter_sql(k) for k in range(D15_ITERS))}
+SELECT r{D15_ITERS}.v AS doc_id,
+       CAST(d.deg AS BIGINT) AS degree,
+       round(r{D15_ITERS}.r, 6) AS pagerank
+FROM r{D15_ITERS} JOIN deg d ON r{D15_ITERS}.v = d.v
+""",
+    tags=("dedup", "graph", "pagerank", "iterative"),
+)
+def d15_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15_ITERS-round damped PageRank (d=0.85) over the same
+    span-sharing graph d13 clusters: r'(v) = (1−d)/|V| + d·Σ r(u)/deg(u)
+    over neighbors u. The undirected edge set makes every vertex both
+    source and sink, so there are no dangling nodes and Σr stays 1.
+
+    Iteration the Spark way (SURVEY §2.4's driver-loop recipe at graph
+    scale): the degree-annotated edge list is localCheckpoint'ed ONCE
+    and reused every round; each round is a single (join on src →
+    groupBy dst) shuffle pair over (long, long, double) rows — text
+    never enters the loop — and the new rank frame is checkpointed to
+    cut lineage, exactly d13's propagation discipline. The fixed
+    iteration count is what makes the algorithm hash-checkable: the
+    oracle unrolls the same D15_ITERS rounds as chained CTEs (the
+    s13/MMR trick applied to a graph fixpoint)."""
+    docs = t(spark, sf_dir, "documents")
+    edges = dup_span_edges(docs)
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("v"), "deg")
+    )
+    # (src, dst, deg_src) reused every round — checkpoint once
+    und_deg = und.join(
+        deg.select(F.col("v").alias("src"), "deg"), "src"
+    ).localCheckpoint()
+    deg = deg.localCheckpoint()
+    n_v = deg.count()
+    ranks = deg.select("v", F.lit(1.0 / n_v).alias("r"))
+    for _ in range(D15_ITERS):
+        contribs = (
+            und_deg.join(ranks, und_deg["src"] == ranks["v"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("s"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("v"),
+            (F.lit((1.0 - D15_DAMPING) / n_v) + D15_DAMPING * F.col("s")).alias("r"),
+        ).localCheckpoint()
+    return ranks.join(deg, "v").select(
+        F.col("v").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        F.round("r", 6).alias("pagerank"),
     )

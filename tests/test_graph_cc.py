@@ -68,3 +68,62 @@ def test_cc_random_forest(spark, seed):
         }
     )
     assert _spark_components(spark, edges) == _union_find_components(n, edges)
+
+
+# ---------------------------------------------------------------------------
+# d15 PageRank: numpy power-iteration oracle on seeded random graphs +
+# the rank-mass invariant (symmetric graph, no dangling ⇒ Σr == 1).
+# ---------------------------------------------------------------------------
+def _numpy_pagerank(edges: list[tuple[int, int]], iters: int, d: float) -> dict[int, float]:
+    import numpy as np
+
+    und = edges + [(b, a) for a, b in edges]
+    verts = sorted({v for e in und for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    deg = np.zeros(n)
+    for a, _ in und:
+        deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        for a, b in und:
+            nxt[idx[b]] += d * r[idx[a]] / deg[idx[a]]
+        r = nxt
+    return {v: r[idx[v]] for v in verts}
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_d15_pagerank_matches_numpy_and_conserves_mass(spark, seed):
+    from pyspark.sql import functions as F
+
+    from sketchmlflink_spark.operators.dedup import D15_DAMPING, D15_ITERS
+
+    rng = random.Random(seed)
+    n = 40
+    edges = list({(a, b) for _ in range(60)
+                  for a, b in [sorted(rng.sample(range(n), 2))]})
+    edges = [(int(a), int(b)) for a, b in edges]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    # drive the same loop d15 runs, but from an arbitrary edge frame
+    und = df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = (und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+              .select(F.col("src").alias("v"), "deg").localCheckpoint())
+    und_deg = und.join(deg.select(F.col("v").alias("src"), "deg"), "src").localCheckpoint()
+    n_v = deg.count()
+    ranks = deg.select("v", F.lit(1.0 / n_v).alias("r"))
+    for _ in range(D15_ITERS):
+        contribs = (und_deg.join(ranks, und_deg["src"] == ranks["v"])
+                    .groupBy("dst").agg(F.sum(F.col("r") / F.col("deg")).alias("s")))
+        ranks = contribs.select(
+            F.col("dst").alias("v"),
+            (F.lit((1.0 - D15_DAMPING) / n_v) + D15_DAMPING * F.col("s")).alias("r"),
+        ).localCheckpoint()
+    got = {row["v"]: row["r"] for row in ranks.collect()}
+
+    want = _numpy_pagerank(edges, D15_ITERS, D15_DAMPING)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
