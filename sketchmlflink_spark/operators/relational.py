@@ -1304,9 +1304,7 @@ def q33_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # running-min windows: the product-analytics "sequence match" pattern
 # (MATCH_RECOGNIZE-lite) expressed with one shuffle.
 # --------------------------------------------------------------------------
-@register(
-    "q34_funnel_conversion",
-    oracle="""
+Q34_ORACLE = """
 WITH s1 AS (
     SELECT user_id, event_type, ts, event_id,
            min(CASE WHEN event_type = 'view' THEN ts END)
@@ -1343,7 +1341,12 @@ SELECT CAST(count(*) AS BIGINT)           AS n_users,
        round(CAST(sum(epoch_us(t_purchase) - epoch_us(t_click)) AS DOUBLE)
              / count(t_purchase), 4)      AS avg_click_to_purchase_us
 FROM per_user
-""",
+"""
+
+
+@register(
+    "q34_funnel_conversion",
+    oracle=Q34_ORACLE,
     tags=("relational", "funnel", "window", "sequence"),
 )
 def q34_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:

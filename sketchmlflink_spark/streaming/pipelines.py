@@ -547,3 +547,65 @@ def decontaminate_stream(parsed: DataFrame, eval_digests: DataFrame) -> DataFram
         F.count("hit").alias("n_overlap"),
         (F.count("hit") > 0).alias("is_contaminated"),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming funnel-stage tracking (st18): q34's ordered view→click→
+# purchase sequence detection as per-user state
+# --------------------------------------------------------------------------
+FUNNEL_OUT_SCHEMA = (
+    "user_id long, t_view_us long, t_click_us long, t_purchase_us long"
+)
+FUNNEL_STATE_SCHEMA = "t_view long, t_click long, t_purchase long"
+
+
+def _funnel_update(key, pdfs, state):
+    """Per-user funnel state: first view, first click at/after it,
+    first purchase at/after that click (−1 = stage not reached).
+    Rows are replayed in (ts, event_id) order inside each trigger, so
+    with time-ordered micro-batches the stage timestamps are exactly
+    q34's chained running-min semantics, carried across batches by the
+    state store."""
+    import pandas as pd
+
+    tv, tc, tp = state.get if state.exists else (-1, -1, -1)
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for et, t_ in zip(rows["event_type"], rows["ts"]):
+        us = int(t_.value // 1000)  # datetime64[ns] → µs
+        if et == "view":
+            if tv < 0:
+                tv = us
+        elif et == "click":
+            if tc < 0 and 0 <= tv <= us:
+                tc = us
+        elif et == "purchase":
+            if tp < 0 and 0 <= tc <= us:
+                tp = us
+    state.update((tv, tc, tp))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.array([int(key[0])], dtype="Int64"),
+            "t_view_us": pd.array([tv if tv >= 0 else None], dtype="Int64"),
+            "t_click_us": pd.array([tc if tc >= 0 else None], dtype="Int64"),
+            "t_purchase_us": pd.array([tp if tp >= 0 else None], dtype="Int64"),
+        }
+    )
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Custom stateful sequence-detection operator: per-user funnel
+    stage timestamps via applyInPandasWithState (update mode — each
+    trigger re-emits the users it advanced)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_update,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -734,3 +734,70 @@ def st17_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("last_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# st18 — streaming conversion funnel (q34 in-stream; same oracle)
+# --------------------------------------------------------------------------
+def _st18_oracle() -> str:
+    # identical semantics to batch q34 — streaming execution, same SQL
+    from sketchmlflink_spark.operators.relational import Q34_ORACLE
+
+    return Q34_ORACLE
+
+
+@register(
+    "st18_stream_funnel",
+    oracle=_st18_oracle(),
+    tags=("streaming", "stateful", "funnel", "sequence"),
+)
+def st18_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q34's ordered view→click→purchase funnel as a STREAMING stateful
+    operator: per-user stage timestamps live in the state store
+    (applyInPandasWithState, (3 longs)/user — the sequence-detection
+    pattern MATCH_RECOGNIZE engines special-case), updated per trigger;
+    emissions spill to parquet EXECUTOR-side via foreachBatch (st05's
+    no-driver-collect discipline), and the corpus-level funnel summary
+    is the batch rollup of each user's last emission. Hash-matches the
+    batch q34 oracle: the state machine and the chained running-min
+    windows compute the same fixpoint.
+
+    Scale: state is 24 bytes/user; each trigger shuffles only the
+    users present in the micro-batch. The summary re-read costs one
+    scan of a users-sized parquet dir, not of the event stream."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    out_dir = tempfile.mkdtemp(prefix="st18_emissions_")
+    P.run_foreach_batch(
+        P.funnel_stages(P.events_stream(spark, sf_dir)),
+        lambda bdf, eid: bdf.withColumn("_epoch", F.lit(int(eid)))
+        .write.mode("append")
+        .parquet(out_dir),
+    )
+    emitted = spark.read.parquet(out_dir)
+    last = Window.partitionBy("user_id").orderBy(F.col("_epoch").desc())
+    per_user = (
+        emitted.withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view_us").alias("n_viewed"),
+        F.count("t_click_us").alias("n_clicked_after_view"),
+        F.count("t_purchase_us").alias("n_purchased_after_click"),
+        F.round(
+            F.sum(F.col("t_click_us") - F.col("t_view_us")).cast("double")
+            / F.count("t_click_us"),
+            4,
+        ).alias("avg_view_to_click_us"),
+        F.round(
+            F.sum(F.col("t_purchase_us") - F.col("t_click_us")).cast("double")
+            / F.count("t_purchase_us"),
+            4,
+        ).alias("avg_click_to_purchase_us"),
+    )
