@@ -88,17 +88,20 @@ _PRIORITY = (
     "q01_pricing_summary", "q02_revenue_forecast", "q03_shipping_priority",
     "q05_revenue_by_nation", "q07_top_order_per_customer", "q12_events_hourly",
     "q14_user_event_gaps", "q18_price_percentiles", "q21_event_type_stats_salted",
-    "q22_asof_click_to_view", "q23_pivot_daily_events", "q24_revenue_moving_avg",
-    "q25_batch_sessionize", "q26_grouping_sets_orders", "q27_sole_supplier_orders",
+    "q22_asof_click_to_view", "q25_batch_sessionize",
     "q13_events_json_bucket",
     # round-3 headliners: graph-closure dedup, bucketed-layout join,
     # BM25 lexical retrieval
     "d13_dup_graph_components", "q31_bucketed_segment_revenue",
     "t07_bm25_keyword_search",
     # round-4 headliners: hybrid RRF fusion, streaming CDC upsert,
-    # unigram-LM quality scoring (q15/q17/q28 rotated out to the sweep-only
-    # tail — all three stay green in SWEEP artifacts)
+    # unigram-LM quality scoring, ordered funnel + its streaming twin,
+    # DSIR importance weights, dup-graph PageRank (q15/q17/q23/q24/
+    # q26-q28 rotated out to the sweep-only tail — all stay green in
+    # SWEEP artifacts)
     "s12_hybrid_rrf_retrieval", "st17_stream_cdc_upsert", "t10_unigram_xent",
+    "q34_funnel_conversion", "st18_stream_funnel", "t12_dsir_importance",
+    "d15_dup_graph_pagerank",
 )
 
 
