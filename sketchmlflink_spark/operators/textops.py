@@ -755,3 +755,114 @@ def t12_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(logratio), 4).alias("imp_logratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t13 — BPE merge induction (distributed tokenizer training): learn the
+# top-K byte-pair merges from corpus word counts — the Sennrich et al.
+# (ACL'16) subword algorithm every modern LLM tokenizer descends from.
+# --------------------------------------------------------------------------
+T13_MERGES = 3
+_S = "\x01"  # symbol separator; cannot occur in whitespace-split tokens
+
+
+def _t13_duck() -> str:
+    c = "chr(1)"
+    parts = [f"""
+WITH toks AS (
+    SELECT unnest({_duck_tokens()}) AS w FROM documents
+),
+w0 AS (
+    SELECT {c} || regexp_replace(w, '(.)', '\\1' || {c}, 'g') AS state,
+           count(*) AS n
+    FROM toks GROUP BY w
+)"""]
+    for k in range(T13_MERGES):
+        parts.append(f""",
+p{k} AS (
+    SELECT toks[i] AS lf, toks[i + 1] AS rt, sum(n) AS cnt
+    FROM (SELECT list_filter(string_split(state, {c}), x -> x <> '') AS toks, n
+          FROM w{k}),
+         unnest(range(1, len(toks))) AS u(i)
+    GROUP BY 1, 2
+),
+b{k} AS (SELECT lf, rt, cnt FROM p{k} ORDER BY cnt DESC, lf, rt LIMIT 1),
+w{k + 1} AS (
+    SELECT replace(state, {c}||lf||{c}||rt||{c}, {c}||lf||rt||{c}) AS state, n
+    FROM w{k} CROSS JOIN b{k}
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT {k + 1} AS round, lf, rt, lf || rt AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(T13_MERGES)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+@register(
+    "t13_bpe_merge_learn",
+    oracle=_t13_duck(),
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def t13_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first T13_MERGES BPE merges from the corpus: per round,
+    count adjacent symbol pairs across word TYPES weighted by word
+    frequency, take the argmax (ties: count desc, then pair asc), and
+    merge that pair everywhere — returning the learned merge table
+    (round, pair, merged symbol, pair count), i.e. the artifact a
+    tokenizer trainer ships.
+
+    The classic BPE-training trick makes this corpus-scale-free after
+    one pass: pair statistics come from the VOCAB frame (word type →
+    count), which is aggregated once from the corpus, checkpointed, and
+    is bounded (top-V in production) — each merge round is then a
+    vocab-sized explode→sum plus a scan-side string replace, never a
+    corpus re-scan. Words are encoded as \\x01-separated symbol strings
+    so the merge is a plain left-to-right non-overlapping replace() —
+    IDENTICAL semantics in Spark and DuckDB, which is what lets an
+    iterative learned-vocabulary algorithm hash-check: the oracle
+    unrolls the same rounds as chained CTEs (the s13/d15 trick). The
+    per-round argmax is a 1-row TakeOrdered collect — the learned merge
+    itself, not data."""
+    docs = t(spark, sf_dir, "documents")
+    state_df = (
+        docs.select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit(_S), F.regexp_replace("w", "(.)", "$1" + _S)).alias(
+                "state"
+            ),
+            "n",
+        )
+        .localCheckpoint()
+    )
+    learned = []
+    for k in range(T13_MERGES):
+        toks = F.filter(F.split("state", _S), lambda x: x != "")
+        n1 = F.size(toks) - 1
+        pairs = F.zip_with(
+            F.slice(toks, 1, n1),
+            F.slice(toks, 2, n1),
+            lambda x, y: F.struct(x.alias("lf"), y.alias("rt")),
+        )
+        top = (
+            state_df.select(F.explode(pairs).alias("p"), "n")
+            .select(F.col("p.lf").alias("lf"), F.col("p.rt").alias("rt"), "n")
+            .groupBy("lf", "rt")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lf"), F.asc("rt"))
+            .limit(1)
+            .collect()[0]
+        )
+        lf, rt, cnt = top["lf"], top["rt"], int(top["cnt"])
+        learned.append((k + 1, lf, rt, lf + rt, cnt))
+        state_df = state_df.select(
+            F.replace(
+                "state", F.lit(_S + lf + _S + rt + _S), F.lit(_S + lf + rt + _S)
+            ).alias("state"),
+            "n",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        learned, "round int, lf string, rt string, merged string, pair_count long"
+    )
