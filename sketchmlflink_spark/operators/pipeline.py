@@ -809,3 +809,70 @@ def p11_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# p12 — curriculum manifest: phase the corpus by quality and give every
+# doc a deterministic within-phase shuffle key, so training order
+# (clean → noisy curriculum) is a sort-on-read, not a job.
+# --------------------------------------------------------------------------
+P12_PHASES_CUTS = [1.0 / 3.0, 2.0 / 3.0]
+
+
+@register(
+    "p12_curriculum_manifest",
+    oracle=f"""
+WITH sig AS (
+    SELECT doc_id,
+           len(list_distinct(tk)) * 1.0 / len(tk)
+             + len(list_filter(tk, x -> x IN {('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it', 'that', 'for')})) * 1.0 / len(tk)
+               AS score
+    FROM (SELECT doc_id, {_duck_tokens()} AS tk FROM documents)
+    WHERE len(tk) > 0
+),
+b AS (SELECT quantile_cont(score, {P12_PHASES_CUTS!r}) AS qs FROM sig)
+SELECT s.doc_id,
+       CAST(1 + len(list_filter(b.qs, q -> q < s.score)) AS INT) AS phase,
+       substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 16)             AS order_key,
+       round(s.score, 6)                                         AS score
+FROM sig s, b
+""",
+    tags=("pipeline", "curriculum", "manifest"),
+)
+def p12_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-phased curriculum manifest: each doc gets a phase (tercile
+    of a cheap quality score — type/token + stopword ratio; phase 3 =
+    cleanest, trained first in an anti-curriculum or last in a classic
+    one) and a deterministic md5 shuffle key, so every epoch's read
+    order is `ORDER BY phase, order_key` — pure sort-on-read, stable
+    across reruns and engines.
+
+    Plan shape for 100 TB (q28's recipe applied to the corpus): the
+    phase boundaries are ONE tiny percentile aggregate broadcast back,
+    each row buckets itself by counting boundaries below its score —
+    no ntile, no global window, no single-partition sort anywhere; the
+    manifest is ids + 16-byte keys, never text."""
+    docs = t(spark, sf_dir, "documents")
+    tk = T.tokens("text")
+    sig = (
+        docs.select("doc_id", tk.alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            (
+                T.distinct_token_ratio(F.col("tk"))
+                + T.marker_hits(F.col("tk"), T.EN_STOPWORDS) / F.size("tk")
+            ).alias("score"),
+        )
+    )
+    qs = sig.select(
+        F.percentile("score", F.array(*[F.lit(c) for c in P12_PHASES_CUTS])).alias("qs")
+    )
+    return sig.join(F.broadcast(qs)).select(
+        "doc_id",
+        (F.lit(1) + F.size(F.filter("qs", lambda q: q < F.col("score"))))
+        .cast("int")
+        .alias("phase"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16).alias("order_key"),
+        F.round("score", 6).alias("score"),
+    )
