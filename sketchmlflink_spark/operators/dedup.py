@@ -1367,7 +1367,19 @@ def d15_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same D15_ITERS rounds as chained CTEs (the
     s13/MMR trick applied to a graph fixpoint)."""
     docs = t(spark, sf_dir, "documents")
-    edges = dup_span_edges(docs)
+    ranks, deg = pagerank(dup_span_edges(docs))
+    return ranks.join(deg, "v").select(
+        F.col("v").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        F.round("r", 6).alias("pagerank"),
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = D15_ITERS, damping: float = D15_DAMPING):
+    """D15's driver-loop power iteration over an (src, dst) edge frame;
+    returns (ranks (v, r), degrees (v, deg)). Extracted so d16's
+    canonical selection reuses the identical fixpoint the oracle
+    unrolls."""
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -1383,7 +1395,7 @@ def d15_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = deg.localCheckpoint()
     n_v = deg.count()
     ranks = deg.select("v", F.lit(1.0 / n_v).alias("r"))
-    for _ in range(D15_ITERS):
+    for _ in range(iters):
         contribs = (
             und_deg.join(ranks, und_deg["src"] == ranks["v"])
             .groupBy("dst")
@@ -1391,10 +1403,83 @@ def d15_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = contribs.select(
             F.col("dst").alias("v"),
-            (F.lit((1.0 - D15_DAMPING) / n_v) + D15_DAMPING * F.col("s")).alias("r"),
+            (F.lit((1.0 - damping) / n_v) + damping * F.col("s")).alias("r"),
         ).localCheckpoint()
-    return ranks.join(deg, "v").select(
-        F.col("v").alias("doc_id"),
-        F.col("deg").alias("degree"),
-        F.round("r", 6).alias("pagerank"),
+    return ranks, deg
+
+
+# --------------------------------------------------------------------------
+# d16 — centrality-canonical dedup decision: the end of the dedup story.
+# d13 gives the clusters, d15 gives within-cluster centrality; d16 turns
+# them into the actual keep/drop manifest — per duplicate cluster, keep
+# the doc with max PageRank (ties: min doc_id), drop the rest.
+# --------------------------------------------------------------------------
+@register(
+    "d16_canonical_selection",
+    oracle=_d13_chunks_sql()
+    + f""",
+e2 AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+r(v, lbl) AS (
+    SELECT DISTINCT src, src FROM e2
+    UNION
+    SELECT e2.src, r.lbl FROM e2 JOIN r ON e2.dst = r.v
+),
+comp AS (SELECT v AS doc_id, min(lbl) AS comp_id FROM r GROUP BY v),
+deg AS (SELECT src AS v, count(*) AS deg FROM e2 GROUP BY src),
+n AS (SELECT count(*) AS n_v FROM deg),
+r0 AS (SELECT v, 1.0 / (SELECT n_v FROM n) AS r FROM deg),
+{",".join(_d15_iter_sql(k) for k in range(D15_ITERS))},
+scored AS (
+    SELECT comp.comp_id, comp.doc_id, round(r{D15_ITERS}.r, 6) AS pr
+    FROM comp JOIN r{D15_ITERS} ON comp.doc_id = r{D15_ITERS}.v
+),
+ranked AS (
+    SELECT comp_id, doc_id, pr,
+           row_number() OVER (PARTITION BY comp_id
+                              ORDER BY pr DESC, doc_id) AS rn
+    FROM scored
+)
+SELECT comp_id,
+       min(CASE WHEN rn = 1 THEN doc_id END)       AS canonical_doc_id,
+       round(max(CASE WHEN rn = 1 THEN pr END), 6) AS canonical_pr,
+       CAST(count(*) AS BIGINT)                    AS n_members,
+       CAST(count(*) - 1 AS BIGINT)                AS n_dropped
+FROM ranked
+GROUP BY comp_id
+""",
+    tags=("dedup", "graph", "canonical", "pagerank"),
+)
+def d16_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop manifest per duplicate cluster: join d13's connected
+    components with d15's PageRank and elect the most CENTRAL doc as
+    canonical (highest rank = shares spans with the most well-connected
+    duplicates — a better representative than d13's arbitrary min-id),
+    ties broken by doc_id on the ROUNDED rank so the election is
+    engine-stable. Output: cluster, canonical doc, its rank, member and
+    drop counts — the table a dedup pipeline actually applies.
+
+    Plan shape: the edge list is built once (dup_span_edges) and feeds
+    both the label propagation and the power iteration; the election is
+    a per-component row_number window PARTITIONED on comp_id (parallel,
+    component-sized partitions), then one comp_id rollup. All frames
+    past the edge build are (long, long, double) rows."""
+    docs = t(spark, sf_dir, "documents")
+    edges = dup_span_edges(docs).localCheckpoint()
+    comp = label_propagate(edges).select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("comp_id")
+    )
+    ranks, _deg = pagerank(edges)
+    scored = comp.join(
+        ranks.select(F.col("v").alias("doc_id"), F.round("r", 6).alias("pr")),
+        "doc_id",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("comp_id").orderBy(F.desc("pr"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("comp_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc_id"),
+        F.round(F.max(F.when(F.col("rn") == 1, F.col("pr"))), 6).alias("canonical_pr"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
