@@ -876,3 +876,80 @@ def p12_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16).alias("order_key"),
         F.round("score", 6).alias("score"),
     )
+
+
+# --------------------------------------------------------------------------
+# p13 — deterministic hash split/shard manifest: the reproducible
+# train/val/test assignment every training pipeline needs before writing
+# shards. Pure content-hash routing — NO sampling, NO shuffle of text.
+# --------------------------------------------------------------------------
+# Split boundaries on the first md5 hex byte of the doc_id (256 buckets):
+#   train : '00'..'cb'  (204/256 ≈ 79.7%)
+#   val   : 'cc'..'e5'  ( 26/256 ≈ 10.2%)
+#   test  : 'e6'..'ff'  ( 26/256 ≈ 10.2%)
+# Shard label = 3rd hex nibble → 16 shards per split. Hex-string compare
+# is lexicographic in both engines, so the routing is portable by
+# construction (same idiom as d14's md5 hash family).
+P13_ORACLE = """
+WITH routed AS (
+  SELECT doc_id, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+         substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) AS shard
+  FROM documents
+),
+labeled AS (
+  SELECT CASE WHEN b <= 'cb' THEN 'train'
+              WHEN b <= 'e5' THEN 'val'
+              ELSE 'test' END AS split,
+         shard, doc_id, n_chars
+  FROM routed
+)
+SELECT split, shard,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT)  AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT)  AS max_doc_id
+FROM labeled
+GROUP BY split, shard
+ORDER BY split, shard
+"""
+
+
+@register(
+    "p13_hash_shard_manifest",
+    oracle=P13_ORACLE,
+    tags=("pipeline", "split", "shard", "manifest"),
+)
+def p13_hash_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + 16-way shard manifest, routed
+    purely by md5(doc_id) hex ranges (79.7/10.2/10.2). Content-hash
+    routing is the production idiom for reproducible splits: assignment
+    is a property of the ROW, not of the job (re-runs, backfills and
+    incremental arrivals land in the same split; no global sample, no
+    seed to version).
+
+    100-TB plan shape: the split/shard labels are scan-side projections
+    (two substrings of one md5), the only shuffle is the tiny
+    (split, shard) grid aggregate with map-side partials — the text
+    column is never read (ReadSchema prunes to doc_id, n_chars)."""
+    digest = F.md5(F.col("doc_id").cast("string"))
+    b = F.substring(digest, 1, 2)
+    routed = t(spark, sf_dir, "documents").select(
+        F.when(b <= "cb", "train")
+        .when(b <= "e5", "val")
+        .otherwise("test")
+        .alias("split"),
+        F.substring(digest, 3, 1).alias("shard"),
+        "doc_id",
+        "n_chars",
+    )
+    return (
+        routed.groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split", "shard")
+    )

@@ -1406,3 +1406,151 @@ def q34_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_click_to_purchase_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# q35 — market-basket co-purchase pairs: distinct (order, part) pairs
+# self-joined on the order key, support-counted, exact top-100.
+# --------------------------------------------------------------------------
+Q35_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part1, part2, CAST(count(*) AS BIGINT) AS support
+FROM pairs
+GROUP BY part1, part2
+ORDER BY support DESC, part1, part2
+LIMIT 100
+"""
+
+
+@register(
+    "q35_copurchase_pairs",
+    oracle=Q35_ORACLE,
+    tags=("relational", "market-basket", "self-join", "topk"),
+)
+def q35_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (A-priori support counting, the
+    pair stage): distinct (order, part), self-join on the order key with
+    part1 < part2, count support, exact top-100.
+
+    100-TB plan shape: NOT the textbook self-join (which scans lineitem
+    twice and shuffles both copies). One scan → one shuffle on
+    l_orderkey collecting each order's distinct part-set (collect_set is
+    map-side partial, and the set is bounded by items-per-order, ~7 in
+    TPC-H-shaped data, never by table size) → pairs generated ARRAY-SIDE
+    from the sorted set (i < j positions, so part1 < part2 by
+    construction) → hash-agg on the pair. The top-100 is
+    TakeOrderedAndProject — no global sort materializes the pair space.
+    Ordering is total (support DESC, part1, part2) so the LIMIT is
+    engine-independent under ties."""
+    part_sets = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = part_sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (p1, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), p2 ->"
+                " struct(p1 AS part1, p2 AS part2))))"
+            )
+        ).alias("pr")
+    ).select("pr.part1", "pr.part2")
+    return (
+        pairs.groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part1", "part2")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — weekly cohort retention over events: cohort = ISO week of the
+# user's first event; retention = distinct actives per (cohort, offset).
+# --------------------------------------------------------------------------
+Q36_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT
+    strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+    CAST(floor(date_diff('day',
+                         date_trunc('week', f.first_ts),
+                         date_trunc('week', e.ts)) / 7) AS BIGINT)
+                                                        AS week_offset,
+    e.user_id
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+),
+grid AS (
+  SELECT cohort_week, week_offset,
+         CAST(count(*) AS BIGINT) AS active_users
+  FROM active GROUP BY cohort_week, week_offset
+)
+SELECT cohort_week, week_offset, active_users,
+       round(active_users * 1.0 /
+             max(CASE WHEN week_offset = 0 THEN active_users END)
+               OVER (PARTITION BY cohort_week), 4) AS retention
+FROM grid
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register(
+    "q36_cohort_retention",
+    oracle=Q36_ORACLE,
+    tags=("relational", "cohort", "window", "retention"),
+)
+def q36_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users cohorted by the Monday-truncated
+    week of their FIRST event; a user is retained at offset k if they
+    have any event in cohort_week + k weeks.
+
+    100-TB plan shape: the per-user first-event timestamp is a RUNNING
+    window min over user_id (one shuffle of events, no self-join back);
+    the distinct + count pipeline then re-shuffles only the narrow
+    (cohort, offset, user) projection. Retention normalizes by the
+    offset-0 row via a window over cohort_week — the grid is tiny
+    (weeks × offsets), so that final window is a no-op at any scale."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    active = (
+        ev.withColumn("first_ts", F.min("ts").over(w))
+        .select(
+            F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd")
+            .alias("cohort_week"),
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", "ts"), F.date_trunc("week", "first_ts")
+                )
+                / 7
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    grid = active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    wc = Window.partitionBy("cohort_week")
+    return (
+        grid.withColumn(
+            "retention",
+            F.round(
+                F.col("active_users")
+                / F.max(
+                    F.when(F.col("week_offset") == 0, F.col("active_users"))
+                ).over(wc),
+                4,
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -421,3 +421,49 @@ def test_mm06_payload_reduced_at_scan(spark, queries):
     body = plan.split("== Initial Plan ==")[0]
     for m in re.finditer(r"\(\d+\) (Exchange|BroadcastExchange|\w*Join\w*)[\s\S]*?(?=\(\d+\) |\Z)", body):
         assert "payload" not in m.group(0), m.group(0)[:500]
+
+
+def test_q35_single_scan_array_side_pairs(spark, queries):
+    """Co-purchase pairs must NOT be a two-scan self-join: one lineitem
+    scan (2-column ReadSchema), one orderkey shuffle with a map-side
+    partial collect_set, pairs generated array-side, top-100 via
+    TakeOrderedAndProject."""
+    plan = formatted_plan(spark, queries["q35_copurchase_pairs"].build(spark, SF_SMALL))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan[:2000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 2, m and m.group(1)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan  # pairs come from the array, not a self-join
+    assert "partial_collect_set" in plan or "objHashAggregate" in plan.lower()
+
+
+def test_q36_user_partitioned_window_then_narrow_shuffles(spark, queries):
+    """Cohort retention: the first-event lookup is a window over the
+    user_id shuffle (no self-join back to events), and everything after
+    the window shuffles only the narrow (cohort, offset, user)
+    projection. Events is scanned once with a 2-column ReadSchema."""
+    plan = formatted_plan(spark, queries["q36_cohort_retention"].build(spark, SF_SMALL))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan[:2000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "ts", "user_id",
+    ], m and m.group(1)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_p13_routing_is_scan_side_text_never_read(spark, queries):
+    """The split/shard manifest must prune the scan to (doc_id, n_chars)
+    — routing is two substrings of one md5, computed scan-side; the only
+    shuffle is the tiny (split, shard) grid with partial aggs. The text
+    column is never read."""
+    plan = formatted_plan(spark, queries["p13_hash_shard_manifest"].build(spark, SF_SMALL))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "doc_id", "n_chars",
+    ], m and m.group(1)
+    assert "text" not in (m.group(1))
+    assert "partial_count" in plan or "partial" in plan
+    assert "PythonUDF" not in plan
