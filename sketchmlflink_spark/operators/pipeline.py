@@ -953,3 +953,50 @@ def p13_hash_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "shard")
     )
+
+
+# --------------------------------------------------------------------------
+# p14 — deterministic bottom-k corpus sample: uniform-at-random sample
+# with NO seed state, via the k smallest content-hash ranks. Bottom-k
+# samples are union-mergeable (bottom-k of a union = bottom-k of the
+# merged bottom-k's), which is what makes them the at-scale idiom:
+# shards/snapshots sample independently and merge exactly.
+# --------------------------------------------------------------------------
+P14_K = 500
+
+P14_ORACLE = f"""
+SELECT md5(CAST(doc_id AS VARCHAR)) AS rank_digest,
+       doc_id, lang, n_chars
+FROM documents
+ORDER BY rank_digest
+LIMIT {P14_K}
+"""
+
+
+@register(
+    "p14_bottomk_sample",
+    oracle=P14_ORACLE,
+    tags=("pipeline", "sample", "bottom-k", "topk"),
+)
+def p14_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform 500-doc sample: rank every doc by
+    md5(doc_id) and keep the k smallest — a seedless reservoir whose
+    membership is a pure function of the row, so re-runs, backfills and
+    per-shard samples all agree ([[p13]]'s routing idiom applied to
+    sampling).
+
+    100-TB plan shape: TakeOrderedAndProject — each task keeps a local
+    bottom-k heap of (digest, 3 narrow columns) and the driver merges
+    k-sized heaps; no global sort, no shuffle of the corpus, text never
+    read."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.col("doc_id").cast("string")).alias("rank_digest"),
+            "doc_id",
+            "lang",
+            "n_chars",
+        )
+        .orderBy("rank_digest")
+        .limit(P14_K)
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sketchmlflink_spark.functions import text as T
 from sketchmlflink_spark.registry import register
@@ -865,4 +866,65 @@ def t13_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     return spark.createDataFrame(
         learned, "round int, lf string, rt string, merged string, pair_count long"
+    )
+
+
+# --------------------------------------------------------------------------
+# t14 — Zipf rank-frequency audit: corpus-level token frequency law fit.
+# A standard corpus-health diagnostic (natural text follows freq ∝
+# rank^-s with s ≈ 1; template/boilerplate-heavy corpora bend the tail).
+# --------------------------------------------------------------------------
+T14_TOP = 1000
+
+
+@register(
+    "t14_zipf_rank_freq",
+    oracle=f"""
+WITH tf AS (
+  SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_duck_tokens('lower(text)')}) AS t FROM documents)
+  GROUP BY t
+),
+top AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM tf ORDER BY freq DESC, token LIMIT {T14_TOP}
+)
+SELECT CAST(count(*) AS BIGINT)                       AS n_terms,
+       CAST(sum(freq) AS BIGINT)                      AS mass_topk,
+       round(regr_slope(ln(freq), ln(rank)), 4)       AS zipf_slope,
+       round(regr_intercept(ln(freq), ln(rank)), 4)   AS zipf_intercept
+FROM top
+""",
+    tags=("text", "zipf", "regression", "topk"),
+)
+def t14_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the Zipf log-log slope over the corpus's top-1000 token
+    frequencies: explode lowercased tokens → ONE hash-agg with map-side
+    partials → exact top-1000 via TakeOrderedAndProject (total order:
+    freq DESC, token) → rank + least-squares fit on the tiny remainder.
+
+    100-TB plan shape: the only corpus-sized stage is the token
+    frequency agg (the partial combine collapses each task's explode
+    output to its local vocabulary before the shuffle — shuffle rows are
+    O(vocab), not O(tokens)). Everything after the top-k is 1000 rows,
+    so the single-partition rank window is a deliberate no-op, not a
+    bottleneck. regr_slope/regr_intercept are built-in in BOTH engines
+    (Spark 3.4+/DuckDB), keeping the fit inside whole-stage codegen."""
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), "token").limit(T14_TOP)
+    w = Window.orderBy(F.desc("freq"), "token")
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("freq").alias("mass_topk"),
+        F.round(F.regr_slope(F.ln("freq"), F.ln("rank")), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.ln("freq"), F.ln("rank")), 4).alias(
+            "zipf_intercept"
+        ),
     )

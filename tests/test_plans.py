@@ -467,3 +467,28 @@ def test_p13_routing_is_scan_side_text_never_read(spark, queries):
     assert "text" not in (m.group(1))
     assert "partial_count" in plan or "partial" in plan
     assert "PythonUDF" not in plan
+
+
+def test_t14_partial_vocab_agg_then_topk(spark, queries):
+    """Zipf audit: the corpus-sized stage is ONE token-frequency agg
+    with a map-side partial combine (shuffle rows are O(vocab), not
+    O(tokens)); the top-1000 is TakeOrderedAndProject; the regression
+    runs on the tiny remainder with no Python in the plan."""
+    plan = formatted_plan(spark, queries["t14_zipf_rank_freq"].build(spark, SF_SMALL))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan[:2000]
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_p14_bottomk_is_takeordered_no_sort_no_text(spark, queries):
+    """Bottom-k sample must be TakeOrderedAndProject over a pruned scan
+    (per-task bottom-k heaps, no global Sort, no Exchange of the corpus)
+    and must never read the text column."""
+    plan = formatted_plan(spark, queries["p14_bottomk_sample"].build(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1), m and m.group(1)
+    body = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in body, body[:1500]
