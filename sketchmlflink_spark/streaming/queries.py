@@ -801,3 +801,80 @@ def st18_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_click_to_purchase_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# st19 — streaming bottom-k sample (p14's twin over the JSONL intake):
+# the union-mergeability of bottom-k made executable — per-batch local
+# bottom-k summaries land in epoch-partitioned state, and merging the
+# summaries IS the global sample, bit-for-bit equal to the batch answer.
+# --------------------------------------------------------------------------
+@register(
+    "st19_stream_bottomk_sample",
+    # Shares p14's oracle verbatim: bottom-k of a union equals bottom-k
+    # of the merged per-batch bottom-k's, for ANY micro-batch split.
+    oracle=None,  # set below to P14_ORACLE after import (avoids a cycle)
+    tags=("streaming", "sample", "bottom-k"),
+)
+def st19_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain p14's deterministic 500-doc corpus sample INCREMENTALLY
+    over the streaming JSONL intake: each micro-batch is collapsed to
+    its local bottom-k of md5(doc_id) (≤ k narrow rows, text dropped
+    scan-side), landed in an _epoch-partitioned parquet state table via
+    dynamic-partition overwrite (st15/st16's idempotent-retry recipe),
+    and the final answer is the bottom-k OF THE SUMMARIES — exactly the
+    batch sample, whatever the batch split. State is bounded by
+    k·n_epochs summary rows, never by stream volume; torn intake lines
+    quarantine upstream (st09 contract) and never touch the sample."""
+    import os
+    import shutil
+    import tempfile
+
+    from sketchmlflink_spark.operators.pipeline import P14_K
+    from sketchmlflink_spark.sources.jsonl import CORRUPT_COL
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"st19_state_{os.getpid()}_"
+        + sf_dir.strip("/").replace("/", "_").replace(".", "_"),
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def land_bottomk(bdf: DataFrame, eid: int) -> None:
+        bdf.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            bdf.orderBy("rank_digest")
+            .limit(P14_K)
+            .withColumn("_epoch", F.lit(int(eid)))
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(state_dir)
+        )
+
+    parsed = P.documents_jsonl_stream(spark, sf_dir)
+    clean = (
+        parsed.where(
+            F.col(f"j.{CORRUPT_COL}").isNull() & F.col("j.doc_id").isNotNull()
+        )
+        .select(
+            F.md5(F.col("j.doc_id").cast("string")).alias("rank_digest"),
+            F.col("j.doc_id").alias("doc_id"),
+            F.col("j.lang").alias("lang"),
+            F.col("j.n_chars").alias("n_chars"),
+        )
+    )
+    P.run_foreach_batch(clean, land_bottomk, output_mode="append")
+    state = spark.read.parquet(state_dir).drop("_epoch")
+    return state.orderBy("rank_digest").limit(P14_K)
+
+
+def _wire_st19_oracle() -> None:
+    from sketchmlflink_spark.operators.pipeline import P14_ORACLE
+    from sketchmlflink_spark.registry import _REGISTRY
+
+    _REGISTRY["st19_stream_bottomk_sample"].oracle = P14_ORACLE
+
+
+_wire_st19_oracle()
