@@ -601,3 +601,31 @@ def test_s13_mmr_diversifies_vs_plain_topk(spark):
     if set(mmr_ids) != set(plain):
         # (b) diversity: only a meaningful check when the sets differ
         assert max_pairwise(mmr_ids) <= max_pairwise(plain) + 1e-12
+
+
+def test_s14_recall_report_bounds(spark):
+    """The ANN recall audit must cover all three approximate arms with a
+    full per-query grid plus a mean row each, and the means must sit in
+    each arm's known band on the synthetic table: IVF/IVF-PQ well above
+    chance, single-table LSH near zero at this (weak-similarity)
+    operating point — the threshold-dependence the report exists to
+    surface."""
+    from sketchmlflink_spark.operators.similarity import (
+        N_QUERIES,
+        s14_ann_recall_report,
+    )
+
+    rows = s14_ann_recall_report(spark, "/root/testdata/sf0.001").collect()
+    by_method: dict[str, list] = {}
+    for r in rows:
+        by_method.setdefault(r["method"], []).append(r)
+    assert sorted(by_method) == ["ivf", "ivfpq", "lsh"]
+    for method, mrows in by_method.items():
+        assert len(mrows) == N_QUERIES + 1, f"{method}: {len(mrows)} rows"
+        mean = [r for r in mrows if r["query"] == "__mean__"]
+        assert len(mean) == 1
+        assert 0.0 <= mean[0]["recall"] <= 1.0
+    means = {m: [r for r in v if r["query"] == "__mean__"][0]["recall"] for m, v in by_method.items()}
+    assert means["ivf"] >= 0.5, means
+    assert means["ivfpq"] >= 0.4, means
+    assert means["lsh"] <= 0.3, means  # honest low recall at weak similarity
