@@ -83,13 +83,12 @@ _PRIORITY = (
     "mm02_media_features", "mm04_frame_exact_dedup",
     # text
     "t01_token_stats_by_lang", "t02_quality_scores",
-    # relational headliners (pushed-filter agg, star join, windows,
-    # as-of join, sessionize, grouping sets, percentiles, skew salt)
-    "q01_pricing_summary", "q02_revenue_forecast", "q03_shipping_priority",
-    "q05_revenue_by_nation", "q07_top_order_per_customer", "q12_events_hourly",
-    "q14_user_event_gaps", "q18_price_percentiles", "q21_event_type_stats_salted",
-    "q22_asof_click_to_view", "q25_batch_sessionize",
-    "q13_events_json_bucket",
+    # relational headliners (pushed-filter agg, join+topk, event windows,
+    # as-of join, skew salt; q02/q05/q07/q13/q18/q25 rotated to the
+    # sweep-only tail this round — all stay green in SWEEP artifacts)
+    "q01_pricing_summary", "q03_shipping_priority", "q12_events_hourly",
+    "q14_user_event_gaps", "q21_event_type_stats_salted",
+    "q22_asof_click_to_view",
     # round-3 headliners: graph-closure dedup, bucketed-layout join,
     # BM25 lexical retrieval
     "d13_dup_graph_components", "q31_bucketed_segment_revenue",
@@ -102,6 +101,11 @@ _PRIORITY = (
     "s12_hybrid_rrf_retrieval", "st17_stream_cdc_upsert", "t10_unigram_xent",
     "q34_funnel_conversion", "st18_stream_funnel", "t12_dsir_importance",
     "d15_dup_graph_pagerank",
+    # round-4b headliners: market-basket pairs, cohort retention,
+    # hash-shard routing, mergeable bottom-k sampling (batch + its
+    # hash-checked streaming twin), Zipf corpus audit — all hash-green
+    "q35_copurchase_pairs", "q36_cohort_retention", "p13_hash_shard_manifest",
+    "p14_bottomk_sample", "st19_stream_bottomk_sample", "t14_zipf_rank_freq",
 )
 
 
