@@ -1554,3 +1554,66 @@ def q36_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# q37 — UNPIVOT/melt (the inverse of q23's pivot): wide part attributes
+# melted to (attribute, value) rows, then profiled per brand. The
+# missing relational reshape: pivot (q23) turns rows into columns,
+# unpivot turns columns into rows.
+# --------------------------------------------------------------------------
+Q37_ORACLE = """
+WITH melted AS (
+  SELECT p_brand, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_brand, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
+)
+SELECT p_brand, attr,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(val), 4)       AS avg_val,
+       round(sum(val), 2)       AS sum_val,
+       round(min(val), 2)       AS min_val,
+       round(max(val), 2)       AS max_val
+FROM melted
+GROUP BY p_brand, attr
+ORDER BY p_brand, attr
+"""
+
+
+@register(
+    "q37_unpivot_part_profile",
+    oracle=Q37_ORACLE,
+    tags=("relational", "unpivot", "reshape"),
+)
+def q37_unpivot_part_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(brand, attribute) profile of part's numeric columns via
+    UNPIVOT — the columnar-to-long reshape every stats/feature pipeline
+    needs (q23's pivot run in reverse).
+
+    100-TB plan shape: DataFrame.unpivot compiles to Expand — each scan
+    row fans out to one row per melted column INSIDE the scan stage (no
+    join, no second scan), and the per-(brand, attr) hash-agg rides
+    map-side partials, so shuffle rows are O(brands × attrs). ReadSchema
+    prunes to exactly the id + melted columns."""
+    part = t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    melted = part.unpivot(
+        ids=["p_brand"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+    return (
+        melted.groupBy("p_brand", "attr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 4).alias("avg_val"),
+            F.round(F.sum("val"), 2).alias("sum_val"),
+            F.round(F.min("val"), 2).alias("min_val"),
+            F.round(F.max("val"), 2).alias("max_val"),
+        )
+        .orderBy("p_brand", "attr")
+    )

@@ -492,3 +492,19 @@ def test_p14_bottomk_is_takeordered_no_sort_no_text(spark, queries):
     assert m and "text" not in m.group(1), m and m.group(1)
     body = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in body, body[:1500]
+
+
+def test_q37_unpivot_is_expand_single_scan(spark, queries):
+    """UNPIVOT must compile to Expand inside the scan stage (no join, no
+    second scan) with the ReadSchema pruned to id + melted columns; the
+    (brand, attr) agg keeps map-side partials."""
+    plan = formatted_plan(spark, queries["q37_unpivot_part_profile"].build(spark, SF_SMALL))
+    assert "Expand" in plan
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan[:2000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "p_brand", "p_retailprice", "p_size",
+    ], m and m.group(1)
+    assert "partial_count" in plan
+    assert "Join" not in plan
