@@ -1617,3 +1617,75 @@ def q37_unpivot_part_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "attr")
     )
+
+
+# --------------------------------------------------------------------------
+# q38 — churned-purchaser cohort: set-difference semantics (purchased in
+# window A, silent in window B) expressed as ONE-pass conditional
+# aggregation instead of the textbook two-scan EXCEPT.
+# --------------------------------------------------------------------------
+Q38_SPLIT = "2024-01-24"
+
+Q38_ORACLE = f"""
+WITH h1p AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '{Q38_SPLIT}'
+),
+h2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '{Q38_SPLIT}'
+),
+churned AS (
+  SELECT user_id FROM h1p EXCEPT SELECT user_id FROM h2
+)
+SELECT c.user_id,
+       CAST(count(*) AS BIGINT)                    AS h1_purchases,
+       strftime(max(e.ts), '%Y-%m-%d %H:%M:%S')    AS last_purchase
+FROM churned c
+JOIN events e
+  ON e.user_id = c.user_id
+ AND e.event_type = 'purchase' AND e.ts < TIMESTAMP '{Q38_SPLIT}'
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
+@register(
+    "q38_churned_purchasers",
+    oracle=Q38_ORACLE,
+    tags=("relational", "set-op", "churn", "conditional-agg"),
+)
+def q38_churned_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lapsed purchasers: users who purchased before the split date and
+    never purchased after it, with their pre-split purchase count and
+    last purchase time — the churn cohort every retention team pulls.
+    (Churn is defined on PURCHASE events: with this table's uniform
+    per-user activity, all-event silence never happens, so the
+    all-activity variant would be the empty query.)
+
+    100-TB plan shape: the textbook formulation (the oracle) is an
+    EXCEPT of two DISTINCT subqueries plus a join back for the stats —
+    three scans of events, three shuffles. Here the whole cohort is ONE
+    conditional aggregation: a single scan (with the event_type filter
+    PUSHED to the scan) computes per-user (h1_purchases, last_purchase,
+    h2_events) with map-side partials on the user_id shuffle, and churn
+    is a post-agg filter (h1_purchases > 0 AND h2_events = 0). Same
+    answer, one third the I/O, one shuffle — the rewrite IS the point
+    of the entry."""
+    split = ts(Q38_SPLIT)
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    is_h1p = F.col("ts") < split
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(is_h1p, F.lit(1))).alias("h1_purchases"),
+        F.max(F.when(is_h1p, F.col("ts"))).alias("last_p"),
+        F.count(F.when(F.col("ts") >= split, F.lit(1))).alias("h2_events"),
+    )
+    return (
+        per_user.where((F.col("h1_purchases") > 0) & (F.col("h2_events") == 0))
+        .select(
+            "user_id",
+            "h1_purchases",
+            F.date_format("last_p", "yyyy-MM-dd HH:mm:ss").alias("last_purchase"),
+        )
+        .orderBy("user_id")
+    )

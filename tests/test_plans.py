@@ -508,3 +508,16 @@ def test_q37_unpivot_is_expand_single_scan(spark, queries):
     ], m and m.group(1)
     assert "partial_count" in plan
     assert "Join" not in plan
+
+
+def test_q38_one_scan_pushed_filter_single_user_shuffle(spark, queries):
+    """The churn cohort must be ONE events scan (event_type filter
+    pushed) and ONE user_id shuffle with map-side partial aggs — not
+    the textbook three-scan EXCEPT + join-back."""
+    plan = formatted_plan(spark, queries["q38_churned_purchasers"].build(spark, SF_SMALL))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan[:2000]
+    assert "EqualTo(event_type,purchase)" in plan
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert "partial_count" in plan
+    assert "Join" not in plan and "Except" not in plan
