@@ -118,6 +118,36 @@ def bench_names(queries: dict) -> list[str]:
 # prints the JSON-so-far before exiting.
 BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
 
+# Pinned-query machine calibration (VERDICT r4 item 3): the numpy-matmul
+# and JVM-range probes under-corrected round 4's noisy container (probes
+# said 1.1-1.2x, the 52-query common pack moved 1.85x) because neither
+# exercises what the suite actually spends time on — shuffle, codegen
+# over parquet scans, Python<->JVM crossings. The fix: three plan-locked
+# ENGINE queries at a FIXED scale (sf0.01, independent of SF_DIR so the
+# probe work is constant across rounds), each best-of-3, run BEFORE and
+# AFTER the suite (drift between the two = in-run noise). Round-over-
+# round comparisons normalize per-query against the pinned medians —
+# BASELINE.md records the reference values and the protocol.
+CALIB_QUERIES = ("q01_pricing_summary", "t01_token_stats_by_lang", "d01_dedup_exact")
+CALIB_SF_DIR = "/root/testdata/sf0.01"
+
+
+def pinned_calib(spark, queries: dict) -> dict:
+    """Best-of-3 wall seconds for each pinned calib query at sf0.01."""
+    out = {}
+    for name in CALIB_QUERIES:
+        q = queries.get(name)
+        if q is None:
+            continue
+        best = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            q.build(spark, CALIB_SF_DIR).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
+
 
 def main() -> None:
     import signal
@@ -140,7 +170,8 @@ def main() -> None:
         print(json.dumps(payload), flush=True)
 
     state: dict = {"timings": {}, "errors": {}, "total": 0.0,
-                   "calib_mm": None, "calib_rng": None}
+                   "calib_mm": None, "calib_rng": None,
+                   "calib_pre": None, "calib_post": None}
 
     def payload_now() -> dict:
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -157,6 +188,10 @@ def main() -> None:
         if state["calib_mm"] is not None:
             out["calib_matmul_sec"] = state["calib_mm"]
             out["calib_jvm_range_sec"] = state["calib_rng"]
+        if state["calib_pre"] is not None:
+            out["calib_pinned_pre"] = state["calib_pre"]
+        if state["calib_post"] is not None:
+            out["calib_pinned_post"] = state["calib_post"]
         if skipped:
             out["skipped_budget"] = skipped
         return out
@@ -192,6 +227,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — keep benching the rest
             errors[name] = f"{type(e).__name__}: {e}"[:500]
 
+    # pinned machine probes, steady-state (post-warm-up); best-of-3
+    # absorbs the one-time sf0.01-plan codegen of the first run
+    state["calib_pre"] = pinned_calib(spark, queries)
+
     timings = state["timings"]
     for name in names:
         if name in errors:
@@ -223,6 +262,8 @@ def main() -> None:
     t0 = time.monotonic()
     spark.range(2_000_000_000).selectExpr("sum(id)").collect()
     state["calib_rng"] = round(time.monotonic() - t0, 3)
+    # post-suite pinned probes: pre/post drift bounds in-run noise
+    state["calib_post"] = pinned_calib(spark, queries)
 
     emit(payload_now())
     spark.stop()

@@ -174,7 +174,10 @@ def m06_libsvm_cli_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value"
             )
         )
-        lines.coalesce(1).write.mode("overwrite").text(fixture_dir)
+        # partitioned write — the LibSVM reader handles multi-file dirs
+        # and a single-task coalesce(1) serialized the whole fixture
+        # through one core (VERDICT r4 item 7)
+        lines.write.mode("overwrite").text(fixture_dir)
     args = build_arg_parser().parse_args(
         [
             "--inputTrain", fixture_dir,

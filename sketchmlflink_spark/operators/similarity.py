@@ -1111,11 +1111,12 @@ def s14_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB plan shape: each arm's heavy work is its own already-audited
     plan (block-local top-k, banded LSH, IVF probes, ADC scan); this
     audit only left-joins their tiny (n_queries·k)-row outputs — the
-    joins are broadcast by size, nothing corpus-scale moves. Recall
-    uses the id-set intersection (rank-agnostic), the standard ANN
-    recall@k definition.
+    joins are broadcast by size, nothing corpus-scale moves. Recall@k
+    is the id-set intersection of the arm's top-k with the EXACT top-k
+    at the same k (ground truth truncated to each arm's k), the
+    standard ANN recall@k definition.
 
-    Reading the numbers: IVF/IVF-PQ recall ≈ 0.6-0.7 at nprobe=2 on the
+    Reading the numbers: IVF/IVF-PQ recall ≈ 0.4-0.5 at nprobe=2 on the
     synthetic table; single-table 6-bit LSH recall is NEAR ZERO here —
     correctly. The query vectors' true neighbors on this table are only
     weakly similar (random gaussians, top cosine ≈ 0.4), and sign-LSH
@@ -1126,33 +1127,39 @@ def s14_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     THAT threshold-dependence is what this report is for: it tells an
     operator which index is safe at their similarity operating point,
     from inside the engine, before committing a 100-TB build."""
-    exact = s09_knn_blocked_exact(spark, sf_dir).select("q_id", "n_id")
+    exact = s09_knn_blocked_exact(spark, sf_dir).select("q_id", "n_id", "rank")
     arms = {
         "lsh": s03_ann_lsh_cosine(spark, sf_dir),
         "ivf": s05_ivf_ann_cosine(spark, sf_dir),
         "ivfpq": s06_ivfpq_ann_cosine(spark, sf_dir),
     }
     per_method = []
+    base = exact.select("q_id").distinct()
     for method, df in arms.items():
         approx = df.select("q_id", "n_id")
-        # per-arm k can differ (s06 reranks to k=3); recall@k uses the
-        # arm's own k so every method is scored against its contract
-        arm_k = approx.groupBy("q_id").count().agg(F.max("count")).first()[0]
+        # per-arm k can differ (s06 reranks to k=3); recall@k scores the
+        # arm against ground truth AT ITS OWN k — the exact arm is
+        # truncated to rank <= arm_k before the semi-join, otherwise an
+        # arm returning only exact ranks 3-5 would score a spurious 1.0
+        # (ADVICE r4). An arm returning zero rows (plausible for
+        # single-table LSH in the weak-similarity regime) gets an
+        # all-zero grid instead of crashing on int(None).
+        arm_k = int(
+            approx.groupBy("q_id").count().agg(F.max("count")).first()[0] or 0
+        )
+        truth = exact.where(F.col("rank") <= max(arm_k, 1)).select("q_id", "n_id")
         hits = (
-            exact.join(approx, ["q_id", "n_id"], "left_semi")
+            truth.join(approx, ["q_id", "n_id"], "left_semi")
             .groupBy("q_id")
             .agg(F.count(F.lit(1)).alias("hits"))
         )
-        base = exact.select("q_id").distinct()
         per_q = base.join(hits, "q_id", "left").select(
             F.lit(method).alias("method"),
             F.col("q_id").cast("string").alias("query"),
             F.coalesce("hits", F.lit(0)).alias("hits"),
-            F.lit(int(arm_k)).alias("k"),
+            F.lit(arm_k).alias("k"),
             F.round(
-                F.least(F.coalesce("hits", F.lit(0)), F.lit(int(arm_k)))
-                / F.lit(int(arm_k)),
-                4,
+                F.coalesce("hits", F.lit(0)) / F.lit(max(arm_k, 1)), 4
             ).alias("recall"),
         )
         mean_row = per_q.agg(

@@ -45,10 +45,16 @@ FROM events
 GROUP BY event_type
 """,
     tags=("sketch", "hll", "rollup"),
-    # HLL lgK=16 is exact through the driver's check scales (sparse
-    # regime); past ~10k distinct per cell the estimator takes its
-    # documented RSE (~0.4% at lgK 16; measured +0.52% at sf1's 15k
-    # users/type) — the sweep's band compare covers that regime.
+    # CONTRACT (VERDICT r4 item 8): the estimate is exact while the
+    # Datasketches HLL stays in its sparse (coupon-list) regime and
+    # carries its documented RSE (~0.2% at lgK 18) beyond it. lgK=18
+    # keeps sf0.01-sf3 evidence scales (≤ ~45k users/type) inside the
+    # exact regime — lgK 16 promoted to dense at sf1's 15k users/type
+    # and drifted +0.52% — while the 2% band remains the formal
+    # production contract: at real 100-TB cardinalities NO lgK is
+    # exact, and the approximate answer at bounded memory IS the
+    # operator's value proposition. Sketch count is bounded by
+    # days x types, so the 4x lgK memory bump is immaterial.
     band=0.02,
 )
 def sk01_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,12 +66,13 @@ def sk01_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup never re-reads events."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
-        # lgConfigK 16: Datasketches HLL stays in its exact sparse regime
-        # well past this corpus's cardinality (estimate == exact count,
-        # verified to 1500 distinct at sf0.1; default lgK 12 drifts ~1%
-        # there) while the sketch stays ~32 KB — the merge/rollup cost
-        # is unchanged
-        F.expr("hll_sketch_agg(user_id, 16)").alias("user_sk"),
+        # lgConfigK 18: sparse-exact through ~65k distinct per cell —
+        # covers sf0.01 (driver hash check), sf1 (15k users/type, where
+        # lgK 16 went dense and drifted +0.52%) and the sf3 scaling
+        # probes; default lgK 12 drifts ~1% already at sf0.1's 1500
+        # distinct. Past the sparse regime the documented band applies
+        # (see the registration comment).
+        F.expr("hll_sketch_agg(user_id, 18)").alias("user_sk"),
     )
     return daily.groupBy("event_type").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(user_sk))").alias("est_users"),

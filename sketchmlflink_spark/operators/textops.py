@@ -701,13 +701,21 @@ vocab AS (
 stats AS (
     SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS v_size
     FROM vocab
+),
+scored AS (
+    -- per-token score fixed at the vocab level: rounded to 12 dp and
+    -- held as DECIMAL so the per-doc sum below is EXACT (order-free)
+    SELECT tok,
+           CAST(round(ln((c_tgt + 1.0) / (n_tgt + v_size))
+                      - ln((c_raw + 1.0) / (n_raw + v_size)), 12)
+                AS DECIMAL(25,12)) AS tok_score
+    FROM vocab CROSS JOIN stats
 )
 SELECT doc_id,
        any_value(lang)          AS lang,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(ln((c_tgt + 1.0) / (n_tgt + v_size))
-                 - ln((c_raw + 1.0) / (n_raw + v_size))), 4) AS imp_logratio
-FROM toks JOIN vocab USING (tok) CROSS JOIN stats
+       round(CAST(sum(tok_score) AS DOUBLE) / count(*), 4) AS imp_logratio
+FROM toks JOIN scored USING (tok)
 GROUP BY doc_id
 """,
     tags=("text", "dsir", "importance", "curation"),
@@ -729,7 +737,16 @@ def t12_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, lang, text). The score join is keyed on token (Zipf skew →
     AQE skew split / small-SF broadcast, same as t10). In production
     the vocab is truncated to top-V + OOV bucket, bounding both the
-    checkpoint and the join side regardless of corpus size."""
+    checkpoint and the join side regardless of corpus size.
+
+    Hash determinism (round-4 driver red): a plain ``round(avg(double))``
+    per doc is order-dependent — partition/config changes can flip the
+    4th decimal of a boundary value. The per-token score is therefore
+    fixed ONCE at the vocab level (rounded to 12 dp, held as
+    DECIMAL(25,12)); the per-doc reduction is then an EXACT decimal sum
+    (associative/commutative, order-free) followed by a single double
+    division and the final 4 dp round — the same recipe that root-fixed
+    q19's avg(double) flip at sf1 (BASELINE.md round-4 record)."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(T.tokens("text")).alias("tok")
@@ -746,14 +763,18 @@ def t12_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     logratio = F.log(
         (F.col("c_tgt") + F.lit(1.0)) / (F.col("n_tgt") + F.col("v_size"))
     ) - F.log((F.col("c_raw") + F.lit(1.0)) / (F.col("n_raw") + F.col("v_size")))
+    scored = vocab.crossJoin(F.broadcast(stats)).select(
+        "tok", F.round(logratio, 12).cast("decimal(25,12)").alias("tok_score")
+    )
     return (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(stats))
+        toks.join(scored, "tok")
         .groupBy("doc_id")
         .agg(
             F.any_value("lang").alias("lang"),
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(logratio), 4).alias("imp_logratio"),
+            F.round(
+                F.sum("tok_score").cast("double") / F.count(F.lit(1)), 4
+            ).alias("imp_logratio"),
         )
     )
 

@@ -67,45 +67,53 @@ _PRIORITY = (
     "m01_linear_predict", "m02_dimension_inference", "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics", "m05_sgd_sparse_metrics", "m06_libsvm_cli_e2e",
     "m07_lr_schedule_sweep", "m08_csvline_report",
-    # streaming representatives (hash-checked windowed agg + sketch state)
-    "st01_stream_hourly_counts", "st07_stream_sketch_profile",
-    # sketch-typed aggregates
-    "sk01_hll_user_rollup", "sk02_cms_event_type_freq", "sk03_approx_percentiles",
-    # pipelines
-    "p01_corpus_pipeline", "p03_language_mix_sample",
-    # similarity: exact anchor, stats, PQ scale path, blocked exact kNN
-    "s01_knn_cosine_brute", "s04_embedding_norms", "s06_ivfpq_ann_cosine",
-    "s09_knn_blocked_exact",
-    # dedup core
-    "d01_dedup_exact", "d04_minhash_lsh_neardup", "d06_embed_cosine_neardup",
-    "d08_incremental_dedup", "d12_decontaminate_eval_overlap",
-    # multimodal
-    "mm02_media_features", "mm04_frame_exact_dedup",
-    # text
-    "t01_token_stats_by_lang", "t02_quality_scores",
-    # relational headliners (pushed-filter agg, join+topk, event windows,
-    # as-of join, skew salt; q02/q05/q07/q13/q18/q25 rotated to the
-    # sweep-only tail this round — all stay green in SWEEP artifacts)
-    "q01_pricing_summary", "q03_shipping_priority", "q12_events_hourly",
-    "q14_user_event_gaps", "q21_event_type_stats_salted",
-    "q22_asof_click_to_view",
-    # round-3 headliners: graph-closure dedup, bucketed-layout join,
-    # BM25 lexical retrieval
-    "d13_dup_graph_components", "q31_bucketed_segment_revenue",
-    "t07_bm25_keyword_search",
-    # round-4 headliners: hybrid RRF fusion, streaming CDC upsert,
-    # unigram-LM quality scoring, ordered funnel + its streaming twin,
-    # DSIR importance weights, dup-graph PageRank (q15/q17/q23/q24/
-    # q26-q28 rotated out to the sweep-only tail — all stay green in
-    # SWEEP artifacts)
-    "s12_hybrid_rrf_retrieval", "st17_stream_cdc_upsert", "t10_unigram_xent",
-    "q34_funnel_conversion", "st18_stream_funnel", "t12_dsir_importance",
-    "d15_dup_graph_pagerank",
-    # round-4b headliners: market-basket pairs, cohort retention,
-    # hash-shard routing, mergeable bottom-k sampling (batch + its
-    # hash-checked streaming twin), Zipf corpus audit — all hash-green
-    "q35_copurchase_pairs", "q36_cohort_retention", "p13_hash_shard_manifest",
-    "p14_bottomk_sample", "st19_stream_bottomk_sample", "t14_zipf_rank_freq",
+    # round-4's one driver red — stays in the window until its driver
+    # row is green (VERDICT r4 item 1; order-dependence root-fixed via
+    # the decimal-sum recipe this round)
+    "t12_dsir_importance",
+    # Round-5 rotation (VERDICT r4 item 5): every remaining slot goes to
+    # an entry that has NEVER had a driver-side CORRECTNESS row in
+    # rounds 1-4 — 41 of the 44 never-checked entries (q33/p02/m09
+    # stay sweep-only this round; their operator shapes are represented
+    # by the q32/q37/q38, d06, and m05/m10 rows). Every rotated-out
+    # headliner (q01/d01/t01/st01/sk01...) stays green in the SWEEP
+    # artifacts and the perturbation hash test.
+    # relational: as-of ordering, unpivot profile, churn anti-join
+    "q32_asof_event_order", "q37_unpivot_part_profile",
+    "q38_churned_purchasers",
+    # dedup: MinHash accuracy audit, canonical selection
+    "d14_minhash_estimate_accuracy", "d16_canonical_selection",
+    # multimodal: perceptual frame dedup, pair curation
+    "mm05_frame_perceptual_dedup", "mm06_pair_curation",
+    # text: BPE counts + merge induction, quality filter, repetition,
+    # PII audit, TF-IDF terms
+    "t05_bpe_token_counts", "t06_quality_filter", "t08_repetition_stats",
+    "t09_pii_scrub_audit", "t11_tfidf_top_terms", "t13_bpe_merge_learn",
+    # pipeline: sink roundtrip, stratified/exact-k sampling, mixture +
+    # curriculum manifests, packing, incremental rollup, CSV quarantine,
+    # small-file compaction, dataset card
+    "p04_curated_sink_roundtrip", "p05_stratified_exact_k",
+    "p06_mixture_manifest", "p07_sequence_packing", "p08_incremental_rollup",
+    "p09_csv_intake_quarantine", "p10_compact_small_files",
+    "p11_dataset_card", "p12_curriculum_manifest",
+    # similarity: dim stats, range search, retrieval join, SQ8 ANN,
+    # MMR diversification, the (k-fixed) recall audit
+    "s07_embedding_dim_stats", "s08_range_search_cosine",
+    "s10_retrieval_topk_docs", "s11_sq8_ann_cosine",
+    "s13_mmr_diversified_topk", "s14_ann_recall_report",
+    # sketch aggs: histogram rollup, MG heavy hitters, KMV set ops
+    "sk04_histogram_percentile_rollup", "sk05_heavy_hitters",
+    "sk06_kmv_distinct_setops",
+    # ml: logistic arm
+    "m10_logistic_sgd_metrics",
+    # streaming: interval join, JSONL ingest, static join, quality gate,
+    # span dedup, decontamination, trending top-k, partitioned sink,
+    # heavy hitters
+    "st08_stream_interval_join", "st09_stream_jsonl_ingest",
+    "st10_stream_static_join", "st11_stream_quality_gate",
+    "st12_stream_span_dedup", "st13_stream_decontaminate",
+    "st14_stream_trending_topk", "st15_stream_partitioned_sink",
+    "st16_stream_heavy_hitters",
 )
 
 

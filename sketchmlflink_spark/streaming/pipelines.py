@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -321,6 +322,25 @@ def incremental_sgd_driver(
     return state
 
 
+@contextmanager
+def dynamic_partition_overwrite(sp):
+    """Scope spark.sql.sources.partitionOverwriteMode=dynamic to one
+    write: the st15/st16/st17/st19 sinks need it, but leaving it set on
+    the shared session would leak into unrelated queries run later on
+    the same session (ADVICE r4) — a plain `overwrite` elsewhere would
+    silently become partition-append semantics."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = sp.conf.get(key, None)
+    sp.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is None:
+            sp.conf.unset(key)
+        else:
+            sp.conf.set(key, prev)
+
+
 def land_partitioned(batch_df: DataFrame, eid: int, out_dir: str) -> None:
     """The st15 sink recipe: dynamic-partition overwrite keyed on
     (hour_part, _epoch). Retrying epoch e rewrites exactly the
@@ -330,16 +350,14 @@ def land_partitioned(batch_df: DataFrame, eid: int, out_dir: str) -> None:
     (ADVICE r3: plain hour-keyed overwrite silently lost them).
     Repartition by hour so a wide batch doesn't open a file per task
     per hour."""
-    batch_df.sparkSession.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic"
-    )
-    (
-        batch_df.withColumn("_epoch", F.lit(int(eid)))
-        .repartition("hour_part")
-        .write.mode("overwrite")
-        .partitionBy("hour_part", "_epoch")
-        .parquet(out_dir)
-    )
+    with dynamic_partition_overwrite(batch_df.sparkSession):
+        (
+            batch_df.withColumn("_epoch", F.lit(int(eid)))
+            .repartition("hour_part")
+            .write.mode("overwrite")
+            .partitionBy("hour_part", "_epoch")
+            .parquet(out_dir)
+        )
 
 
 def run_foreach_batch(

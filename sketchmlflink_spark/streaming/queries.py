@@ -611,14 +611,14 @@ def st16_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(state_dir, ignore_errors=True)
 
     def land_summaries(bdf: DataFrame, eid: int) -> None:
-        bdf.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            mg_summaries(bdf, "user_id", SK05_K)
-            .withColumn("_epoch", F.lit(int(eid)))
-            .write.mode("overwrite")
-            .partitionBy("_epoch")
-            .parquet(state_dir)
-        )
+        with P.dynamic_partition_overwrite(bdf.sparkSession):
+            (
+                mg_summaries(bdf, "user_id", SK05_K)
+                .withColumn("_epoch", F.lit(int(eid)))
+                .write.mode("overwrite")
+                .partitionBy("_epoch")
+                .parquet(state_dir)
+            )
 
     ev = P.events_stream(spark, sf_dir).select("user_id")
     P.run_foreach_batch(ev, land_summaries, output_mode="append")
@@ -660,7 +660,6 @@ def cdc_merge_batch(bdf: DataFrame, state_dir: str) -> None:
     import os
 
     sp = bdf.sparkSession
-    sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch = _latest_per_key(bdf.select(*ST17_COLS)).withColumn(
         "bucket", F.pmod(F.hash("user_id"), F.lit(ST17_BUCKETS))
     )
@@ -672,7 +671,8 @@ def cdc_merge_batch(bdf: DataFrame, state_dir: str) -> None:
         merged = batch
     # materialize before overwriting the partitions being read
     merged = merged.repartition("bucket").localCheckpoint(eager=True)
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+    with P.dynamic_partition_overwrite(sp):
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
 
 
 @register(
@@ -841,17 +841,15 @@ def st19_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(state_dir, ignore_errors=True)
 
     def land_bottomk(bdf: DataFrame, eid: int) -> None:
-        bdf.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        (
-            bdf.orderBy("rank_digest")
-            .limit(P14_K)
-            .withColumn("_epoch", F.lit(int(eid)))
-            .write.mode("overwrite")
-            .partitionBy("_epoch")
-            .parquet(state_dir)
-        )
+        with P.dynamic_partition_overwrite(bdf.sparkSession):
+            (
+                bdf.orderBy("rank_digest")
+                .limit(P14_K)
+                .withColumn("_epoch", F.lit(int(eid)))
+                .write.mode("overwrite")
+                .partitionBy("_epoch")
+                .parquet(state_dir)
+            )
 
     parsed = P.documents_jsonl_stream(spark, sf_dir)
     clean = (

@@ -626,6 +626,9 @@ def test_s14_recall_report_bounds(spark):
         assert len(mean) == 1
         assert 0.0 <= mean[0]["recall"] <= 1.0
     means = {m: [r for r in v if r["query"] == "__mean__"][0]["recall"] for m, v in by_method.items()}
-    assert means["ivf"] >= 0.5, means
-    assert means["ivfpq"] >= 0.4, means
+    # bounds re-pinned after the ADVICE r4 k-fix (ground truth truncated
+    # to each arm's k) — the corrected metric is stricter, so the bands
+    # sit lower than the pre-fix inflated ones
+    assert means["ivf"] >= 0.4, means
+    assert means["ivfpq"] >= 0.35, means
     assert means["lsh"] <= 0.3, means  # honest low recall at weak similarity

@@ -435,7 +435,7 @@ def test_q35_single_scan_array_side_pairs(spark, queries):
     assert m and len(m.group(1).split(",")) == 2, m and m.group(1)
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan  # pairs come from the array, not a self-join
-    assert "partial_collect_set" in plan or "objHashAggregate" in plan.lower()
+    assert "partial_collect_set" in plan or "objhashaggregate" in plan.lower()
 
 
 def test_q36_user_partitioned_window_then_narrow_shuffles(spark, queries):
