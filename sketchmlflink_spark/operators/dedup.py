@@ -510,8 +510,8 @@ def exact_cosine_pairs(
 # d07 — embedding near-dup via LSH candidate generation + exact verify:
 # the architecture that replaces d06's exact all-pairs at 100 TB.
 # --------------------------------------------------------------------------
-D07_BANDS = 8   # OR-amplification: a pair is a candidate if ANY band matches
-D07_BITS = 2    # AND within a band: both sign bits must agree
+D07_BANDS = 10  # OR-amplification: a pair is a candidate if ANY band matches
+D07_BITS = 3    # AND within a band: all three sign bits must agree
 D07_SEED = 1234
 
 
@@ -531,15 +531,30 @@ def d07_embed_lsh_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFram
     candidate generation + exact in-bucket verification — the shape that
     holds at 100 TB where exact all-pairs (d06) cannot run: each row is
     hashed into D07_BANDS band buckets (ONE shuffle on (band, bucket)),
-    exact cosine runs only inside buckets, and cross-band duplicates
-    collapse in a distinct. Work scales with Σ bucket², not n².
+    exact cosine runs only inside buckets, and each surviving pair is
+    emitted by exactly ONE band — the first band the pair collides in,
+    decided locally from the full signature carried with the row (all
+    10 x 3-bit band buckets packed into ONE 30-bit int). That
+    first-match rule replaced the round-1..4 emit-everywhere + global
+    ``distinct()`` design after the sf3 scaling probe (BASELINE.md
+    round 5): at 16.9x-for-3x-data, most of the shuffle volume was the
+    same pair re-verified and re-emitted per colliding band, then paid
+    for again in the distinct's shuffle. Band geometry is tuned for
+    shuffle weight, the true cost at scale: the explode replicates each
+    VECTOR once per band, so 10 bands x 8 buckets beats 16 x 16 even
+    at slightly more flops.
 
-    Collision math at the 0.4 threshold (θ ≈ 66°, p_bit = 1 − θ/π ≈
-    0.63): P(candidate) = 1 − (1 − p_bit²)^8 ≈ 0.94 — measured 0.94
+    Collision math at the 0.4 threshold (θ ≈ 66.4°, p_bit = 1 − θ/π ≈
+    0.634): P(candidate) = 1 − (1 − p_bit³)^10 ≈ 0.95 — measured
     recall vs the exact d06 answer at sf0.001 (tests/test_dedup.py).
-    At real near-dup thresholds (cos ≥ 0.9, p_bit ≈ 0.86) the same
-    scheme recalls ≈ 0.999 with far smaller buckets — the operating
-    point a dedup pipeline actually runs at.
+    At real near-dup similarity (make_sf's jittered copies, cos ≈
+    0.999, p_bit ≈ 0.98) a pair's miss probability is ~1e-19. Honest
+    scale note: at a WEAK threshold like 0.4 the LSH gap is small
+    (ρ = ln p_bit⁻¹/ln 2 ≈ 0.66 → Ω(n^1.66) candidate work is
+    information-theoretically unavoidable), and the OUTPUT itself is
+    Θ(matching pairs) = Θ(n²·density); production dedup runs this
+    operator at 0.9+, where buckets shrink exponentially in bits and
+    the listing is sparse.
     """
     import numpy as np
     import pandas as pd
@@ -549,40 +564,61 @@ def d07_embed_lsh_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFram
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
     planes = _d07_planes(64)
 
-    # sign bits via Catalyst dots (JVM-side scan); band key packs its bits
+    # sign bits via Catalyst dots (JVM-side scan); each row carries its
+    # FULL per-band signature (10 x 3-bit buckets packed into one int)
+    # into every bucket so the first-matching-band rule is locally
+    # decidable — no distinct needed
     bit_cols = [
         (dot(F.col("v"), F.array(*[F.lit(float(x)) for x in planes[i]])) >= 0).cast("int")
         for i in range(D07_BANDS * D07_BITS)
     ]
+    bucket_cols = [
+        sum(bit_cols[b * D07_BITS + j] * (1 << j) for j in range(D07_BITS))
+        for b in range(D07_BANDS)
+    ]
+    packed_sig = sum(bucket_cols[b] * (1 << (D07_BITS * b)) for b in range(D07_BANDS))
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(bit_cols[b * D07_BITS + j] * (1 << j) for j in range(D07_BITS)).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), bucket_cols[b].alias("bucket"))
             for b in range(D07_BANDS)
         ]
     )
     exploded = (
-        emb.withColumn("bk", F.explode(bands))
-        .select("vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+        emb.withColumn("sig", packed_sig.cast("int"))
+        .withColumn("bk", F.explode(bands))
+        .select(
+            "vec_id", "v", "sig",
+            F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"),
+        )
     )
+    mask = (1 << D07_BITS) - 1
 
     def verify_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band = int(key[0])
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         M = np.stack(pdf["v"].to_numpy())
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         cos = Mn @ Mn.T
         ii, jj = np.nonzero(np.triu(cos >= COSINE_DUP_THRESHOLD, k=1))
         keep = ids[ii] != ids[jj]
-        lo = np.minimum(ids[ii][keep], ids[jj][keep])
-        hi = np.maximum(ids[ii][keep], ids[jj][keep])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(cos[ii, jj][keep], 6)})
+        ii, jj = ii[keep], jj[keep]
+        if band > 0 and ii.size:
+            # first-match emission: skip any pair that already collided
+            # in an earlier band (that band emits it); xor makes a
+            # colliding band a zero 3-bit field
+            x = pdf["sig"].to_numpy(dtype=np.int64)
+            diff = x[ii] ^ x[jj]
+            fresh = np.ones(ii.shape[0], dtype=bool)
+            for bp in range(band):
+                fresh &= ((diff >> (D07_BITS * bp)) & mask) != 0
+            ii, jj = ii[fresh], jj[fresh]
+        lo = np.minimum(ids[ii], ids[jj])
+        hi = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(cos[ii, jj], 6)})
 
-    pairs = exploded.groupBy("band", "bucket").applyInPandas(
+    return exploded.groupBy("band", "bucket").applyInPandas(
         verify_bucket, "id_a long, id_b long, cosine double"
     )
-    return pairs.distinct()
 
 
 # --------------------------------------------------------------------------

@@ -1000,3 +1000,106 @@ def p14_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank_digest")
         .limit(P14_K)
     )
+
+
+# --------------------------------------------------------------------------
+# p15 — DSIR importance RESAMPLING: the "R" the t12 weights exist for
+# (Xie et al., NeurIPS'23). Draw a fixed-size sample of the raw corpus
+# with inclusion probability ∝ exp(importance weight), without
+# replacement, deterministically — the Gumbel-top-k trick (Efraimidis-
+# Spirakis exponential-race sampling in log space): key = w + Gumbel
+# noise, keep the K largest keys. With the noise derived from
+# md5(doc_id) instead of an RNG, membership is a pure function of the
+# row (p13/p14's seedless idiom), so re-runs, backfills and per-shard
+# samples agree exactly.
+# --------------------------------------------------------------------------
+P15_K = 200
+
+# -ln(-ln(u)) with u = (hashint6(doc_id) + 0.5) / 16^6: u is exactly
+# representable, strictly inside (0,1), and identical in both engines
+# (Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT — see the
+# portability note in the docstring).
+P15_ORACLE = f"""
+WITH t12 AS ({{t12}}),
+keyed AS (
+    SELECT doc_id, lang, n_tokens, imp_logratio,
+           round(imp_logratio + -ln(-ln(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gumbel'), 1, 6))::BIGINT
+                + 0.5) / 16777216.0
+           )), 6) AS gumbel_key
+    FROM t12
+)
+SELECT CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS INT)
+           AS sample_rank,
+       doc_id, lang, n_tokens, imp_logratio, gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id
+LIMIT {P15_K}
+"""
+
+
+@register(
+    "p15_dsir_resample",
+    oracle=None,  # set below — nests textops.T12_ORACLE (late import)
+    tags=("pipeline", "dsir", "resample", "sample", "gumbel"),
+)
+def p15_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {K}-doc importance resample of the corpus,
+    P(doc in sample) ∝ exp(t12's DSIR weight): rank every doc by
+    imp_logratio + Gumbel(md5(doc_id)) and keep the K largest — the
+    Gumbel-top-k identity makes that EXACTLY weighted sampling without
+    replacement, in one pass, with no RNG state. This is the complete
+    DSIR pipeline: t12 estimates the two unigram LMs and scores docs;
+    this query turns the scores into the training subset.
+
+    Portability: the noise uses u = (hashint + 0.5)/16^6 where hashint
+    is the first 6 md5 hex digits as an integer — Spark
+    ``conv(hex, 16, 10)`` and DuckDB ``('0x' || hex)::BIGINT`` agree
+    exactly, u is a dyadic rational (exact double), and the key is
+    rounded to 6 dp BEFORE ranking with a doc_id tiebreak, so a 1-ulp
+    ln() difference between engines cannot reorder the cut.
+
+    100-TB plan shape: t12's audited two-scan plan, plus one scan-side
+    key projection and a TakeOrderedAndProject — per-task bottom-k
+    heaps, no global sort, no extra shuffle; the K-row result gets its
+    rank window on a bounded frame. Compare p14 (uniform bottom-k):
+    same physics, weighted membership."""
+    from pyspark.sql.window import Window as W
+
+    from sketchmlflink_spark.operators.textops import t12_dsir_importance
+
+    w = t12_dsir_importance(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":gumbel"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(16777216.0)
+    key = F.round(F.col("imp_logratio") - F.log(-F.log(u)), 6)
+    top = (
+        w.select(
+            "doc_id", "lang", "n_tokens", "imp_logratio",
+            key.alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(P15_K)
+    )
+    rank_w = W.orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(rank_w).cast("int").alias("sample_rank"),
+        "doc_id", "lang", "n_tokens", "imp_logratio", "gumbel_key",
+    )
+
+
+def _wire_p15_oracle() -> None:
+    from sketchmlflink_spark.operators.textops import T12_ORACLE
+    from sketchmlflink_spark.registry import _REGISTRY
+
+    _REGISTRY["p15_dsir_resample"].oracle = P15_ORACLE.format(t12=T12_ORACLE)
+
+
+_wire_p15_oracle()

@@ -686,9 +686,9 @@ def t11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokens are under a target-domain unigram LM than under the raw-corpus
 # LM. Positive = looks like the target domain.
 # --------------------------------------------------------------------------
-@register(
-    "t12_dsir_importance",
-    oracle=f"""
+# Shared with p15's resampler oracle (which nests this whole SELECT as
+# a CTE), so the two stay bit-identical by construction.
+T12_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id, lang, unnest({_duck_tokens()}) AS tok FROM documents
 ),
@@ -717,7 +717,12 @@ SELECT doc_id,
        round(CAST(sum(tok_score) AS DOUBLE) / count(*), 4) AS imp_logratio
 FROM toks JOIN scored USING (tok)
 GROUP BY doc_id
-""",
+"""
+
+
+@register(
+    "t12_dsir_importance",
+    oracle=T12_ORACLE,
     tags=("text", "dsir", "importance", "curation"),
 )
 def t12_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:

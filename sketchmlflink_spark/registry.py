@@ -96,11 +96,16 @@ _PRIORITY = (
     "p06_mixture_manifest", "p07_sequence_packing", "p08_incremental_rollup",
     "p09_csv_intake_quarantine", "p10_compact_small_files",
     "p11_dataset_card", "p12_curriculum_manifest",
-    # similarity: dim stats, range search, retrieval join, SQ8 ANN,
-    # MMR diversification, the (k-fixed) recall audit
+    # similarity: dim stats, range search, retrieval join, MMR
+    # diversification, the (k-fixed) recall audit (s11 stays sweep-only:
+    # rows-only by contract, so its driver row adds the least signal —
+    # its slot goes to the round-5 headliner below)
     "s07_embedding_dim_stats", "s08_range_search_cosine",
-    "s10_retrieval_topk_docs", "s11_sq8_ann_cosine",
+    "s10_retrieval_topk_docs",
     "s13_mmr_diversified_topk", "s14_ann_recall_report",
+    # round-5 headliner: DSIR importance resampling (Gumbel-top-k over
+    # t12's weights — hash-oracled end-to-end)
+    "p15_dsir_resample",
     # sketch aggs: histogram rollup, MG heavy hitters, KMV set ops
     "sk04_histogram_percentile_rollup", "sk05_heavy_hitters",
     "sk06_kmv_distinct_setops",

@@ -632,3 +632,15 @@ def test_s14_recall_report_bounds(spark):
     assert means["ivf"] >= 0.4, means
     assert means["ivfpq"] >= 0.35, means
     assert means["lsh"] <= 0.3, means  # honest low recall at weak similarity
+
+
+def test_d07_emits_each_pair_exactly_once(spark):
+    """The first-matching-band rule must make the raw output
+    duplicate-free WITHOUT a distinct (round-5 rework: the old
+    emit-everywhere + distinct paid ~7x shuffle volume at scale)."""
+    from sketchmlflink_spark.operators import dedup as D
+
+    df = D.d07_embed_lsh_candidate_verify(spark, "/root/testdata/sf0.001")
+    assert "Deduplicate" not in df._jdf.queryExecution().optimizedPlan().toString()
+    rows = [(r["id_a"], r["id_b"]) for r in df.collect()]
+    assert len(rows) == len(set(rows)), "pair emitted from more than one band"

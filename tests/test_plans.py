@@ -521,3 +521,15 @@ def test_q38_one_scan_pushed_filter_single_user_shuffle(spark, queries):
     assert plan.count("hashpartitioning(user_id") >= 1
     assert "partial_count" in plan
     assert "Join" not in plan and "Except" not in plan
+
+
+def test_p15_gumbel_topk_no_extra_scan(spark, queries):
+    """DSIR resampling must ride t12's audited plan: no scan beyond
+    t12's two corpus scans, the sample cut via TakeOrderedAndProject
+    (per-task bottom-k heaps, no global sort of the corpus), noise and
+    key as scan-side expressions (no Python UDF anywhere)."""
+    plan = formatted_plan(spark, queries["p15_dsir_resample"].build(spark, SF_SMALL))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 2, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan

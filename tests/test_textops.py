@@ -101,3 +101,23 @@ def test_t10_xent_bounds_and_token_conservation(spark):
     # the score separates the corpus: not all docs identical
     assert df.select("xent_nats").distinct().count() > 1
     df.unpersist()
+
+
+def test_p15_resample_is_importance_weighted(spark):
+    """Gumbel-top-k with w = t12's weight must (a) emit a dense rank
+    1..K with a non-increasing key, and (b) actually tilt the sample:
+    the mean importance weight of the selected docs must exceed the
+    corpus mean by a clear margin (the whole point of resampling), which
+    a uniform sample (p14) does not do."""
+    from sketchmlflink_spark.operators.pipeline import P15_K, p15_dsir_resample
+    from sketchmlflink_spark.operators.textops import t12_dsir_importance
+
+    sf = "/root/testdata/sf0.001"
+    rows = p15_dsir_resample(spark, sf).collect()
+    assert [r["sample_rank"] for r in rows] == list(range(1, min(P15_K, len(rows)) + 1))
+    keys = [r["gumbel_key"] for r in rows]
+    assert all(a >= b for a, b in zip(keys, keys[1:]))
+    corpus = t12_dsir_importance(spark, sf).collect()
+    corpus_mean = sum(r["imp_logratio"] for r in corpus) / len(corpus)
+    sample_mean = sum(r["imp_logratio"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
