@@ -66,12 +66,13 @@ def sk01_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup never re-reads events."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
-        # lgConfigK 18: sparse-exact through ~65k distinct per cell —
-        # covers sf0.01 (driver hash check), sf1 (15k users/type, where
-        # lgK 16 went dense and drifted +0.52%) and the sf3 scaling
-        # probes; default lgK 12 drifts ~1% already at sf0.1's 1500
-        # distinct. Past the sparse regime the documented band applies
-        # (see the registration comment).
+        # lgConfigK 18: measured sparse-exact through sf1 (15k
+        # users/type, where lgK 16 went dense and drifted +0.52%);
+        # at sf3 (45k users/type) the estimator leaves the exact
+        # regime and sits inside its documented band (sweep r5:
+        # band0.02 match). Default lgK 12 drifts ~1% already at
+        # sf0.1's 1500 distinct. Past the sparse regime the band
+        # contract applies (see the registration comment).
         F.expr("hll_sketch_agg(user_id, 18)").alias("user_sk"),
     )
     return daily.groupBy("event_type").agg(
