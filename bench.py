@@ -231,6 +231,16 @@ def main() -> None:
     # absorbs the one-time sf0.01-plan codegen of the first run
     state["calib_pre"] = pinned_calib(spark, queries)
 
+    # Prompt Python GC between queries: several operators localCheckpoint
+    # intermediate frames (t12/t13 vocab, st17 merge state ...), whose
+    # executor-pinned blocks are only released after the Python-side
+    # DataFrame refs die and the JVM ContextCleaner runs. Left to lazy
+    # GC, a 138-query session accumulates pinned blocks and late-suite
+    # heavy queries pay GC/memory pressure that controlled single-query
+    # probes never see (r5: in-suite d07 43.7 s vs 12.9 s probed on the
+    # same data+machine).
+    import gc
+
     timings = state["timings"]
     for name in names:
         if name in errors:
@@ -238,6 +248,7 @@ def main() -> None:
         if time.monotonic() - start > BENCH_BUDGET_S:
             break  # remaining names land in skipped_budget
         q = queries[name]
+        gc.collect()
         t0 = time.monotonic()
         try:
             q.build(spark, SF_DIR).count()
