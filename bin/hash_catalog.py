@@ -81,8 +81,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     only = set(args.only.split(",")) if args.only else None
+    import gc
+
     out: dict[str, str] = {}
     for name, q in all_queries().items():
+        gc.collect()  # release prior queries' checkpointed lineage (see bench.py)
         if q.oracle is None:
             continue  # rows-only by contract → nondeterministic by contract
         if only is not None and name not in only:

@@ -41,8 +41,11 @@ def main() -> None:
     con = duck_connection(SF_DIR)
     queries = all_queries()
 
+    import gc
+
     n_hash = n_rows_only = n_band = n_fail = 0
     for name, q in queries.items():
+        gc.collect()  # release prior queries' checkpointed lineage (see bench.py)
         if name in SKIP:
             print(f"{name:40s} skip  (scale guard)", flush=True)
             continue
