@@ -1689,3 +1689,80 @@ def q38_churned_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q39 — price-band range join: the non-equi "value BETWEEN lo AND hi"
+# join every BI tool emits, rewritten for scale. Reference analog: none
+# (relational surface is driver-mandated); capability analog is the
+# range-join family the engine must cover alongside the as-of joins
+# (q22/q32).
+# --------------------------------------------------------------------------
+Q39_BANDS = (
+    # (band_id, band_name, lo, hi) — irregular, half-open [lo, hi)
+    (0, "budget", 0.0, 5000.0),
+    (1, "value", 5000.0, 20000.0),
+    (2, "mid", 20000.0, 45000.0),
+    (3, "premium", 45000.0, 80000.0),
+    (4, "luxury", 80000.0, 1e18),
+)
+
+Q39_ORACLE = f"""
+WITH bands AS (
+  SELECT * FROM (VALUES {", ".join(f"({b[0]}, '{b[1]}', {b[2]}, {b[3]})" for b in Q39_BANDS)})
+       AS v(band_id, band_name, lo, hi)
+)
+SELECT b.band_id,
+       b.band_name,
+       CAST(count(*) AS BIGINT)                           AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS revenue,
+       round(avg(l_extendedprice), 4)                     AS avg_price
+FROM lineitem l
+JOIN bands b
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band_id, b.band_name
+ORDER BY b.band_id
+"""
+
+
+@register(
+    "q39_price_band_join",
+    oracle=Q39_ORACLE,
+    tags=("relational", "range-join", "non-equi", "broadcast"),
+)
+def q39_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per irregular price band — a range (band) join.
+
+    The textbook plan (the oracle's literal shape) is a non-equi join,
+    which Spark executes as BroadcastNestedLoopJoin: every fact row is
+    compared against every band row, and the join can't participate in
+    whole-stage codegen's hash-join fast path. At 100 TB we rewrite it:
+    the band lookup becomes a SCAN-SIDE expression (count of sorted
+    boundaries <= price — the codegen'd equivalent of a binary search,
+    zero join, zero shuffle), the fact table aggregates straight to one
+    row per band_id, and only the 5-row aggregate equi-joins (broadcast)
+    the band-metadata dim. Same answer as the BETWEEN join because the
+    bands partition the domain; the plan is one lineitem scan + one
+    5-group hash aggregate — no NestedLoop anywhere (plan-locked in
+    tests/test_plans.py)."""
+    bounds = [b[2] for b in Q39_BANDS[1:]]  # interior boundaries, sorted
+    bands_df = spark.createDataFrame(
+        list(Q39_BANDS), "band_id INT, band_name STRING, lo DOUBLE, hi DOUBLE"
+    )
+    price = F.col("l_extendedprice")
+    band_id = sum(
+        (F.when(price >= F.lit(b), 1).otherwise(0) for b in bounds), F.lit(0)
+    ).alias("band_id")
+    li = t(spark, sf_dir, "lineitem").select(
+        band_id, "l_extendedprice", "l_discount"
+    )
+    per_band = li.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(price * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.avg(price), 4).alias("avg_price"),
+    )
+    return (
+        per_band.join(F.broadcast(bands_df.select("band_id", "band_name")), "band_id")
+        .select("band_id", "band_name", "n_items", "revenue", "avg_price")
+        .orderBy("band_id")
+    )

@@ -533,3 +533,19 @@ def test_p15_gumbel_topk_no_extra_scan(spark, queries):
     assert len(scans) <= 2, plan[:2000]
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q39_band_join_is_scan_side_not_nlj(spark, queries):
+    """The price-band range join must NOT execute as the textbook
+    BroadcastNestedLoopJoin: the band lookup is a scan-side boundary
+    expression, lineitem aggregates to 5 rows before any join, and the
+    band-metadata dim attaches via BroadcastHashJoin. One parquet scan,
+    3-column ReadSchema, map-side partial aggregates."""
+    plan = formatted_plan(spark, queries["q39_price_band_join"].build(spark, SF_SMALL))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan[:2000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 2, m and m.group(1)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
