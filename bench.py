@@ -133,19 +133,27 @@ CALIB_SF_DIR = "/root/testdata/sf0.01"
 
 
 def pinned_calib(spark, queries: dict) -> dict:
-    """Best-of-3 wall seconds for each pinned calib query at sf0.01."""
+    """Best-of-3 wall seconds for each pinned calib query at sf0.01.
+
+    Fault-isolated like the suite loop (ADVICE r5): a broken calib
+    query or a missing fixture dir degrades to an error string in its
+    slot instead of aborting the bench before any timing is emitted
+    (the JSON-so-far emit only fires on signals, not raises)."""
     out = {}
     for name in CALIB_QUERIES:
         q = queries.get(name)
         if q is None:
             continue
-        best = None
-        for _ in range(3):
-            t0 = time.monotonic()
-            q.build(spark, CALIB_SF_DIR).count()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
+        try:
+            best = None
+            for _ in range(3):
+                t0 = time.monotonic()
+                q.build(spark, CALIB_SF_DIR).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 — calib must not kill the bench
+            out[name] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 

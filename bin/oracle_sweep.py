@@ -4,11 +4,19 @@
 and a final tally — the reproducible backing for SURVEY.md §8 status
 claims.
 
-Usage: python bin/oracle_sweep.py [sf_dir] [--skip name1,name2]
+Usage: python bin/oracle_sweep.py [sf_dir] [--skip name1,name2] [--strict]
 
 --skip applies the BASELINE.md scale guard at SF >= 1: the labeled
 quadratic correctness anchors (s01/s02, and d06 past its replication
 budget) are excluded from large-scale sweeps by name.
+
+--strict switches the comparator to the repr-strict cross-engine diff
+(tests/oracle_check.compare_query_strict): canonical sorted rows,
+floats via repr, ZERO tolerance — i.e. what the driver's canonical
+value hash actually sees. The default isclose comparator treats
+-0.0 == 0.0 and date == midnight-timestamp, which let t12's signed
+zero through two rounds of local gates (round-5 verdict item 2).
+Run the strict mode at sf0.01 every round.
 """
 
 from __future__ import annotations
@@ -23,6 +31,7 @@ if REPO_ROOT not in sys.path:
 
 _args = [a for a in sys.argv[1:] if not a.startswith("--")]
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+STRICT = "--strict" in sys.argv[1:]
 SKIP: set[str] = set()
 for _a in sys.argv[1:]:
     if _a.startswith("--skip"):
@@ -34,7 +43,11 @@ for _a in sys.argv[1:]:
 def main() -> None:
     from sketchmlflink_spark.registry import all_queries
     from sketchmlflink_spark.session import get_spark
-    from tests.oracle_check import compare_query, duck_connection
+    from tests.oracle_check import (
+        compare_query,
+        compare_query_strict,
+        duck_connection,
+    )
 
     spark = get_spark("sketchmlflink-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -53,9 +66,14 @@ def main() -> None:
         try:
             df = q.build(spark, SF_DIR)
             if q.oracle is not None:
-                problems = compare_query(df, con, q.oracle)
-                ok = not problems
-                kind = "hash"
+                if STRICT:
+                    problems = compare_query_strict(df, con, q.oracle)
+                    ok = not problems
+                    kind = "reprS"
+                else:
+                    problems = compare_query(df, con, q.oracle)
+                    ok = not problems
+                    kind = "hash"
                 if not ok and q.band is not None:
                     # approximate estimator past its exact regime:
                     # fall back to its documented tolerance band
@@ -69,7 +87,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             ok, kind, problems = False, "err", [f"{type(e).__name__}: {e}"[:300]]
         dt = time.monotonic() - t0
-        if ok and kind == "hash":
+        if ok and kind in ("hash", "reprS"):
             n_hash += 1
         elif ok and kind.startswith("band"):
             n_band += 1

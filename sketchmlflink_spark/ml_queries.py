@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sketchmlflink_spark.functions import zround
 from sketchmlflink_spark.functions.vector import as_double_array, dot
 from sketchmlflink_spark.operators.relational import t
 from sketchmlflink_spark.registry import register
@@ -30,8 +31,10 @@ FIXED_INTERCEPT = 0.5
     "m01_linear_predict",
     oracle=f"""
 SELECT vec_id,
+       -- + 0.0: signed-zero normalization after the final round (a
+       -- prediction can be a tiny negative; functions.zround's twin)
        round(list_dot_product(CAST(embedding AS DOUBLE[]),
-                              {FIXED_WEIGHTS}::DOUBLE[]) + {FIXED_INTERCEPT}, 6) AS prediction
+                              {FIXED_WEIGHTS}::DOUBLE[]) + {FIXED_INTERCEPT}, 6) + 0.0 AS prediction
 FROM embeddings
 """,
     tags=("ml", "predict"),
@@ -42,7 +45,7 @@ def m01_linear_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     w = F.array(*[F.lit(x) for x in FIXED_WEIGHTS])
     pred = dot(as_double_array("embedding"), w) + F.lit(FIXED_INTERCEPT)
-    return emb.select("vec_id", F.round(pred, 6).alias("prediction"))
+    return emb.select("vec_id", zround(pred, 6).alias("prediction"))
 
 
 # --------------------------------------------------------------------------

@@ -614,7 +614,12 @@ def d07_embed_lsh_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFram
             ii, jj = ii[fresh], jj[fresh]
         lo = np.minimum(ids[ii], ids[jj])
         hi = np.maximum(ids[ii], ids[jj])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(cos[ii, jj], 6)})
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(cos[ii, jj], 6)})
+        # a repeated vec_id (outside the embeddings table's uniqueness
+        # contract) would emit the same (id_a, id_b) pair once per copy
+        # from this bucket now that the global distinct is gone
+        # (ADVICE r5) — dedupe locally, keeping the no-shuffle property
+        return out.drop_duplicates(subset=["id_a", "id_b"])
 
     return exploded.groupBy("band", "bucket").applyInPandas(
         verify_bucket, "id_a long, id_b long, cosine double"

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sketchmlflink_spark.functions import text as T
+from sketchmlflink_spark.functions import zround
 from sketchmlflink_spark.operators.relational import t
 from sketchmlflink_spark.operators.textops import (
     QF_MIN_DISTINCT,
@@ -1023,10 +1024,12 @@ P15_ORACLE = f"""
 WITH t12 AS ({{t12}}),
 keyed AS (
     SELECT doc_id, lang, n_tokens, imp_logratio,
+           -- + 0.0: signed-zero normalization after the final round
+           -- (functions.zround's oracle twin; VERDICT r5 item 1)
            round(imp_logratio + -ln(-ln(
                (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gumbel'), 1, 6))::BIGINT
                 + 0.5) / 16777216.0
-           )), 6) AS gumbel_key
+           )), 6) + 0.0 AS gumbel_key
     FROM t12
 )
 SELECT CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS INT)
@@ -1079,7 +1082,7 @@ def p15_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         + F.lit(0.5)
     ) / F.lit(16777216.0)
-    key = F.round(F.col("imp_logratio") - F.log(-F.log(u)), 6)
+    key = zround(F.col("imp_logratio") - F.log(-F.log(u)), 6)
     top = (
         w.select(
             "doc_id", "lang", "n_tokens", "imp_logratio",

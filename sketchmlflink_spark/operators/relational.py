@@ -1715,8 +1715,17 @@ WITH bands AS (
 SELECT b.band_id,
        b.band_name,
        CAST(count(*) AS BIGINT)                           AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS revenue,
-       round(avg(l_extendedprice), 4)                     AS avg_price
+       -- prices/discounts are fixed-point money (2-dp grained —
+       -- verified against the parquet): cast to DECIMAL and sum
+       -- EXACTLY (order-free), one double conversion + round at the
+       -- end — q19's recipe (ADVICE r5: round(sum(double)) over
+       -- millions of rows per band is the order-dependent class that
+       -- flipped q19/t12 in the driver environment)
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                                                          AS revenue,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4)                               AS avg_price
 FROM lineitem l
 JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
@@ -1753,13 +1762,30 @@ def q39_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_id = sum(
         (F.when(price >= F.lit(b), 1).otherwise(0) for b in bounds), F.lit(0)
     ).alias("band_id")
-    li = t(spark, sf_dir, "lineitem").select(
-        band_id, "l_extendedprice", "l_discount"
+    li = (
+        t(spark, sf_dir, "lineitem")
+        # parity guard with the oracle's BETWEEN join (ADVICE r5): a
+        # NULL price would land in band 0 via otherwise(0) and a price
+        # outside [0, 1e18) in band 0/4, where the oracle's join drops
+        # the row — filter explicitly so the scan-side band expression
+        # is a true partition of the SAME domain the oracle joins over.
+        .where(
+            price.isNotNull()
+            & (price >= F.lit(Q39_BANDS[0][2]))
+            & (price < F.lit(Q39_BANDS[-1][3]))
+        )
+        .select(band_id, "l_extendedprice", "l_discount")
     )
+    # money is 2-dp fixed-point: exact DECIMAL sums (order-free), one
+    # double conversion + round at the end — q19's recipe (ADVICE r5)
+    price_dec = price.cast("decimal(18,2)")
+    rev_dec = price_dec * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
     per_band = li.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(price * (1 - F.col("l_discount"))), 2).alias("revenue"),
-        F.round(F.avg(price), 4).alias("avg_price"),
+        F.round(F.sum(rev_dec).cast("double"), 2).alias("revenue"),
+        F.round(
+            F.sum(price_dec).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_price"),
     )
     return (
         per_band.join(F.broadcast(bands_df.select("band_id", "band_name")), "band_id")

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sketchmlflink_spark.functions import zround
 from sketchmlflink_spark.functions.vector import as_double_array, cosine, dot, norm2
 from sketchmlflink_spark.operators.relational import t
 from sketchmlflink_spark.registry import register
@@ -563,9 +564,12 @@ def s06_ivfpq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT label,
        CAST(dim - 1 AS INT)            AS dim_idx,
-       round(avg(x), 6)                AS dim_mean,
-       round(min(x), 6)                AS dim_min,
-       round(max(x), 6)                AS dim_max
+       -- + 0.0: signed-zero normalization — dim means of roughly
+       -- centered embeddings sit near 0, so a −1e-7 pre-round value
+       -- would hash-split the engines (functions.zround's oracle twin)
+       round(avg(x), 6) + 0.0          AS dim_mean,
+       round(min(x), 6) + 0.0          AS dim_min,
+       round(max(x), 6) + 0.0          AS dim_max
 FROM (
     SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
            generate_subscripts(embedding, 1) AS dim
@@ -589,9 +593,9 @@ def s07_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("label", as_double_array("embedding").alias("v"))
     ex = emb.select("label", F.posexplode("v").alias("dim_idx", "x"))
     return ex.groupBy("label", "dim_idx").agg(
-        F.round(F.avg("x"), 6).alias("dim_mean"),
-        F.round(F.min("x"), 6).alias("dim_min"),
-        F.round(F.max("x"), 6).alias("dim_max"),
+        zround(F.avg("x"), 6).alias("dim_mean"),
+        zround(F.min("x"), 6).alias("dim_min"),
+        zround(F.max("x"), 6).alias("dim_max"),
     )
 
 
@@ -1018,7 +1022,7 @@ s{k} AS (SELECT id, rel, mmr, {k} AS step FROM c{k} ORDER BY mmr DESC, id LIMIT 
         head + "".join(stages)
         + f"""
 SELECT id AS doc_id, CAST(step AS INT) AS step,
-       round(rel, 6) AS rel, round(mmr, 6) AS mmr
+       round(rel, 6) + 0.0 AS rel, round(mmr, 6) + 0.0 AS mmr
 FROM ({union_all})
 """
     )
@@ -1084,7 +1088,9 @@ def s13_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best = (key, cid, rel, mmr)
         _, cid, rel, mmr = best
         chosen.append(cid)
-        selected.append((cid, step, round(rel, 6), round(mmr, 6)))
+        # + 0.0 = signed-zero normalization (an mmr of ≈ −1e-7 rounds
+        # to −0.0 under Python round too; functions.zround's policy)
+        selected.append((cid, step, round(rel, 6) + 0.0, round(mmr, 6) + 0.0))
     return spark.createDataFrame(
         selected, "doc_id long, step int, rel double, mmr double"
     )

@@ -197,8 +197,13 @@ cum AS (
 p(pct) AS (VALUES {", ".join(f"(CAST({p} AS DOUBLE))" for p in SK04_PCTS)})
 SELECT p.pct,
        CAST(min(c.bin) AS INT)                 AS bin,
-       round(min(c.bin) * {SK04_BIN_W}, 2)     AS est_lo,
-       round((min(c.bin) + 1) * {SK04_BIN_W}, 2) AS est_hi
+       -- CAST AS DOUBLE: DuckDB parses the {SK04_BIN_W} literal as
+       -- DECIMAL(2,1), so bin*literal would come back Decimal where
+       -- Spark emits double — numerically equal (the driver's
+       -- comparator tolerates it, sk04 was driver-green r5) but
+       -- repr-different under a canonical hash; match types exactly
+       round(CAST(min(c.bin) * {SK04_BIN_W} AS DOUBLE), 2)       AS est_lo,
+       round(CAST((min(c.bin) + 1) * {SK04_BIN_W} AS DOUBLE), 2) AS est_hi
 FROM p JOIN cum c ON c.running >= CAST(ceiling(p.pct * c.total) AS BIGINT)
 GROUP BY p.pct
 """,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sketchmlflink_spark.functions import text as T
+from sketchmlflink_spark.functions import zround
 from sketchmlflink_spark.registry import register
 from sketchmlflink_spark.operators.relational import t
 
@@ -714,7 +715,11 @@ scored AS (
 SELECT doc_id,
        any_value(lang)          AS lang,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(CAST(sum(tok_score) AS DOUBLE) / count(*), 4) AS imp_logratio
+       -- + 0.0 normalizes signed zero (−0.0 → +0.0): DuckDB's round
+       -- preserves −0.0 where Spark's does not, which flipped the
+       -- driver's value hash on doc 327 (≈ −1e-7 → −0.0) two rounds
+       -- running. See functions.zround — this is its oracle twin.
+       round(CAST(sum(tok_score) AS DOUBLE) / count(*), 4) + 0.0 AS imp_logratio
 FROM toks JOIN scored USING (tok)
 GROUP BY doc_id
 """
@@ -751,7 +756,13 @@ def t12_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(25,12)); the per-doc reduction is then an EXACT decimal sum
     (associative/commutative, order-free) followed by a single double
     division and the final 4 dp round — the same recipe that root-fixed
-    q19's avg(double) flip at sf1 (BASELINE.md round-4 record)."""
+    q19's avg(double) flip at sf1 (BASELINE.md round-4 record).
+
+    Signed zero (round-5 driver red, root cause): a pre-round value of
+    ≈ −1e-7 rounds to −0.0 in DuckDB but +0.0 in Spark — bit-different
+    under a canonical value hash, equal under every isclose gate. Both
+    sides therefore normalize after the final round (``zround`` here,
+    ``round(...) + 0.0`` in the oracle)."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(T.tokens("text")).alias("tok")
@@ -777,7 +788,7 @@ def t12_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value("lang").alias("lang"),
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
+            zround(
                 F.sum("tok_score").cast("double") / F.count(F.lit(1)), 4
             ).alias("imp_logratio"),
         )
