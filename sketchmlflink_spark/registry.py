@@ -67,58 +67,48 @@ _PRIORITY = (
     "m01_linear_predict", "m02_dimension_inference", "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics", "m05_sgd_sparse_metrics", "m06_libsvm_cli_e2e",
     "m07_lr_schedule_sweep", "m08_csvline_report",
-    # round-4's one driver red — stays in the window until its driver
-    # row is green (VERDICT r4 item 1; order-dependence root-fixed via
-    # the decimal-sum recipe this round)
+    # the round-4/5 driver red — stays in the window until its driver
+    # row is green (signed zero root-fixed this round: zround on the
+    # engine side, round(...)+0.0 in the oracle)
     "t12_dsir_importance",
-    # Round-5 rotation (VERDICT r4 item 5): every remaining slot goes to
-    # an entry that has NEVER had a driver-side CORRECTNESS row in
-    # rounds 1-4 — 41 of the 44 never-checked entries (q33/p02/m09
-    # stay sweep-only this round; their operator shapes are represented
-    # by the q32/q37/q38, d06, and m05/m10 rows). Every rotated-out
-    # headliner (q01/d01/t01/st01/sk01...) stays green in the SWEEP
-    # artifacts and the perturbation hash test.
-    # relational: as-of ordering, unpivot profile, churn anti-join
-    "q32_asof_event_order", "q37_unpivot_part_profile",
-    "q38_churned_purchasers",
-    # dedup: MinHash accuracy audit, canonical selection
-    "d14_minhash_estimate_accuracy", "d16_canonical_selection",
-    # multimodal: perceptual frame dedup, pair curation
-    "mm05_frame_perceptual_dedup", "mm06_pair_curation",
-    # text: BPE counts + merge induction, quality filter, repetition,
-    # PII audit, TF-IDF terms
-    "t05_bpe_token_counts", "t06_quality_filter", "t08_repetition_stats",
-    "t09_pii_scrub_audit", "t11_tfidf_top_terms", "t13_bpe_merge_learn",
-    # pipeline: sink roundtrip, stratified/exact-k sampling, mixture +
-    # curriculum manifests, packing, incremental rollup, CSV quarantine,
-    # small-file compaction, dataset card
-    "p04_curated_sink_roundtrip", "p05_stratified_exact_k",
-    "p06_mixture_manifest", "p07_sequence_packing", "p08_incremental_rollup",
-    "p09_csv_intake_quarantine", "p10_compact_small_files",
-    "p11_dataset_card", "p12_curriculum_manifest",
-    # similarity: dim stats, range search, retrieval join, MMR
-    # diversification, the (k-fixed) recall audit (s11 stays sweep-only:
-    # rows-only by contract, so its driver row adds the least signal —
-    # its slot goes to the round-5 headliner below)
-    "s07_embedding_dim_stats", "s08_range_search_cosine",
-    "s10_retrieval_topk_docs",
-    "s13_mmr_diversified_topk", "s14_ann_recall_report",
-    # round-5 headliner: DSIR importance resampling (Gumbel-top-k over
-    # t12's weights — hash-oracled end-to-end)
-    "p15_dsir_resample",
-    # sketch aggs: histogram rollup, MG heavy hitters, KMV set ops
-    "sk04_histogram_percentile_rollup", "sk05_heavy_hitters",
-    "sk06_kmv_distinct_setops",
-    # ml: logistic arm
-    "m10_logistic_sgd_metrics",
-    # streaming: interval join, JSONL ingest, static join, quality gate,
-    # span dedup, decontamination, trending top-k, partitioned sink,
-    # heavy hitters
-    "st08_stream_interval_join", "st09_stream_jsonl_ingest",
-    "st10_stream_static_join", "st11_stream_quality_gate",
-    "st12_stream_span_dedup", "st13_stream_decontaminate",
-    "st14_stream_trending_topk", "st15_stream_partitioned_sink",
-    "st16_stream_heavy_hitters",
+    # Round-6 rotation (VERDICT r5 item 4): the five entries that have
+    # NEVER had a driver-side CORRECTNESS row in rounds 1-5 — after
+    # this round every catalog entry has had the hard driver signal at
+    # least once (m09/s11 rows-only by contract; their sweep rows are
+    # hash/invariant-checked locally).
+    "q39_price_band_join", "q33_ohlc_bars", "p02_embedding_pipeline",
+    "m09_sgd_million_dim", "s11_sq8_ann_cosine",
+    # Changed this round (signed-zero normalization / oracle typing) —
+    # keep in the window so the change itself gets a driver row
+    "p15_dsir_resample", "s07_embedding_dim_stats",
+    "s13_mmr_diversified_topk", "sk04_histogram_percentile_rollup",
+    "p08_incremental_rollup",
+    # Representative spread: headliners whose last driver row is the
+    # oldest (r1-r3), one-plus per family — every rotated-out r5 entry
+    # stays green in the SWEEP artifacts and the perturbation hash test.
+    # relational: pricing agg, decimal-sum cube, salted skew agg,
+    # as-of join, funnel micros, cohort weeks
+    "q01_pricing_summary", "q19_cube_parts", "q21_event_type_stats_salted",
+    "q22_asof_click_to_view", "q34_funnel_conversion", "q36_cohort_retention",
+    # dedup: exact, MinHash-LSH, SimHash, embedding near-dup, CC, PageRank
+    "d01_dedup_exact", "d04_minhash_lsh_neardup", "d05_simhash_neardup",
+    "d06_embed_cosine_neardup", "d13_dup_graph_components",
+    "d15_dup_graph_pagerank",
+    # text: token stats, lang-id, BM25, unigram xent, Zipf regression
+    "t01_token_stats_by_lang", "t03_lang_id", "t07_bm25_keyword_search",
+    "t10_unigram_xent", "t14_zipf_rank_freq",
+    # similarity: exact kNN, LSH ANN, IVF ANN, RRF hybrid
+    "s01_knn_cosine_brute", "s03_ann_lsh_cosine", "s05_ivf_ann_cosine",
+    "s12_hybrid_rrf_retrieval",
+    # sketch aggs: HLL rollup, CMS freq, approx percentiles
+    "sk01_hll_user_rollup", "sk02_cms_event_type_freq",
+    "sk03_approx_percentiles",
+    # multimodal: metadata, features, frame sampling
+    "mm01_media_metadata", "mm02_media_features", "mm03_frame_sample",
+    # pipeline: hash-shard routing, bottom-k sampling
+    "p13_hash_shard_manifest", "p14_bottomk_sample",
+    # streaming: hourly counts, CDC upsert
+    "st01_stream_hourly_counts", "st17_stream_cdc_upsert",
 )
 
 
