@@ -526,7 +526,9 @@ def _d07_planes(dim: int):
     oracle=None,  # probabilistic recall; bands vs exact d06 pinned in test_dedup.py
     tags=("dedup", "embedding", "lsh", "candidate-verify"),
 )
-def d07_embed_lsh_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d07_embed_lsh_candidate_verify(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
     """Near-dup pairs (cosine ≥ 0.4) by banded random-hyperplane LSH
     candidate generation + exact in-bucket verification — the shape that
     holds at 100 TB where exact all-pairs (d06) cannot run: each row is
@@ -554,7 +556,9 @@ def d07_embed_lsh_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFram
     information-theoretically unavoidable), and the OUTPUT itself is
     Θ(matching pairs) = Θ(n²·density); production dedup runs this
     operator at 0.9+, where buckets shrink exponentially in bits and
-    the listing is sparse.
+    the listing is sparse. ``threshold`` is exposed for exactly that
+    production operating point (bin/d07_threshold_probe.py measures the
+    sf1→sf3 exponent at 0.9; BASELINE.md records the numbers).
     """
     import numpy as np
     import pandas as pd
@@ -599,7 +603,7 @@ def d07_embed_lsh_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFram
         M = np.stack(pdf["v"].to_numpy())
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         cos = Mn @ Mn.T
-        ii, jj = np.nonzero(np.triu(cos >= COSINE_DUP_THRESHOLD, k=1))
+        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
         keep = ids[ii] != ids[jj]
         ii, jj = ii[keep], jj[keep]
         if band > 0 and ii.size:
