@@ -513,6 +513,10 @@ def exact_cosine_pairs(
 D07_BANDS = 10  # OR-amplification: a pair is a candidate if ANY band matches
 D07_BITS = 3    # AND within a band: all three sign bits must agree
 D07_SEED = 1234
+# Verify-kernel tile edge: peak extra task memory is ~B² doubles
+# (32 MB at 2048) regardless of bucket size. Tests shrink this to
+# force the multi-block path on small fixtures.
+D07_VERIFY_BLOCK = 2048
 
 
 def _d07_planes(dim: int):
@@ -527,7 +531,10 @@ def _d07_planes(dim: int):
     tags=("dedup", "embedding", "lsh", "candidate-verify"),
 )
 def d07_embed_lsh_candidate_verify(
-    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    verify_block: int = D07_VERIFY_BLOCK,
 ) -> DataFrame:
     """Near-dup pairs (cosine ≥ 0.4) by banded random-hyperplane LSH
     candidate generation + exact in-bucket verification — the shape that
@@ -602,23 +609,59 @@ def d07_embed_lsh_candidate_verify(
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         M = np.stack(pdf["v"].to_numpy())
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        cos = Mn @ Mn.T
-        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
-        keep = ids[ii] != ids[jj]
-        ii, jj = ii[keep], jj[keep]
-        if band > 0 and ii.size:
-            # first-match emission: skip any pair that already collided
-            # in an earlier band (that band emits it); xor makes a
-            # colliding band a zero 3-bit field
-            x = pdf["sig"].to_numpy(dtype=np.int64)
-            diff = x[ii] ^ x[jj]
-            fresh = np.ones(ii.shape[0], dtype=bool)
-            for bp in range(band):
-                fresh &= ((diff >> (D07_BITS * bp)) & mask) != 0
-            ii, jj = ii[fresh], jj[fresh]
-        lo = np.minimum(ids[ii], ids[jj])
-        hi = np.maximum(ids[ii], ids[jj])
-        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(cos[ii, jj], 6)})
+        sig = pdf["sig"].to_numpy(dtype=np.int64)
+        n = ids.shape[0]
+        # Blocked upper-triangle verification: bucket population is
+        # threshold-INDEPENDENT (banding happens before verify), so a
+        # full n x n cosine matrix is O(bucket²) task memory — ~5 GB
+        # per task at sf10's ~25k-row buckets, which crashed the sf10
+        # probe's Python workers. Tiling the dgemm into B x B blocks
+        # bounds peak extra memory at ~B² doubles (32 MB at B=2048) no
+        # matter how large the bucket grows; the linear b x dim group
+        # payload is then the only scale-bound term.
+        B = verify_block  # closure-captured by value at operator build time
+        frames = []
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            for j0 in range(i0, n, B):
+                j1 = min(j0 + B, n)
+                cos = Mn[i0:i1] @ Mn[j0:j1].T
+                if j0 == i0:
+                    ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+                else:
+                    ii, jj = np.nonzero(cos >= threshold)
+                if not ii.size:
+                    continue
+                c = cos[ii, jj]
+                ii = ii + i0
+                jj = jj + j0
+                keep = ids[ii] != ids[jj]
+                ii, jj, c = ii[keep], jj[keep], c[keep]
+                if band > 0 and ii.size:
+                    # first-match emission: skip any pair that already
+                    # collided in an earlier band (that band emits it);
+                    # xor makes a colliding band a zero 3-bit field
+                    diff = sig[ii] ^ sig[jj]
+                    fresh = np.ones(ii.shape[0], dtype=bool)
+                    for bp in range(band):
+                        fresh &= ((diff >> (D07_BITS * bp)) & mask) != 0
+                    ii, jj, c = ii[fresh], jj[fresh], c[fresh]
+                if not ii.size:
+                    continue
+                lo = np.minimum(ids[ii], ids[jj])
+                hi = np.maximum(ids[ii], ids[jj])
+                frames.append(
+                    pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(c, 6)})
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
         # a repeated vec_id (outside the embeddings table's uniqueness
         # contract) would emit the same (id_a, id_b) pair once per copy
         # from this bucket now that the global distinct is gone

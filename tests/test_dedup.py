@@ -644,3 +644,20 @@ def test_d07_emits_each_pair_exactly_once(spark):
     assert "Deduplicate" not in df._jdf.queryExecution().optimizedPlan().toString()
     rows = [(r["id_a"], r["id_b"]) for r in df.collect()]
     assert len(rows) == len(set(rows)), "pair emitted from more than one band"
+
+
+def test_d07_blocked_verify_matches_unblocked(spark):
+    """The tiled verify kernel (round-6: the sf10 probe crashed Python
+    workers materializing a full bucket² cosine matrix — ~5 GB/task at
+    sf10's ~25k-row buckets) must emit exactly the same pair set as a
+    single-block run. verify_block=7 forces many ragged tiles, crossing
+    diagonal and off-diagonal block boundaries on the sf0.001 fixture."""
+    from sketchmlflink_spark.operators import dedup as D
+
+    def pairs(block):
+        df = D.d07_embed_lsh_candidate_verify(
+            spark, "/root/testdata/sf0.001", verify_block=block
+        )
+        return {(r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()}
+
+    assert pairs(7) == pairs(10**9)
