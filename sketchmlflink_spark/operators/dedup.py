@@ -398,9 +398,11 @@ def d06_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: no driver-side corpus materialization anywhere (the
     plan-build runs one ``count`` to size B; tests/test_plans.py pins
-    the no-collect property). Task memory is bounded by
-    2·D06_BLOCK_ROWS·dim doubles regardless of corpus size; the O(n²)
-    flops spread over B(B+1)/2 independent tasks. At 100 TB you don't
+    the no-collect property). Task memory is bounded regardless of
+    corpus size: 2·D06_BLOCK_ROWS·dim doubles of vectors plus the
+    D06_BLOCK_ROWS² cosine tile (~134 MB at 4096 — the dominant term,
+    the same one that required tiling in d07's unbounded buckets); the
+    O(n²) flops spread over B(B+1)/2 independent tasks. At 100 TB you don't
     run exact all-pairs at all — d04/s03/s05 generate candidates and
     this same dgemm kernel verifies them blockwise — but when a user
     asks for the exact operator, this is the shape that degrades
