@@ -349,11 +349,18 @@ def land_partitioned(batch_df: DataFrame, eid: int, out_dir: str) -> None:
     so multi-batch ingestion of one hour never drops earlier rows
     (ADVICE r3: plain hour-keyed overwrite silently lost them).
     Repartition by hour so a wide batch doesn't open a file per task
-    per hour."""
+    per hour — but with EXPLICIT task count: a bare
+    ``repartition("hour_part")`` lets AQE coalesce the (byte-small)
+    batch into ~1 task, which then writes every hour's file serially —
+    the write cost here is file fan-out, not bytes, so writer
+    parallelism must track core count, not partition size (measured at
+    sf0.1, 1440 hour dirs: 27–43 s → 5–11 s per epoch). Same pathology
+    on a cluster: one executor crawling through 1440 file commits."""
+    n_writers = batch_df.sparkSession.sparkContext.defaultParallelism
     with dynamic_partition_overwrite(batch_df.sparkSession):
         (
             batch_df.withColumn("_epoch", F.lit(int(eid)))
-            .repartition("hour_part")
+            .repartition(n_writers, "hour_part")
             .write.mode("overwrite")
             .partitionBy("hour_part", "_epoch")
             .parquet(out_dir)
@@ -448,6 +455,104 @@ def jsonl_ingest_counts(parsed: DataFrame) -> DataFrame:
         .alias("bucket")
     )
     return parsed.select(bucket).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# late-data replay (st20): a three-file out-of-order ingest simulation
+# --------------------------------------------------------------------------
+LATE_MOD = 20          # every 20th event (event_id % 20 == 0) is a straggler
+LATE_CUT_DAYS = 7      # on-time prefix/tail split point: max(ts) - 7 days
+
+
+def late_replay_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table as a THREE-file out-of-order replay
+    directory (once per sf_dir, marker-guarded):
+
+      replay-000  on-time prefix  (not straggler, ts <= max(ts) - 7d)
+      replay-001  on-time tail    (not straggler, ts >  max(ts) - 7d)
+      replay-002  stragglers      (event_id % 20 == 0) — arrive LAST,
+                                  hours to weeks after their event time
+
+    File mtimes ascend so the streaming file source (which orders by
+    modification time) replays them in exactly this sequence, and
+    maxFilesPerTrigger=1 puts each file in its own micro-batch — the
+    deterministic replay of a feed whose producers deliver some events
+    very late. One file per arrival is the SEMANTICS under test (the
+    arrival order), not a write-parallelism choice; a real deployment
+    points at the ingest directory and the producer's files arrive
+    already split."""
+    from sketchmlflink_spark.sources.tables import load_table
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "stream_late_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    marker = os.path.join(d, "_REPLAY_READY")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events")
+        cut = ev.agg(
+            (F.max("ts") - F.expr(f"INTERVAL {LATE_CUT_DAYS} DAYS")).alias("c")
+        ).first()["c"]
+        straggler = F.col("event_id") % LATE_MOD == 0
+        splits = [
+            ev.where(~straggler & (F.col("ts") <= F.lit(cut))),
+            ev.where(~straggler & (F.col("ts") > F.lit(cut))),
+            ev.where(straggler),
+        ]
+        import time as _time
+
+        base = _time.time() - 1000
+        for i, df in enumerate(splits):
+            sub = os.path.join(d, f"_w{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(sub)
+            part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+            dst = os.path.join(d, f"replay-{i:03d}.parquet")
+            os.replace(os.path.join(sub, part), dst)
+            os.utime(dst, (base + i * 10,) * 2)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def late_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_stream's twin over the late-replay directory: one file per
+    micro-batch (maxFilesPerTrigger=1), same footer-schema + ts
+    normalization + 1 h watermark as the batch loader."""
+    from sketchmlflink_spark.session import tune_for_session
+    from sketchmlflink_spark.sources.tables import normalize_event_ts
+
+    tune_for_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    footer_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(footer_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(late_replay_stream_dir(spark, sf_dir))
+    )
+    return normalize_event_ts(raw).withWatermark("ts", WATERMARK)
+
+
+def late_window_audit(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour counts over the late replay, with a per-window
+    audit of how many STRAGGLERS the watermark let back in. Late rows
+    whose window was already finalized (emitted + evicted) are dropped
+    by the engine; late rows for still-open windows merge — the count
+    pair makes both visible and hash-checkable."""
+    is_late = (F.col("event_id") % LATE_MOD == 0).cast("int")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(is_late).alias("n_late_merged"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_events",
+            "n_late_merged",
+        )
+    )
 
 
 # --------------------------------------------------------------------------

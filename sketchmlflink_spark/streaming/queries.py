@@ -876,3 +876,65 @@ def _wire_st19_oracle() -> None:
 
 
 _wire_st19_oracle()
+
+
+# --------------------------------------------------------------------------
+# st20 — late-data drop/merge audit (the watermark actually exercised).
+# --------------------------------------------------------------------------
+@register(
+    "st20_stream_late_data_audit",
+    # The oracle replays Spark's documented watermark timeline for the
+    # three-batch late replay (pipelines.late_replay_stream_dir):
+    #   batch 0  on-time prefix  (ts <= max(ts)-7d)  wm in effect: none
+    #   batch 1  on-time tail                        wm: none yet (the
+    #            watermark computed FROM batch 0 takes effect in the
+    #            NEXT batch — one-batch lag, measured; end of batch 1
+    #            emits + evicts windows closed under max(prefix)-1h)
+    #   batch 2  stragglers: dropped iff their window was already
+    #            evicted (window_end <= max(prefix ts) - 1h), merged
+    #            otherwise; final emission covers windows closed under
+    #            max(on-time ts) - 1h.
+    oracle=f"""
+WITH cut AS (SELECT max(ts) - INTERVAL {P.LATE_CUT_DAYS} DAY AS c FROM events),
+wm_drop AS (
+  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+  WHERE event_id % {P.LATE_MOD} <> 0 AND ts <= (SELECT c FROM cut)
+),
+wm_emit AS (
+  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+  WHERE event_id % {P.LATE_MOD} <> 0
+),
+kept AS (
+  SELECT ts, event_id % {P.LATE_MOD} = 0 AS is_late FROM events
+  WHERE event_id % {P.LATE_MOD} <> 0
+     OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm_drop)
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late_merged
+FROM kept
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm_emit)
+GROUP BY 1
+""",
+    tags=("streaming", "watermark", "late-data"),
+)
+def st20_stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting under a REAL out-of-order replay: every
+    other streaming query here ingests the events table as one file →
+    one micro-batch, so the watermark never actually drops anything.
+    This one replays three files (on-time prefix, on-time tail, then
+    the stragglers — every 20th event arriving hours-to-weeks late) in
+    three micro-batches and hash-matches the surviving per-hour counts,
+    plus a per-window count of stragglers the watermark let back in,
+    against a batch oracle that encodes the engine's drop rule. At
+    sf0.01: 117 stragglers merge into still-open windows, ~383 are
+    dropped against finalized ones — both visible in the result.
+
+    Scale notes: identical state story to st01 (per-window counters,
+    watermark-bounded); the replay fixture is a bounded simulation of
+    the unbounded feed. The audit column is scan-side arithmetic — no
+    extra shuffle over the plain hourly count."""
+    return P.run_to_batch(
+        P.late_window_audit(P.late_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )

@@ -349,3 +349,27 @@ def test_st17_cdc_merge_multi_batch_and_retry_idempotent(spark, tmp_path):
     assert after == expect
     # state is one row per distinct key, not per event
     assert len(after) == ev.select("user_id").distinct().count()
+
+
+def test_st20_late_replay_drops_and_merges(spark):
+    """The late replay must actually exercise the watermark: some
+    stragglers merge into still-open windows, the rest are dropped
+    against finalized ones, and append mode emits each window exactly
+    once. (Exact per-window values are hash-checked vs the DuckDB
+    oracle by the sweep; this pins the behavioral invariants.)"""
+    from sketchmlflink_spark.sources.tables import load_table
+    from sketchmlflink_spark.streaming.queries import st20_stream_late_data_audit
+
+    res = st20_stream_late_data_audit(spark, SF_SMALL).collect()
+    total_events = load_table(spark, SF_SMALL, "events").count()
+
+    hours = [r["hour_start"] for r in res]
+    assert len(hours) == len(set(hours)), "append mode re-emitted a window"
+    emitted = sum(r["n_events"] for r in res)
+    merged = sum(r["n_late_merged"] for r in res)
+    # stragglers for finalized windows were dropped -> emitted < total
+    assert emitted < total_events
+    # but the watermark horizon let recent stragglers back in
+    assert merged > 0
+    # drops only ever remove stragglers (1/LATE_MOD of events)
+    assert emitted >= total_events - total_events // P.LATE_MOD
