@@ -1106,3 +1106,85 @@ def _wire_p15_oracle() -> None:
 
 
 _wire_p15_oracle()
+
+
+# --------------------------------------------------------------------------
+# p16 — overlapping-window chunking (context-window manifest).
+# --------------------------------------------------------------------------
+P16_CHUNK = 32   # tokens per chunk (a stand-in for the model context)
+P16_STRIDE = 24  # chunk start stride -> 8-token overlap between chunks
+
+
+@register(
+    "p16_overlap_chunking",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) <= {P16_CHUNK} THEN 1
+              ELSE 1 + (len(tk) - {P16_CHUNK} + {P16_STRIDE} - 1) // {P16_STRIDE}
+         END AS n_chunks
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents)
+  WHERE len(tk) > 0
+),
+chunks AS (
+  SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_idx FROM sized
+)
+SELECT c.doc_id,
+       CAST(c.chunk_idx AS BIGINT)              AS chunk_idx,
+       CAST(c.chunk_idx * {P16_STRIDE} AS BIGINT) AS tok_start,
+       CAST(least({P16_CHUNK}, c.n - c.chunk_idx * {P16_STRIDE}) AS BIGINT)
+                                                 AS n_tok,
+       md5(array_to_string(
+           s.tk[c.chunk_idx * {P16_STRIDE} + 1 :
+                c.chunk_idx * {P16_STRIDE}
+                + least({P16_CHUNK}, c.n - c.chunk_idx * {P16_STRIDE})],
+           ' ')) AS chunk_digest
+FROM chunks c JOIN sized s USING (doc_id)
+""",
+    tags=("pipeline", "chunking", "training-sequences"),
+)
+def p16_overlap_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap: every document is cut into
+    CHUNK-token windows starting every STRIDE tokens (the standard
+    sliding-window prep for pretraining/RAG corpora — the overlap keeps
+    boundary-spanning text intact in at least one chunk). Emits one
+    manifest row per chunk: provenance (doc_id, chunk_idx, tok_start,
+    n_tok) plus the md5 digest of the chunk text, hash-matched against
+    the oracle's 1-based list-slice replay.
+
+    Chunk-count rule (integer-exact on both engines, no float ceil):
+    n_chunks = 1 if n <= CHUNK else 1 + (n - CHUNK + STRIDE - 1) div
+    STRIDE — the last chunk always ends exactly at the document's last
+    token and no chunk is fully contained in its predecessor.
+
+    Scale notes: pure scan-side row expansion — tokenize, sequence(),
+    explode, slice, md5 all inside one WholeStageCodegen span over the
+    documents scan; ZERO shuffles and no state (the ~1.6x row expansion
+    is the output itself). At 100 TB this is the ideal shape: each task
+    chunks its own split and writes; nothing crosses the network."""
+    docs = t(spark, sf_dir, "documents")
+    n = F.size("tk")
+    n_chunks = F.when(n <= P16_CHUNK, F.lit(1)).otherwise(
+        F.expr(f"1 + ((size(tk) - {P16_CHUNK} + {P16_STRIDE} - 1) div {P16_STRIDE})")
+    )
+    tok_start = (F.col("chunk_idx") * P16_STRIDE).cast("long")
+    n_tok = F.least(F.lit(P16_CHUNK), F.col("n") - F.col("chunk_idx") * P16_STRIDE)
+    chunk = F.slice("tk", (F.col("chunk_idx") * P16_STRIDE + 1).cast("int"), n_tok.cast("int"))
+    return (
+        docs.select("doc_id", T.tokens("text").alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            "tk",
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            tok_start.alias("tok_start"),
+            n_tok.cast("long").alias("n_tok"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
+        )
+    )

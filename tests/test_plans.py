@@ -549,3 +549,13 @@ def test_q39_band_join_is_scan_side_not_nlj(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_p16_chunking_is_scan_side(spark, queries):
+    """Overlap chunking must be pure row expansion over ONE documents
+    scan: no Exchange (nothing crosses the network), no Python."""
+    plan = formatted_plan(spark, queries["p16_overlap_chunking"].build(spark, SF_SMALL))
+    body = plan.split("\n\n")[0]
+    assert body.count("Scan parquet") == 1, body
+    assert "Exchange" not in body, body
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -121,3 +121,41 @@ def test_p15_resample_is_importance_weighted(spark):
     corpus_mean = sum(r["imp_logratio"] for r in corpus) / len(corpus)
     sample_mean = sum(r["imp_logratio"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_p16_chunk_rule_boundaries(spark):
+    """The chunk-count rule at its integer boundaries: a doc of exactly
+    CHUNK tokens -> 1 chunk; CHUNK+1 -> 2 chunks with the second ending
+    at the last token; coverage is total and in-order with STRIDE
+    starts; no chunk is fully contained in its predecessor."""
+    import tempfile, os
+    from sketchmlflink_spark.operators.pipeline import (
+        P16_CHUNK, P16_STRIDE, p16_overlap_chunking,
+    )
+
+    rows = []
+    for doc_id, n in [(1, 1), (2, P16_CHUNK), (3, P16_CHUNK + 1),
+                      (4, P16_CHUNK + P16_STRIDE), (5, 3 * P16_STRIDE + 7)]:
+        rows.append((doc_id, " ".join(f"w{i}" for i in range(n)), "en", "src", n))
+    d = tempfile.mkdtemp(prefix="p16_fixture_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    out = p16_overlap_chunking(spark, d).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n in [(1, 1), (2, P16_CHUNK), (3, P16_CHUNK + 1),
+                      (4, P16_CHUNK + P16_STRIDE), (5, 3 * P16_STRIDE + 7)]:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        expect = 1 if n <= P16_CHUNK else 1 + (n - P16_CHUNK + P16_STRIDE - 1) // P16_STRIDE
+        assert len(chunks) == expect, (doc_id, n, len(chunks))
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["tok_start"] == i * P16_STRIDE
+            assert c["n_tok"] == min(P16_CHUNK, n - i * P16_STRIDE)
+            assert c["n_tok"] >= 1
+        # last chunk ends exactly at the final token
+        last = chunks[-1]
+        assert last["tok_start"] + last["n_tok"] == n
