@@ -1188,3 +1188,59 @@ def p16_overlap_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p17 — ORC interchange roundtrip (the second columnar lake format).
+# --------------------------------------------------------------------------
+@register(
+    "p17_orc_interchange_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                          AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT)           AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S')            AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S')            AS last_ts
+FROM events
+GROUP BY event_type
+""",
+    tags=("pipeline", "sink", "orc", "roundtrip"),
+)
+def p17_orc_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange: the events table written to an event_type-
+    partitioned ORC dataset (the lake format Hive/Trino deployments
+    standardize on), read back through the ORC reader, and audited per
+    type — counts, distinct users, exact DECIMAL value sums, and
+    formatted first/last timestamps all hash-match the oracle computed
+    from the ORIGINAL parquet, so the format hop preserves longs,
+    doubles, strings, and timestamp instants bit-for-bit.
+
+    Scale notes: same write discipline as p04 — repartition on the
+    partition column so each type's directory is written by the tasks
+    owning that key (type cardinality is the fan-out, so no st15-style
+    serial-commit pathology), maxRecordsPerFile caps file size, and the
+    read-back aggregate prunes to 4 of 6 columns at the ORC scan."""
+    import os
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"orc_events_{os.getpid()}_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    (
+        ev.repartition("event_type")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .partitionBy("event_type")
+        .orc(out_dir)
+    )
+    back = spark.read.orc(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

@@ -559,3 +559,18 @@ def test_p16_chunking_is_scan_side(spark, queries):
     assert body.count("Scan parquet") == 1, body
     assert "Exchange" not in body, body
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_p17_orc_readback_prunes_columns(spark, queries):
+    """The ORC read-back audit must scan ORC (not re-read the parquet
+    source) and prune to the referenced columns only."""
+    plan = formatted_plan(
+        spark, queries["p17_orc_interchange_roundtrip"].build(spark, SF_SMALL)
+    )
+    body = plan.split("\n\n")[0]
+    assert "Scan orc" in body, body
+    assert "Scan parquet" not in body, body
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None, plan
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["ts", "user_id", "value"], m.group(0)  # + event_type from partition dirs
