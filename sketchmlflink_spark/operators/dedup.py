@@ -1573,3 +1573,81 @@ def d16_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# d17 — prefix-containment dedup (truncation-artifact pairs).
+# --------------------------------------------------------------------------
+D17_BAND_CHARS = 32  # band key: md5 of the first 32 chars
+
+
+@register(
+    "d17_prefix_containment",
+    oracle=f"""
+WITH t AS (SELECT doc_id, trim(text) AS tx FROM documents)
+SELECT a.doc_id   AS prefix_id,
+       b.doc_id   AS full_id,
+       CAST(len(a.tx) AS BIGINT) AS prefix_len,
+       CAST(len(b.tx) AS BIGINT) AS full_len
+FROM t a JOIN t b
+  ON len(a.tx) < len(b.tx)
+ AND substr(b.tx, 1, len(a.tx)) = a.tx
+""",
+    tags=("dedup", "prefix", "containment"),
+)
+def d17_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-artifact detection: every (prefix, full) pair where
+    one document's trimmed text is a STRICT prefix of another's — the
+    signature of a re-crawled page cut off mid-stream, which exact
+    dedup (d01) misses because the digests differ and near-dup (d04)
+    may miss because a short prefix shares few shingles with the full
+    text.
+
+    Scale design: a strict-prefix pair necessarily agrees on its first
+    D17_BAND_CHARS characters, so docs band on md5(first 32 chars) —
+    the ONLY shuffle — and verification (startswith + strict-length)
+    touches only same-band pairs, never the O(n²) cross product. Band
+    buckets are near-singletons on real text (measured max 3 at
+    sf0.01). Docs SHORTER than the band width can't use that key (their
+    would-be partners' band keys extend past them); they take a
+    broadcast nested-loop arm instead — bounded, because sub-32-char
+    docs are pathological-rare in a crawl corpus (ZERO in the fixture,
+    whose min length is 48; the arm exists so the operator stays total)
+    — the arms are disjoint by the prefix-length split, so no dedupe
+    union is needed. Verification compares texts inside a band, so text
+    bytes do cross that one exchange — same contract as d04's
+    candidate-verify stage; the band digest keeps bucket populations
+    near 1, which is what bounds the shuffle.
+
+    The substr-equality verify (not LIKE) keeps the oracle exact when
+    text contains SQL wildcard characters."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(F.col("text")).alias("tx")
+    ).withColumn("tlen", F.length("tx"))
+
+    pair_cols = [
+        F.col("a.doc_id").alias("prefix_id"),
+        F.col("b.doc_id").alias("full_id"),
+        F.col("a.tlen").cast("long").alias("prefix_len"),
+        F.col("b.tlen").cast("long").alias("full_len"),
+    ]
+    verify = (F.col("a.tlen") < F.col("b.tlen")) & F.col("b.tx").startswith(
+        F.col("a.tx")
+    )
+
+    banded = docs.withColumn(
+        "band", F.md5(F.substring("tx", 1, D17_BAND_CHARS))
+    )
+    long_a = banded.where(F.col("tlen") >= D17_BAND_CHARS).alias("a")
+    long_pairs = long_a.join(
+        banded.alias("b"),
+        (F.col("a.band") == F.col("b.band")) & verify,
+    ).select(*pair_cols)
+
+    shorts = docs.where(F.col("tlen") < D17_BAND_CHARS).alias("a")
+    short_pairs = (
+        F.broadcast(shorts)
+        .join(docs.alias("b"), verify)
+        .select(*pair_cols)
+    )
+    return long_pairs.unionByName(short_pairs)

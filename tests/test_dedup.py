@@ -661,3 +661,34 @@ def test_d07_blocked_verify_matches_unblocked(spark):
         return {(r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()}
 
     assert pairs(7) == pairs(10**9)
+
+
+def test_d17_short_doc_arm_and_wildcard_safety(spark, tmp_path):
+    """The broadcast arm for sub-band-width docs must fire (the fixture
+    corpus never exercises it), texts containing SQL wildcards must not
+    create false pairs, and equal texts must NOT pair (strict prefix)."""
+    import os
+    from sketchmlflink_spark.operators.dedup import d17_prefix_containment
+
+    rows = [
+        (1, "short doc", "en", "s", 9),                      # < 32 chars
+        (2, "short doc plus a much longer continuation here", "en", "s", 46),
+        (3, "short doc%different continuation entirely okay", "en", "s", 46),
+        (4, "a completely unrelated document body over here", "en", "s", 47),
+        (5, "a completely unrelated document body over here", "en", "s", 47),  # equal to 4
+        (6, "short doc plus a much longer continuation here and then more", "en", "s", 61),
+        # a LIKE-based verify would false-match 7 against 8 (the `_`
+        # wildcard matches the X); exact substr must not
+        (7, "short_doc", "en", "s", 9),
+        (8, "shortXdoc plus enough text to be comfortably long", "en", "s", 49),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    pairs = {(r["prefix_id"], r["full_id"]) for r in d17_prefix_containment(spark, d).collect()}
+    # 1 is a strict prefix of 2, 3, and 6 (broadcast short arm);
+    # 2 is a prefix of 6 (band arm). 4=5 equal text: strict length
+    # excludes the pair. 7-vs-8 only matches under LIKE `_` semantics.
+    assert pairs == {(1, 2), (1, 3), (1, 6), (2, 6)}, pairs

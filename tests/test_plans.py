@@ -574,3 +574,13 @@ def test_p17_orc_readback_prunes_columns(spark, queries):
     assert m is not None, plan
     cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
     assert cols == ["ts", "user_id", "value"], m.group(0)  # + event_type from partition dirs
+
+
+def test_d17_bands_on_digest_no_cartesian(spark, queries):
+    """Prefix containment must join same-band docs via the 32-char
+    digest (hash Exchanges on `band` only) — the short-doc arm is a
+    bounded broadcast, never a shuffled cartesian."""
+    plan = formatted_plan(spark, queries["d17_prefix_containment"].build(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan):
+        assert m.group(1).startswith("band"), m.group(0)
