@@ -965,3 +965,98 @@ def t14_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# t15 — corpus-trained BIGRAM LM cross-entropy (t10's conditional-
+# probability upgrade: the fluency signal, not just token rarity).
+# --------------------------------------------------------------------------
+@register(
+    "t15_bigram_xent",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_duck_tokens()} AS tk FROM documents
+),
+bg AS (
+    -- parallel unnest zips positionally: (tk[i], tk[i+1])
+    SELECT doc_id,
+           unnest(tk[1:len(tk)-1]) AS prev,
+           unnest(tk[2:len(tk)])   AS cur
+    FROM toks WHERE len(tk) >= 2
+),
+bgc AS (SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY prev, cur),
+ctx AS (SELECT prev, sum(c_bg) AS c_prev FROM bgc GROUP BY prev),
+vocab AS (
+    SELECT count(DISTINCT tok) AS v_size
+    FROM (SELECT unnest(tk) AS tok FROM toks)
+),
+scored AS (
+    -- per-bigram score fixed once: rounded to 12 dp, held as DECIMAL
+    -- so the per-doc sum is EXACT (order-free) — t12's recipe
+    SELECT prev, cur,
+           CAST(round(-ln((c_bg + 1.0) / (c_prev + v_size)), 12)
+                AS DECIMAL(25,12)) AS nll
+    FROM bgc JOIN ctx USING (prev) CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(nll) AS DOUBLE) / count(*), 4) + 0.0 AS xent_nats
+FROM bg JOIN scored USING (prev, cur)
+GROUP BY doc_id
+""",
+    tags=("text", "quality", "lm", "bigram", "perplexity"),
+)
+def t15_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed BIGRAM LM
+    trained on the corpus itself: xent = avg over positions 2..n of
+    -ln((c(prev,cur)+1) / (c(prev)+V)). Where t10's unigram score only
+    sees token RARITY, the bigram score sees broken word ORDER — the
+    shuffled/boilerplate/template-spam signal CCNet-style quality
+    filters threshold on. Docs with fewer than two tokens have no
+    bigrams and drop out on both engines.
+
+    Plan shape for 100 TB: bigrams are built scan-side (zip_with over
+    two slices — no positional explode+self-join), then ONE hash-agg
+    gives the bigram counts; the context counts are a second agg over
+    that (already tiny) count table, never over the corpus; V is a
+    1-row broadcast. The score join is keyed on (prev, cur) — Zipf
+    skew on hot bigrams is AQE skew-split territory, same as t10/t12.
+    The scored table is localCheckpoint'ed so its consumers never
+    re-derive the explode+agg chain. In production the bigram table is
+    truncated to top-K with an OOV backoff, bounding the join side
+    regardless of corpus size.
+
+    Hash determinism: per-bigram nll fixed once at the count level
+    (12 dp DECIMAL), per-doc reduction is an exact decimal sum, one
+    double division, one final round, signed zero normalized (zround) —
+    t12's recipe end to end."""
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", T.tokens("text").alias("tk")).where(F.size("tk") >= 2)
+    bigrams = F.zip_with(
+        F.slice("tk", 1, F.size("tk") - 1),
+        F.slice("tk", 2, F.size("tk") - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bg = tk.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+    )
+    bgc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg")).localCheckpoint()
+    ctx = bgc.groupBy("prev").agg(F.sum("c_bg").alias("c_prev"))
+    vocab = (
+        docs.select(F.explode(T.tokens("text")).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v_size"))
+    )
+    nll = -F.log((F.col("c_bg") + F.lit(1.0)) / (F.col("c_prev") + F.col("v_size")))
+    scored = (
+        bgc.join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select("prev", "cur", F.round(nll, 12).cast("decimal(25,12)").alias("nll"))
+    )
+    return (
+        bg.join(scored, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            zround(F.sum("nll").cast("double") / F.count(F.lit(1)), 4).alias("xent_nats"),
+        )
+    )

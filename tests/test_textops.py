@@ -159,3 +159,32 @@ def test_p16_chunk_rule_boundaries(spark):
         # last chunk ends exactly at the final token
         last = chunks[-1]
         assert last["tok_start"] + last["n_tok"] == n
+
+
+def test_t15_bigram_xent_orders_fluency(spark, tmp_path):
+    """The bigram LM must score broken word order above repeated
+    fluent structure: a corpus where 'the quick fox' repeats makes a
+    word-salad doc the xent outlier (t10's unigram score cannot see
+    this — all docs share the same token multiset). Docs with < 2
+    tokens drop out."""
+    import os
+    from sketchmlflink_spark.operators.textops import t15_bigram_xent
+
+    fluent = "the quick fox " * 8
+    salad = "fox the the quick fox fox quick the quick fox the quick"
+    rows = [
+        (1, fluent.strip(), "en", "s", len(fluent)),
+        (2, fluent.strip(), "en", "s", len(fluent)),
+        (3, salad, "en", "s", len(salad)),
+        (4, "solo", "en", "s", 4),  # 1 token -> no bigrams -> absent
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in t15_bigram_xent(spark, d).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["xent_nats"] == out[2]["xent_nats"]  # identical docs tie
+    assert out[3]["xent_nats"] > out[1]["xent_nats"]   # salad is the outlier
+    assert out[3]["n_bigrams"] == 11
