@@ -556,6 +556,73 @@ def late_window_audit(events: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# redelivery replay (st21): at-least-once feed -> exactly-once counts
+# --------------------------------------------------------------------------
+RD_SAMPLE_MOD = 3   # batch-1 redeliveries: every 3rd event, any age
+RD_OLD_MOD = 50     # batch-2 redeliveries: every 50th OLD event
+
+
+def redelivery_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize an AT-LEAST-ONCE delivery simulation (once per
+    sf_dir, marker-guarded): the full events table, then two
+    redelivery files — a broad duplicate sample while the dedup state
+    is still live (batch 1), and duplicates of OLD events (ts more than
+    the watermark horizon before the stream's max) arriving after their
+    state has expired (batch 2). mtime-ordered, one file per arrival —
+    the arrival order IS the semantics under test (same contract as
+    late_replay_stream_dir)."""
+    from sketchmlflink_spark.sources.tables import load_table
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "stream_redeliver_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    marker = os.path.join(d, "_REPLAY_READY")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events")
+        wm_cut = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("c")).first()["c"]
+        splits = [
+            ev,
+            ev.where(F.col("event_id") % RD_SAMPLE_MOD == 0),
+            ev.where(
+                (F.col("ts") <= F.lit(wm_cut)) & (F.col("event_id") % RD_OLD_MOD == 0)
+            ),
+        ]
+        import time as _time
+
+        base = _time.time() - 1000
+        for i, df in enumerate(splits):
+            sub = os.path.join(d, f"_w{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(sub)
+            part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+            dst = os.path.join(d, f"replay-{i:03d}.parquet")
+            os.replace(os.path.join(sub, part), dst)
+            os.utime(dst, (base + i * 10,) * 2)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def redelivered_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_stream's twin over the redelivery directory: one file per
+    micro-batch, footer schema, ts normalization, 1 h watermark."""
+    from sketchmlflink_spark.session import tune_for_session
+    from sketchmlflink_spark.sources.tables import normalize_event_ts
+
+    tune_for_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    footer_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(footer_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(redelivery_stream_dir(spark, sf_dir))
+    )
+    return normalize_event_ts(raw).withWatermark("ts", WATERMARK)
+
+
+# --------------------------------------------------------------------------
 # stream-static dimension join (enrichment)
 # --------------------------------------------------------------------------
 def static_segment_counts(events: DataFrame, dim: DataFrame) -> DataFrame:

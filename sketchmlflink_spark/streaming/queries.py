@@ -938,3 +938,54 @@ def st20_stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.late_window_audit(P.late_events_stream(spark, sf_dir)),
         output_mode="append",
     )
+
+
+# --------------------------------------------------------------------------
+# st21 — exactly-once counts from an at-least-once feed
+# (dropDuplicatesWithinWatermark under real redelivery).
+# --------------------------------------------------------------------------
+@register(
+    "st21_stream_redelivery_dedup",
+    # The oracle is the EXACT batch answer on the un-duplicated table:
+    # that equality IS the claim. Batch-1 redeliveries (state live —
+    # the watermark from batch 0 only takes effect in batch 1's
+    # EVICTION, after the input was deduped against live state) are
+    # absorbed by dropDuplicatesWithinWatermark; batch-2 redeliveries
+    # of beyond-horizon events arrive below the now-advanced watermark
+    # and are dropped as late input. Either failure mode (state miss or
+    # late-drop miss) double-counts and breaks the hash.
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                          AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "dedup", "exactly-once", "watermark"),
+)
+def st21_stream_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once aggregation over an AT-LEAST-ONCE feed: the events
+    table replayed with two redelivery waves (a broad duplicate sample
+    while dedup state is live, then duplicates of already-expired OLD
+    events), deduplicated with dropDuplicatesWithinWatermark(event_id)
+    — the bounded-state dedup operator (plain dropDuplicates without
+    the event-time key never expires state; WithinWatermark evicts a
+    key once the watermark passes its event time + delay). The per-type
+    counts and exact DECIMAL value sums hash-match the batch answer on
+    the un-duplicated table — every redelivered row was absorbed
+    exactly once, by state while live and by the late-input filter
+    after expiry.
+
+    Scale notes: dedup state is one row per event_id within the
+    watermark horizon (the operator's reason to exist — at 100 TB/day
+    an unbounded dedup state is a guaranteed OOM); the downstream
+    per-type aggregate carries 5 rows. The replay fixture is a bounded
+    simulation of the unbounded at-least-once feed."""
+    deduped = P.redelivered_events_stream(spark, sf_dir).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+    return P.run_to_batch(agg, output_mode="complete")

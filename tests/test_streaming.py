@@ -373,3 +373,31 @@ def test_st20_late_replay_drops_and_merges(spark):
     assert merged > 0
     # drops only ever remove stragglers (1/LATE_MOD of events)
     assert emitted >= total_events - total_events // P.LATE_MOD
+
+
+def test_st21_redelivery_feed_overcounts_without_dedup(spark):
+    """st21's oracle equality is only meaningful if the feed really
+    redelivers: the same replay aggregated WITHOUT the dedup operator
+    must overcount (by the batch-1 sample at least — batch-2 old
+    redeliveries are late-dropped by the watermark either way), and
+    both redelivery files must be non-empty."""
+    import os
+    from sketchmlflink_spark.sources.tables import load_table
+    from sketchmlflink_spark.streaming.queries import st21_stream_redelivery_dedup
+
+    d = P.redelivery_stream_dir(spark, SF_SMALL)
+    f1 = spark.read.parquet(os.path.join(d, "replay-001.parquet")).count()
+    f2 = spark.read.parquet(os.path.join(d, "replay-002.parquet")).count()
+    assert f1 > 0 and f2 > 0, (f1, f2)
+
+    total_exact = load_table(spark, SF_SMALL, "events").count()
+    raw = P.redelivered_events_stream(spark, SF_SMALL)
+    nodedup = P.run_to_batch(
+        raw.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        output_mode="complete",
+    )
+    overcounted = sum(r["n"] for r in nodedup.collect())
+    assert overcounted > total_exact, (overcounted, total_exact)
+
+    deduped = st21_stream_redelivery_dedup(spark, SF_SMALL)
+    assert sum(r["n_events"] for r in deduped.collect()) == total_exact
