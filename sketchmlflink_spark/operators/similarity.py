@@ -1180,3 +1180,91 @@ def s14_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_method[1:]:
         out = out.unionByName(p)
     return out.orderBy("method", "query")
+
+
+# --------------------------------------------------------------------------
+# s15 — maximum-inner-product top-k + the norm-augmentation reduction
+# (MIPS -> cosine; Neyshabur & Srebro '15 / Shrivastava & Li '14).
+# --------------------------------------------------------------------------
+S15_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT max(sqrt(list_dot_product(v, v))) AS mx FROM e),
+pairs AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           list_dot_product(q.v, c.v) AS ip,
+           (list_dot_product(q.v, c.v) / m.mx)
+             / sqrt(list_dot_product(q.v, q.v)) AS aug_cos
+    FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+    CROSS JOIN m
+)
+SELECT q_id, n_id, CAST(rnk AS INT) AS rank,
+       round(ip, 6) + 0.0 AS inner_product,
+       round(aug_cos, 6) + 0.0 AS aug_cosine
+FROM (
+    SELECT q_id, n_id, ip, aug_cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS rnk
+    FROM pairs
+)
+WHERE rnk <= {KNN_K}
+"""
+
+
+@register(
+    "s15_mips_topk",
+    oracle=S15_ORACLE,
+    tags=("similarity", "mips", "inner-product"),
+)
+def s15_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k (the retrieval scoring most
+    embedding models are actually trained for — cosine's unnormalized
+    sibling), plus the norm-augmentation reduction that makes it
+    SERVABLE by any cosine index: append sqrt(M² − ‖c‖²)/M as an extra
+    corpus coordinate (M = max corpus norm) and the augmented corpus
+    vectors become unit-length with cos(q̂, ĉ) = (q·c / M)/‖q‖ —
+    MONOTONE in the inner product per query, so s03/s05/s06's cosine
+    buckets serve MIPS unchanged. The emitted aug_cosine column is that
+    reduction's score (hash-checked against the oracle's closed form);
+    rank-by-ip == rank-by-aug_cosine is pinned engine-side in pytest
+    (cross-engine ranking stays on the raw inner product, where both
+    engines evaluate the identical dot expression — ranking on the
+    divided form instead could let a 1-ulp quotient collapse distinct
+    dots into a tiebreak disagreement).
+
+    Scale notes: identical physics to s01 (the labeled quadratic
+    correctness anchor): broadcast the bounded query set, one corpus
+    scan, per-query top-k via window over q_id. M is a 1-row aggregate
+    broadcast back; the production path at 100 TB is the reduction +
+    an ANN index, exactly as documented above."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    # norm2 IS the norm (sqrt applied) — functions/vector.py:31
+    m = emb.agg(F.max(norm2(F.col("v"))).alias("mx"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv"))
+    ip = dot(F.col("qv"), F.col("cv"))
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("n_id") != F.col("q_id"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "q_id",
+            "n_id",
+            ip.alias("ip"),
+            ((ip / F.col("mx")) / norm2(F.col("qv"))).alias("aug_cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ip"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KNN_K)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("rnk").cast("int").alias("rank"),
+            zround(F.col("ip"), 6).alias("inner_product"),
+            zround(F.col("aug_cos"), 6).alias("aug_cosine"),
+        )
+    )

@@ -83,32 +83,39 @@ _PRIORITY = (
     "p15_dsir_resample", "s07_embedding_dim_stats",
     "s13_mmr_diversified_topk", "sk04_histogram_percentile_rollup",
     "p08_incremental_rollup",
+    # NEW this round (continued session) — no driver row yet, so they
+    # take window slots from spread entries whose families keep other
+    # representatives (the rotated-out entries all have prior driver
+    # rows and stay green in every SWEEP artifact); st15 re-enters
+    # because its write-parallelism fix deserves a fresh driver row.
+    "st20_stream_late_data_audit", "st21_stream_redelivery_dedup",
+    "p16_overlap_chunking", "p17_orc_interchange_roundtrip",
+    "d17_prefix_containment", "t15_bigram_xent", "s15_mips_topk",
+    "st15_stream_partitioned_sink",
     # Representative spread: headliners whose last driver row is the
-    # oldest (r1-r3), one-plus per family — every rotated-out r5 entry
-    # stays green in the SWEEP artifacts and the perturbation hash test.
-    # relational: pricing agg, decimal-sum cube, salted skew agg,
-    # as-of join, funnel micros, cohort weeks
-    "q01_pricing_summary", "q19_cube_parts", "q21_event_type_stats_salted",
-    "q22_asof_click_to_view", "q34_funnel_conversion", "q36_cohort_retention",
-    # dedup: exact, MinHash-LSH, SimHash, embedding near-dup, CC, PageRank
-    "d01_dedup_exact", "d04_minhash_lsh_neardup", "d05_simhash_neardup",
+    # oldest, one-plus per family — every rotated-out entry stays green
+    # in the SWEEP artifacts and the perturbation hash test.
+    # relational: pricing agg, salted skew agg, funnel micros, cohorts
+    "q01_pricing_summary", "q21_event_type_stats_salted",
+    "q34_funnel_conversion", "q36_cohort_retention",
+    # dedup: exact, MinHash-LSH, embedding near-dup, CC, PageRank
+    "d01_dedup_exact", "d04_minhash_lsh_neardup",
     "d06_embed_cosine_neardup", "d13_dup_graph_components",
     "d15_dup_graph_pagerank",
-    # text: token stats, lang-id, BM25, unigram xent, Zipf regression
-    "t01_token_stats_by_lang", "t03_lang_id", "t07_bm25_keyword_search",
+    # text: token stats, lang-id, unigram xent, Zipf regression
+    "t01_token_stats_by_lang", "t03_lang_id",
     "t10_unigram_xent", "t14_zipf_rank_freq",
-    # similarity: exact kNN, LSH ANN, IVF ANN, RRF hybrid
-    "s01_knn_cosine_brute", "s03_ann_lsh_cosine", "s05_ivf_ann_cosine",
-    "s12_hybrid_rrf_retrieval",
-    # sketch aggs: HLL rollup, CMS freq, approx percentiles
-    "sk01_hll_user_rollup", "sk02_cms_event_type_freq",
+    # similarity: exact kNN, IVF ANN (s15 holds a slot above)
+    "s01_knn_cosine_brute", "s05_ivf_ann_cosine",
+    # sketch aggs: HLL rollup, approx percentiles
+    "sk01_hll_user_rollup",
     "sk03_approx_percentiles",
     # multimodal: metadata, features, frame sampling
     "mm01_media_metadata", "mm02_media_features", "mm03_frame_sample",
     # pipeline: hash-shard routing, bottom-k sampling
     "p13_hash_shard_manifest", "p14_bottomk_sample",
-    # streaming: hourly counts, CDC upsert
-    "st01_stream_hourly_counts", "st17_stream_cdc_upsert",
+    # streaming: hourly counts (st15/st20/st21 hold slots above)
+    "st01_stream_hourly_counts",
 )
 
 

@@ -692,3 +692,48 @@ def test_d17_short_doc_arm_and_wildcard_safety(spark, tmp_path):
     # 2 is a prefix of 6 (band arm). 4=5 equal text: strict length
     # excludes the pair. 7-vs-8 only matches under LIKE `_` semantics.
     assert pairs == {(1, 2), (1, 3), (1, 6), (2, 6)}, pairs
+
+
+def test_s15_reduction_preserves_mips_ranking(spark):
+    """The norm-augmentation reduction must preserve the inner-product
+    ranking: re-ranking the full pair set by aug_cos (same tiebreak)
+    yields exactly the top-k the inner product yields, and within each
+    emitted query the aug_cosine column is non-increasing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from sketchmlflink_spark.functions.vector import as_double_array, dot, norm2
+    from sketchmlflink_spark.operators.relational import t as load
+    from sketchmlflink_spark.operators.similarity import (
+        KNN_K, N_QUERIES, s15_mips_topk,
+    )
+    from tests.conftest import SF_SMALL
+
+    out = s15_mips_topk(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        augs = [r["aug_cosine"] for r in rows]
+        assert augs == sorted(augs, reverse=True), (q, augs)
+
+    emb = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    mx = emb.agg(F.max(norm2(F.col("v"))).alias("mx"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv"))
+    aug = (dot(F.col("qv"), F.col("cv")) / F.col("mx")) / norm2(F.col("qv"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("aug"), F.asc("n_id"))
+    via_aug = (
+        F.broadcast(q).join(c, F.col("n_id") != F.col("q_id"))
+        .crossJoin(F.broadcast(mx))
+        .select("q_id", "n_id", aug.alias("aug"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KNN_K)
+    )
+    got = {(r["q_id"], r["rnk"]): r["n_id"] for r in via_aug.collect()}
+    want = {(r["q_id"], r["rank"]): r["n_id"] for r in out}
+    assert got == want
