@@ -96,7 +96,14 @@ BENCH_QUERIES = [
 # Brute-force correctness anchors are O(n·q)/O(n²) by definition; past
 # sf1 they would dominate the suite while saying nothing new — the LSH
 # (s03) and IVF (s05) scale paths stay in. (VERDICT r1 item 7.)
-QUADRATIC_ANCHORS = {"s01_knn_cosine_brute", "s02_top_similar_pairs"}
+# s15 shares s01's physics (broadcast query set × full corpus) and its
+# production path is the documented reduction + ANN index, so it joins
+# the guard.
+QUADRATIC_ANCHORS = {
+    "s01_knn_cosine_brute",
+    "s02_top_similar_pairs",
+    "s15_mips_topk",
+}
 
 
 def bench_names(queries: dict) -> list[str]:
