@@ -1620,7 +1620,13 @@ def d17_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     near 1, which is what bounds the shuffle.
 
     The substr-equality verify (not LIKE) keeps the oracle exact when
-    text contains SQL wildcard characters."""
+    text contains SQL wildcard characters.
+
+    Sweep note: the ORACLE is the quadratic brute reference (DuckDB
+    nested-loops it single-threaded: 368 s at sf1's 50k docs, ~1 h at
+    sf3) — the sf3+ sweeps therefore skip d17 by name, the same
+    labeled-quadratic-anchor guard s01/s02 carry. The operator side is
+    the banded plan and stays sub-linear-shuffled at every scale."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.trim(F.col("text")).alias("tx")
     ).withColumn("tlen", F.length("tx"))
