@@ -737,3 +737,29 @@ def test_s15_reduction_preserves_mips_ranking(spark):
     got = {(r["q_id"], r["rnk"]): r["n_id"] for r in via_aug.collect()}
     want = {(r["q_id"], r["rank"]): r["n_id"] for r in out}
     assert got == want
+
+
+def test_d17_prefix_relation_is_transitive_and_consistent(spark):
+    """The emitted prefix relation must be transitive (a<b and b<c =>
+    a<c in the output) and length-consistent (prefix_len < full_len,
+    lengths match the docs table) on the fixture corpus."""
+    from sketchmlflink_spark.operators.dedup import d17_prefix_containment
+    from sketchmlflink_spark.operators.relational import t as load
+
+    sf = "/root/testdata/sf0.01"
+    pairs = d17_prefix_containment(spark, sf).collect()
+    rel = {(r["prefix_id"], r["full_id"]) for r in pairs}
+    assert rel, "fixture corpus must contain prefix pairs"
+    for a, b in rel:
+        for c, d in rel:
+            if b == c:
+                assert (a, d) in rel, f"transitivity broken: {a}<{b}<{d}"
+    lens = dict(
+        load(spark, sf, "documents")
+        .select("doc_id", F.length(F.trim(F.col("text"))).alias("n"))
+        .collect()
+    )
+    for r in pairs:
+        assert r["prefix_len"] < r["full_len"]
+        assert lens[r["prefix_id"]] == r["prefix_len"]
+        assert lens[r["full_id"]] == r["full_len"]

@@ -401,3 +401,39 @@ def test_st21_redelivery_feed_overcounts_without_dedup(spark):
 
     deduped = st21_stream_redelivery_dedup(spark, SF_SMALL)
     assert sum(r["n_events"] for r in deduped.collect()) == total_exact
+
+
+def test_st20_straggler_accounting_partitions_exactly(spark):
+    """Conservation law for the late replay: every straggler is either
+    merged into an emitted window, dropped against an evicted window,
+    or sitting in a never-emitted tail window — the three buckets must
+    partition the straggler set exactly (computed from the same batch
+    table the oracle uses)."""
+    from sketchmlflink_spark.sources.tables import load_table
+    from sketchmlflink_spark.streaming.queries import st20_stream_late_data_audit
+
+    res = st20_stream_late_data_audit(spark, SF_SMALL).collect()
+    merged = sum(r["n_late_merged"] for r in res)
+
+    ev = load_table(spark, SF_SMALL, "events")
+    cut = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {P.LATE_CUT_DAYS} DAYS")).alias("c")
+    ).first()["c"]
+    straggler = F.col("event_id") % P.LATE_MOD == 0
+    wm_drop = ev.where(~straggler & (F.col("ts") <= F.lit(cut))).agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("w")
+    ).first()["w"]
+    wm_emit = ev.where(~straggler).agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("w")
+    ).first()["w"]
+
+    lates = ev.where(straggler).select(
+        (F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end")
+    )
+    total = lates.count()
+    dropped = lates.where(F.col("w_end") <= F.lit(wm_drop)).count()
+    tail = lates.where(
+        (F.col("w_end") > F.lit(wm_drop)) & (F.col("w_end") > F.lit(wm_emit))
+    ).count()
+    assert merged + dropped + tail == total, (merged, dropped, tail, total)
+    assert dropped > 0 and merged > 0  # both regimes actually exercised

@@ -188,3 +188,35 @@ def test_t15_bigram_xent_orders_fluency(spark, tmp_path):
     assert out[1]["xent_nats"] == out[2]["xent_nats"]  # identical docs tie
     assert out[3]["xent_nats"] > out[1]["xent_nats"]   # salad is the outlier
     assert out[3]["n_bigrams"] == 11
+
+
+def test_p16_chunks_cover_every_token_with_exact_overlap(spark):
+    """Corpus-wide coverage law at sf0.001: within each doc the chunks
+    tile [0, n) completely, consecutive chunks overlap by exactly
+    CHUNK-STRIDE tokens (except a shorter final chunk), and total
+    chunk tokens equal n + overlap_count."""
+    from sketchmlflink_spark.operators.pipeline import (
+        P16_CHUNK, P16_STRIDE, p16_overlap_chunking,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = p16_overlap_chunking(spark, SF_SMALL).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = chunks[-1]["tok_start"] + chunks[-1]["n_tok"]  # last ends at n
+        covered_to = 0
+        for i, c in enumerate(chunks):
+            assert c["tok_start"] <= covered_to, (doc_id, i)  # no gap
+            covered_to = max(covered_to, c["tok_start"] + c["n_tok"])
+            if i > 0:
+                prev = chunks[i - 1]
+                overlap = prev["tok_start"] + prev["n_tok"] - c["tok_start"]
+                if i < len(chunks) - 1:
+                    assert overlap == P16_CHUNK - P16_STRIDE, (doc_id, i, overlap)
+                else:
+                    assert overlap >= P16_CHUNK - P16_STRIDE or c["n_tok"] < P16_CHUNK
+        assert covered_to == n
