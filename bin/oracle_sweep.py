@@ -5,10 +5,14 @@ and a final tally — the reproducible backing for SURVEY.md §8 status
 claims.
 
 Usage: python bin/oracle_sweep.py [sf_dir] [--skip name1,name2] [--strict]
+       [--no-default-guard]
 
---skip applies the BASELINE.md scale guard at SF >= 1: the labeled
-quadratic correctness anchors (s01/s02, and d06 past its replication
-budget) are excluded from large-scale sweeps by name.
+The BASELINE.md scale guard is applied AUTOMATICALLY: each registry
+entry carries its own `scale_guard_sf`, the sweep infers the scale
+factor from the sf_dir path, and guarded entries are skipped at or
+above their threshold (ADVICE r6 — no invocation depends on a manually
+passed list). --skip adds names on top; --no-default-guard disables
+the automatic guard (to deliberately run a quadratic anchor).
 
 --strict switches the comparator to the repr-strict cross-engine diff
 (tests/oracle_check.compare_query_strict): canonical sorted rows,
@@ -41,7 +45,7 @@ for _a in sys.argv[1:]:
 
 
 def main() -> None:
-    from sketchmlflink_spark.registry import all_queries
+    from sketchmlflink_spark.registry import all_queries, infer_sf, scale_guarded_names
     from sketchmlflink_spark.session import get_spark
     from tests.oracle_check import (
         compare_query,
@@ -53,6 +57,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(SF_DIR)
     queries = all_queries()
+
+    if "--no-default-guard" not in sys.argv[1:]:
+        auto = scale_guarded_names(infer_sf(SF_DIR))
+        if auto:
+            print(f"auto scale guard at sf={infer_sf(SF_DIR)}: {sorted(auto)}", flush=True)
+        SKIP.update(auto)
 
     import gc
 

@@ -1594,6 +1594,8 @@ FROM t a JOIN t b
  AND substr(b.tx, 1, len(a.tx)) = a.tx
 """,
     tags=("dedup", "prefix", "containment"),
+    scale_guard_sf=3.0,  # engine is banded+linear; the ORACLE above is a
+    # single-threaded quadratic nested loop (368 s at sf1, ~1 h at sf3)
 )
 def d17_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncation-artifact detection: every (prefix, full) pair where

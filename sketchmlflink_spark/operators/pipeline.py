@@ -1225,9 +1225,12 @@ def p17_orc_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
 
     ev = t(spark, sf_dir, "events")
+    # Fixed per-sf path (NOT pid-keyed): mode("overwrite") then bounds
+    # the on-disk footprint to one copy per sf_dir no matter how many
+    # sweep/bench/test processes run p17.
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        f"orc_events_{os.getpid()}_" + sf_dir.strip("/").replace("/", "_"),
+        "orc_events_" + sf_dir.strip("/").replace("/", "_"),
     )
     (
         ev.repartition("event_type")

@@ -57,6 +57,7 @@ WHERE rnk <= {KNN_K}
     "s01_knn_cosine_brute",
     oracle=S01_ORACLE,
     tags=("similarity", "knn"),
+    scale_guard_sf=1.0,  # labeled quadratic correctness anchor
 )
 def s01_knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast the (small) query set against the corpus; top-k per
@@ -96,6 +97,7 @@ ORDER BY round(list_dot_product(a.v, b.v)
 LIMIT 20
 """,
     tags=("similarity", "neardup"),
+    scale_guard_sf=1.0,  # labeled quadratic correctness anchor
 )
 def s02_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs top-20 — the embedding-cosine near-dup check.
@@ -1213,6 +1215,8 @@ WHERE rnk <= {KNN_K}
     "s15_mips_topk",
     oracle=S15_ORACLE,
     tags=("similarity", "mips", "inner-product"),
+    scale_guard_sf=1.0,  # brute MIPS anchor (broadcast q × corpus, linear,
+    # but its ORACLE is a quadratic cross join — guarded with its siblings)
 )
 def s15_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum-inner-product top-k (the retrieval scoring most

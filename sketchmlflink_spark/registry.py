@@ -30,6 +30,15 @@ class EngineQuery:
     # fails at scales past the estimator's exact regime (the driver's
     # own comparator ignores this and stays exact at its sf).
     band: Optional[float] = None
+    # Scale guard: SF at/above which the sweep must skip this entry
+    # because the query or its ORACLE is intentionally quadratic (the
+    # labeled brute-force correctness anchors). None → runs at any SF.
+    # Machine-readable here so no sweep invocation depends on a
+    # manually passed --skip list (ADVICE r6): s01/s02/s15 are
+    # quadratic ENGINE anchors (guard >= 1); d17's engine side is
+    # banded+linear but its DuckDB oracle is a single-threaded
+    # quadratic nested loop (~368 s at sf1, ~1 h at sf3 → guard >= 3).
+    scale_guard_sf: Optional[float] = None
 
 
 _REGISTRY: dict[str, EngineQuery] = {}
@@ -41,6 +50,7 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
     band: Optional[float] = None,
+    scale_guard_sf: Optional[float] = None,
 ):
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the catalog."""
 
@@ -49,11 +59,32 @@ def register(
             raise ValueError(f"duplicate query name: {name}")
         _REGISTRY[name] = EngineQuery(
             name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
-            tags=tags, band=band,
+            tags=tags, band=band, scale_guard_sf=scale_guard_sf,
         )
         return fn
 
     return wrap
+
+
+def scale_guarded_names(sf: Optional[float]) -> set[str]:
+    """Names whose scale guard fires at scale factor ``sf`` (None → no
+    guard applies — unknown scale is treated as small)."""
+    if sf is None:
+        return set()
+    return {
+        name
+        for name, q in all_queries().items()
+        if q.scale_guard_sf is not None and sf >= q.scale_guard_sf
+    }
+
+
+def infer_sf(sf_dir: str) -> Optional[float]:
+    """Parse the scale factor out of a fixture path (…/sf0.01,
+    …/testdata_sf3). Returns None when no sf token is present."""
+    import re
+
+    m = re.findall(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    return float(m[-1]) if m else None
 
 
 # The driver's per-round correctness check covers a PREFIX of the

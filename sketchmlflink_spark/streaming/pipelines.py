@@ -29,6 +29,30 @@ from pyspark.sql.types import StringType, StructField, StructType
 WATERMARK = "1 hour"
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """Short digest of a source table's on-disk identity (paths +
+    sizes + mtimes of every file under it). Folded into replay-cache
+    directory names so that REGENERATING a gitignored fixture
+    automatically invalidates any cached replay split built from the
+    old bytes — without it, a stale marker-guarded cache makes st20/
+    st21 fail in a way that looks like an engine bug."""
+    import hashlib
+
+    root = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    h = hashlib.sha256()
+    paths = [root]
+    if os.path.isdir(root):
+        paths = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(root)
+            for f in fs
+        )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:12]
+
+
 def stream_dir_for(path: str) -> str:
     """The streaming file source only accepts directories; the test
     tables are single parquet files in a read-only tree. Expose a file
@@ -406,7 +430,10 @@ def jsonl_stream_dir(spark: SparkSession, sf_dir: str) -> str:
 
     d = os.path.join(
         tempfile.gettempdir(),
-        "stream_jsonl_" + sf_dir.strip("/").replace("/", "_"),
+        "stream_jsonl_"
+        + sf_dir.strip("/").replace("/", "_")
+        + "_"
+        + _source_fingerprint(sf_dir, "documents"),
     )
     marker = os.path.join(d, "_INGEST_READY")
     if not os.path.exists(marker):
@@ -485,7 +512,10 @@ def late_replay_stream_dir(spark: SparkSession, sf_dir: str) -> str:
 
     d = os.path.join(
         tempfile.gettempdir(),
-        "stream_late_" + sf_dir.strip("/").replace("/", "_"),
+        "stream_late_"
+        + sf_dir.strip("/").replace("/", "_")
+        + "_"
+        + _source_fingerprint(sf_dir, "events"),
     )
     marker = os.path.join(d, "_REPLAY_READY")
     if not os.path.exists(marker):
@@ -575,7 +605,10 @@ def redelivery_stream_dir(spark: SparkSession, sf_dir: str) -> str:
 
     d = os.path.join(
         tempfile.gettempdir(),
-        "stream_redeliver_" + sf_dir.strip("/").replace("/", "_"),
+        "stream_redeliver_"
+        + sf_dir.strip("/").replace("/", "_")
+        + "_"
+        + _source_fingerprint(sf_dir, "events"),
     )
     marker = os.path.join(d, "_REPLAY_READY")
     if not os.path.exists(marker):

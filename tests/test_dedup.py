@@ -746,7 +746,9 @@ def test_d17_prefix_relation_is_transitive_and_consistent(spark):
     from sketchmlflink_spark.operators.dedup import d17_prefix_containment
     from sketchmlflink_spark.operators.relational import t as load
 
-    sf = "/root/testdata/sf0.01"
+    from tests.conftest import SF_MID
+
+    sf = SF_MID
     pairs = d17_prefix_containment(spark, sf).collect()
     rel = {(r["prefix_id"], r["full_id"]) for r in pairs}
     assert rel, "fixture corpus must contain prefix pairs"
