@@ -883,17 +883,24 @@ _wire_st19_oracle()
 # --------------------------------------------------------------------------
 @register(
     "st20_stream_late_data_audit",
-    # The oracle replays Spark's documented watermark timeline for the
-    # three-batch late replay (pipelines.late_replay_stream_dir):
-    #   batch 0  on-time prefix  (ts <= max(ts)-7d)  wm in effect: none
-    #   batch 1  on-time tail                        wm: none yet (the
-    #            watermark computed FROM batch 0 takes effect in the
-    #            NEXT batch — one-batch lag, measured; end of batch 1
-    #            emits + evicts windows closed under max(prefix)-1h)
-    #   batch 2  stragglers: dropped iff their window was already
-    #            evicted (window_end <= max(prefix ts) - 1h), merged
+    # The oracle replays Spark's measured watermark timeline for the
+    # three-batch late replay (pipelines.late_replay_stream_dir). Two
+    # DISTINCT lags are in play (both measured, both pinned by
+    # tests/test_streaming.py::test_watermark_lag_canary — a Spark
+    # upgrade changing either fails there, not in the driver's hash):
+    #   * eviction/emission wm for batch N = data through batch N-1
+    #     (lag 1) -> wm_emit below = max(ALL on-time ts) - 1h;
+    #   * LATE-INPUT FILTER for batch N = eviction wm of batch N-1,
+    #     i.e. data through batch N-2 (lag 2) -> wm_drop below =
+    #     max(batch-0 prefix ts ONLY) - 1h.
+    # Timeline:
+    #   batch 0  on-time prefix  (ts <= max(ts)-7d)   no wm in effect
+    #   batch 1  on-time tail    filter wm none; end of batch 1 evicts
+    #            windows closed under max(prefix)-1h
+    #   batch 2  stragglers: dropped iff window_end <= wm_drop
+    #            (= max(prefix ts) - 1h, the lag-2 filter), merged
     #            otherwise; final emission covers windows closed under
-    #            max(on-time ts) - 1h.
+    #            wm_emit (= max(on-time ts) - 1h, the lag-1 eviction).
     oracle=f"""
 WITH cut AS (SELECT max(ts) - INTERVAL {P.LATE_CUT_DAYS} DAY AS c FROM events),
 wm_drop AS (
@@ -947,12 +954,13 @@ def st20_stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st21_stream_redelivery_dedup",
     # The oracle is the EXACT batch answer on the un-duplicated table:
-    # that equality IS the claim. Batch-1 redeliveries (state live —
-    # the watermark from batch 0 only takes effect in batch 1's
-    # EVICTION, after the input was deduped against live state) are
-    # absorbed by dropDuplicatesWithinWatermark; batch-2 redeliveries
-    # of beyond-horizon events arrive below the now-advanced watermark
-    # and are dropped as late input. Either failure mode (state miss or
+    # that equality IS the claim. Batch-1 redeliveries are absorbed by
+    # dropDuplicatesWithinWatermark's live state (the late-input filter
+    # for batch 1 still carries NO watermark — the filter lags the data
+    # by TWO batches, see test_watermark_lag_canary); batch-2
+    # redeliveries of beyond-horizon events meet the lag-2 filter wm
+    # (= max(batch-0 ts) - 1h, and batch 0 is the full table) and are
+    # dropped as late input. Either failure mode (state miss or
     # late-drop miss) double-counts and breaks the hash.
     oracle="""
 SELECT event_type,

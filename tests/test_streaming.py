@@ -437,3 +437,83 @@ def test_st20_straggler_accounting_partitions_exactly(spark):
     ).count()
     assert merged + dropped + tail == total, (merged, dropped, tail, total)
     assert dropped > 0 and merged > 0  # both regimes actually exercised
+
+
+def test_watermark_lag_canary(spark, tmp_path):
+    """CANARY for the watermark-lag structure st20/st21's oracles encode.
+    Spark's micro-batch watermark has TWO distinct lags (measured on
+    this Spark, not a spec guarantee):
+
+      * EVICTION/EMISSION watermark for batch N is computed from data
+        through batch N-1 (lag 1) — st20's ``wm_emit`` (max over ALL
+        on-time files - delay).
+      * LATE-INPUT FILTER for batch N uses the eviction watermark OF
+        batch N-1, i.e. data through batch N-2 (lag 2) — st20's
+        ``wm_drop`` (max over file 000 ONLY - delay), and why st21's
+        batch-1 redeliveries reach the dedup state instead of being
+        late-filtered.
+
+    A Spark upgrade that changes either lag flips those oracles' hashes
+    with no code change; this test measures both on a minimal 3-file
+    replay so the upgrade fails loudly here, in pytest, rather than
+    mysteriously in the driver's hash.
+
+    Replay (watermark delay 1 h, tumbling 1 h windows, append mode):
+      file 0 (batch 0): 10:00
+      file 1 (batch 1): 20:00
+      file 2 (batch 2): 07:30 (win end 08:00), 09:15 (win end 10:00)
+    With (filter lag 2, evict lag 1), batch 2 filters with wm 09:00
+    (from file 0 only) and evicts with wm 19:00 (files 0-1):
+      07:30 dropped (08:00 <= 09:00); 09:15 kept (10:00 > 09:00) and
+      its window flushed (10:00 <= 19:00); 10:00's window flushed;
+      20:00's window stays open  =>  exactly {09:00: 1, 10:00: 1}.
+    Discrimination:
+      filter lag 1 (batch 2 filters at 19:00): 09:15 also dropped ->
+        no 09:00 row;
+      filter lag 3+ (batch 2 filters at 0): 07:30 kept -> a 07:00 row;
+      evict lag 2 (batch 2 evicts at 09:00): 10:00's window never
+        flushed -> no 10:00 row.
+    """
+    import time
+
+    d = str(tmp_path / "wm_lag_canary")
+    os.makedirs(d, exist_ok=True)
+    day = "2024-01-01"
+
+    def write_file(i, ts_list):
+        rows = [(int(i * 100 + j), f"{day} {t}") for j, t in enumerate(ts_list)]
+        df = (
+            spark.createDataFrame(rows, "event_id long, ts_s string")
+            .select("event_id", F.to_timestamp("ts_s").alias("ts"))
+            .coalesce(1)
+        )
+        sub = os.path.join(d, f"_w{i}")
+        df.write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"replay-{i:03d}.parquet")
+        os.replace(os.path.join(sub, part), dst)
+        os.utime(dst, (time.time() - 1000 + i * 10,) * 2)
+
+    write_file(0, ["10:00:00"])
+    write_file(1, ["20:00:00"])
+    write_file(2, ["07:30:00", "09:15:00"])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withWatermark("ts", "1 hour")
+    )
+    counts = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.date_format("w.start", "HH:mm").alias("hour"), "n")
+    got = {r["hour"]: r["n"] for r in P.run_to_batch(counts, output_mode="append").collect()}
+
+    assert got == {"09:00": 1, "10:00": 1}, (
+        f"watermark lag structure changed: emitted {got}; "
+        "missing 09:00 => late-filter lag dropped to 1; "
+        "a 07:00 row => late-filter lag >= 3; "
+        "missing 10:00 => eviction lag >= 2. "
+        "st20/st21 oracles assume (filter lag 2, evict lag 1)."
+    )
