@@ -791,8 +791,62 @@ S11_CANDIDATES = 50  # per-query candidate pool before exact re-rank
 
 @register(
     "s11_sq8_ann_cosine",
-    oracle=None,  # quantized candidate generation isn't SQL-expressible;
-    # recall vs s01 pinned in tests/test_similarity_extra.py
+    # The SQ8 path is exact integer arithmetic end-to-end (VERDICT r6
+    # item 6): per-dim absmax scales are max-aggregates (no summation
+    # ordering), the int8 codes come from one round() both engines tie-
+    # break identically (half away from zero), code dot products are
+    # exact int64 (|sum| <= 64 * 127^2), and acos = dot/sqrt(qq*cc) is
+    # a single IEEE op chain on exactly-representable integers — so the
+    # candidate RANKING is bit-reproducible in DuckDB and the oracle
+    # replays the full train -> encode -> candidate -> exact-re-rank
+    # pipeline. Expression shapes mirror the Spark side exactly:
+    # sqrt(qq*cc) in the approximate score, sqrt(qq)*sqrt(cc) in the
+    # exact re-rank (same grouping => same doubles).
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ux AS (
+    SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e
+),
+dims AS (
+    SELECT pos, greatest(max(abs(x)), 1e-12) AS s FROM ux GROUP BY pos
+),
+coded AS (
+    SELECT vec_id,
+           list(CAST(round(x / s * 127.0) AS BIGINT) ORDER BY pos) AS code
+    FROM ux JOIN dims USING (pos)
+    GROUP BY vec_id
+),
+approx AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           list_dot_product(q.code, c.code)
+             / sqrt(list_dot_product(q.code, q.code)
+                    * list_dot_product(c.code, c.code)) AS acos_
+    FROM coded q JOIN coded c
+      ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+),
+cands AS (
+    SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY acos_ DESC, n_id) AS crk
+        FROM approx
+    ) WHERE crk <= {S11_CANDIDATES}
+),
+exact AS (
+    SELECT cands.q_id, cands.n_id,
+           list_dot_product(qe.v, ce.v)
+             / (sqrt(list_dot_product(qe.v, qe.v))
+                * sqrt(list_dot_product(ce.v, ce.v))) AS cos_
+    FROM cands
+    JOIN e qe ON qe.vec_id = cands.q_id
+    JOIN e ce ON ce.vec_id = cands.n_id
+)
+SELECT q_id, n_id, CAST(rnk AS INT) AS rank, round(cos_, 6) AS cosine
+FROM (
+    SELECT q_id, n_id, cos_,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_ DESC, n_id) AS rnk
+    FROM exact
+) WHERE rnk <= {KNN_K}
+""",
     tags=("similarity", "ann", "scalar-quantization"),
 )
 def s11_sq8_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,8 +105,8 @@ _PRIORITY = (
     # Round-6 rotation (VERDICT r5 item 4): the five entries that have
     # NEVER had a driver-side CORRECTNESS row in rounds 1-5 — after
     # this round every catalog entry has had the hard driver signal at
-    # least once (m09/s11 rows-only by contract; their sweep rows are
-    # hash/invariant-checked locally).
+    # least once (m09 rows-only by contract; s11 gained a full SQL
+    # oracle in round 7 — its SQ8 pipeline is exact integer arithmetic).
     "q39_price_band_join", "q33_ohlc_bars", "p02_embedding_pipeline",
     "m09_sgd_million_dim", "s11_sq8_ann_cosine",
     # Changed this round (signed-zero normalization / oracle typing) —
