@@ -21,7 +21,25 @@ so an sf1 fixture set can be regenerated anywhere from the driver's
 sf0.1 data.  Used for the VERDICT r3 item 1 "prove it at sf1" runs.
 
 Usage: python bin/make_sf.py [--src /root/testdata/sf0.1] \
-                             [--dst testdata_sf1] [--factor 10] [--seed 42]
+                             [--dst testdata_sf1] [--factor 10] [--seed 42] \
+                             [--skew 0.3]
+
+--skew FRAC builds a HOT-KEY variant (VERDICT r6 item 2: at 100 TB
+corpora are Zipf-skewed by construction; make_sf otherwise replicates
+uniformly so no fixture exercises a 30%-of-rows hot key). Deterministic
+modulo-on-id remaps, applied after scaling:
+
+  events.user_id    -> user 0 for ~FRAC of rows (hot sessionize /
+                       stream-session / per-user agg key)
+  lineitem.l_partkey-> min partkey for ~FRAC of rows (hot join key into
+                       part; FK validity preserved)
+  documents.text    -> ~FRAC of docs get ' zipfhead' x 40 appended (one
+                       token carrying ~FRAC of the corpus token mass —
+                       the Zipf head for token-explode group-bys/joins)
+
+The skewed dir is a SEPARATE fixture for skew benches and
+correctness-under-skew oracle runs; it is not a referentially-identical
+scale-up of the source (user 0 absorbs other users' rows by design).
 """
 
 from __future__ import annotations
@@ -58,8 +76,31 @@ def domain_sizes(con: duckdb.DuckDBPyConnection, src: str) -> dict[str, int]:
     return sizes
 
 
-def scale_sql_tables(con, src: str, dst: str, factor: int, d: dict[str, int]) -> None:
+def scale_sql_tables(
+    con, src: str, dst: str, factor: int, d: dict[str, int], skew: float = 0.0
+) -> None:
     """Relational tables via one DuckDB COPY each (cross join with range(factor))."""
+    # Deterministic hot-key remaps (see module docstring). Modulo on the
+    # ALREADY-OFFSET id so every replica contributes to the same hot key.
+    pct = int(round(skew * 100))
+    (min_part,) = con.execute(
+        f"SELECT min(p_partkey) FROM read_parquet('{src}/part.parquet')"
+    ).fetchone()
+    skew_user = (
+        f"CASE WHEN (event_id + i*{d['event_id']}) % 100 < {pct} "
+        f"THEN 0 ELSE user_id + i*{d['user_id']} END AS user_id"
+    )
+    skew_part = (
+        f"CASE WHEN (l_orderkey + i*{d['orderkey']}) % 100 < {pct} "
+        f"THEN {min_part} ELSE l_partkey + i*{d['partkey']} END AS l_partkey"
+    )
+    # ~40 copies of one token per hot doc ~= the per-doc token count, so
+    # 'zipfhead' carries ~skew of the corpus token mass.
+    hot_text = (
+        "CASE WHEN i = 0 THEN text ELSE text || ' v' || i::VARCHAR END"
+        f" || CASE WHEN (doc_id + i*{d['doc_id']}) % 100 < {pct} "
+        "THEN repeat(' zipfhead', 40) ELSE '' END"
+    )
     plans = {
         "region": "r_regionkey, r_name",
         "nation": "n_nationkey, n_name, n_regionkey",
@@ -81,21 +122,29 @@ def scale_sql_tables(con, src: str, dst: str, factor: int, d: dict[str, int]) ->
         ),
         "lineitem": (
             f"l_orderkey + i*{d['orderkey']} AS l_orderkey, "
-            f"l_partkey + i*{d['partkey']} AS l_partkey, "
+            + (skew_part if skew else f"l_partkey + i*{d['partkey']} AS l_partkey")
+            + ", "
             f"l_suppkey + i*{d['suppkey']} AS l_suppkey, "
             "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
             "l_returnflag, l_linestatus, l_shipdate"
         ),
         "events": (
             f"event_id + i*{d['event_id']} AS event_id, ts, "
-            f"user_id + i*{d['user_id']} AS user_id, event_type, value, props"
+            + (skew_user if skew else f"user_id + i*{d['user_id']} AS user_id")
+            + ", event_type, value, props"
         ),
         "documents": (
             f"doc_id + i*{d['doc_id']} AS doc_id, "
-            "CASE WHEN i = 0 THEN text ELSE text || ' v' || i::VARCHAR END AS text, "
-            "lang, source, "
-            "length(CASE WHEN i = 0 THEN text ELSE text || ' v' || i::VARCHAR END)"
-            "::BIGINT AS n_chars"
+            + (
+                f"{hot_text} AS text, lang, source, length({hot_text})::BIGINT AS n_chars"
+                if skew
+                else (
+                    "CASE WHEN i = 0 THEN text ELSE text || ' v' || i::VARCHAR END AS text, "
+                    "lang, source, "
+                    "length(CASE WHEN i = 0 THEN text ELSE text || ' v' || i::VARCHAR END)"
+                    "::BIGINT AS n_chars"
+                )
+            )
         ),
     }
     for table, cols in plans.items():
@@ -143,13 +192,15 @@ def main() -> None:
     ap.add_argument("--dst", default="testdata_sf1")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--skew", type=float, default=0.0,
+                    help="hot-key fraction (e.g. 0.3); 0 = uniform replication")
     args = ap.parse_args()
 
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
     d = domain_sizes(con, args.src)
-    print(f"domain sizes: {d}", flush=True)
-    scale_sql_tables(con, args.src, args.dst, args.factor, d)
+    print(f"domain sizes: {d}" + (f", skew={args.skew}" if args.skew else ""), flush=True)
+    scale_sql_tables(con, args.src, args.dst, args.factor, d, skew=args.skew)
     scale_embeddings(args.src, args.dst, args.factor, args.seed, d)
     for t in (
         "region nation customer supplier part orders lineitem events "

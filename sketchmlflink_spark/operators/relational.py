@@ -828,10 +828,9 @@ def q24_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
-
-@register(
-    "q25_batch_sessionize",
-    oracle=f"""
+# Shared by q25 (single-pass gaps-and-islands) and q40 (two-phase
+# bucketed rewrite) — identical output contract, so one oracle.
+SESSIONIZE_ORACLE = f"""
 WITH o AS (
     SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
@@ -852,7 +851,12 @@ SELECT user_id,
        CAST(count(*) AS BIGINT)                       AS n_events
 FROM s
 GROUP BY user_id, session_nr
-""",
+"""
+
+
+@register(
+    "q25_batch_sessionize",
+    oracle=SESSIONIZE_ORACLE,
     tags=("relational", "sessionize", "gaps-and-islands"),
 )
 def q25_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1791,4 +1795,136 @@ def q39_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_band.join(F.broadcast(bands_df.select("band_id", "band_name")), "band_id")
         .select("band_id", "band_name", "n_items", "revenue", "avg_price")
         .orderBy("band_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q40 — sessionization with a BOUNDED hot-key partition (two-phase).
+# --------------------------------------------------------------------------
+@register(
+    "q40_sessionize_twophase",
+    oracle=SESSIONIZE_ORACLE,  # same output contract as q25, on purpose:
+    # hash-equality against the single-pass oracle IS the proof that the
+    # scale rewrite doesn't change answers.
+    tags=("relational", "sessionize", "skew", "two-phase"),
+)
+def q40_sessionize_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q25's sessionization with the per-user window decomposed so no
+    task ever sorts one user's full history. q25 partitions its window
+    by user_id alone — correct, and fine on real clickstreams, but a
+    Zipf-head user carrying 30% of a 100 TB feed lands 30 TB in ONE
+    task, and AQE skew-split cannot split a window partition (it only
+    splits sort-merge-join sides). The skew fixture
+    (bin/make_sf.py --skew, 30% of events on user 0) is the measured
+    motivation; this rewrite is the fix.
+
+    Two phases, the textbook decomposition:
+      1. Heavy ops partition by (user_id, day(ts)) — bounded by the
+         hot user's DAILY volume, not lifetime volume: within-bucket
+         lag + within-bucket running island count + per-bucket partial
+         session rollup all share that one shuffle.
+      2. The per-user sequential logic (gap across bucket edges,
+         island-number prefix, merge of sessions spanning midnight)
+         runs on the per-(user, day) SUMMARY table — thousands of times
+         smaller than the events table, so the per-user window over it
+         is trivially cheap even for the Zipf head.
+    Phase-2 merge rule: bucket k's first island merges into bucket
+    k-1's last session iff the edge gap <= SESSION_GAP (same half-open
+    rule as the within-bucket lag); merged islands subtract from the
+    numbering prefix and take their session_start from the earliest
+    merged fragment (session_start = min(ts) survives a min-merge).
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    day_us = F.unix_micros(F.date_trunc("day", "ts"))
+    ev = ev.withColumn("bkt", day_us)
+
+    wb = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    prev_in_bkt = F.lag(F.unix_micros("ts")).over(wb)
+    # within-bucket island flag; the FIRST row of each bucket is
+    # provisionally a start (phase 2 may merge it across the edge)
+    is_start = F.when(
+        prev_in_bkt.isNull()
+        | ((F.unix_micros("ts") - prev_in_bkt) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    marked = ev.withColumn("is_start", is_start).withColumn(
+        "isl",
+        F.sum("is_start").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # per-(user, bucket, island) partial sessions — same (user_id, bkt)
+    # shuffle key, so this aggregation reuses the window's partitioning.
+    # localCheckpoint: phase 2 reads this summary THREE times (bs,
+    # first_of_bkt, numbered) and Catalyst duplicates unshared join
+    # subtrees — without it the events-table window runs three times
+    # (same discipline as minhash_near_duplicates / simhash).
+    part_sessions = marked.groupBy("user_id", "bkt", "isl").agg(
+        F.min("ts").alias("s_start"),
+        F.max(F.unix_micros("ts")).alias("s_last_us"),
+        F.min(F.unix_micros("ts")).alias("s_first_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).localCheckpoint()
+
+    # ---- phase 2: per-user logic on the tiny summary table ----
+    # (the bucket's first event = island 1's first event = min first_us,
+    # so one aggregate carries everything the edge logic needs)
+    bs = part_sessions.groupBy("user_id", "bkt").agg(
+        F.max("s_last_us").alias("bkt_last_us"),
+        F.max("isl").alias("n_islands"),
+        F.min("s_first_us").alias("first_us"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("bkt")
+    bs = bs.withColumn("prev_bkt_last_us", F.lag("bkt_last_us").over(wu))
+    # does this bucket's FIRST island continue the previous bucket's
+    # last session? (gap across the edge within the session gap)
+    bs = bs.withColumn(
+        "merges_back",
+        (
+            F.col("prev_bkt_last_us").isNotNull()
+            & (F.col("first_us") - F.col("prev_bkt_last_us") <= SESSION_GAP_US)
+        ).cast("int"),
+    )
+    # island-number prefix per bucket: starts before this bucket minus
+    # edge-merges up to AND INCLUDING this bucket's own merge
+    bs = bs.withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum("n_islands").over(
+                wu.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        - F.sum("merges_back").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # global session number for every partial session: bucket prefix +
+    # within-bucket island index (a merged first island gets the SAME
+    # number as the previous bucket's last session, by construction)
+    numbered = part_sessions.join(
+        bs.select("user_id", "bkt", "prefix"), ["user_id", "bkt"]
+    ).select(
+        "user_id",
+        (F.col("prefix") + F.col("isl")).alias("session_nr"),
+        "s_start",
+        "n_events",
+    )
+    # merge fragments that share a session number (sessions spanning
+    # midnight contribute one fragment per bucket); the rollup input is
+    # per-(user, day, island) — events-table-sized no more
+    return (
+        numbered.groupBy("user_id", "session_nr")
+        .agg(
+            F.date_format(F.min("s_start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("session_nr").cast("long").alias("session_nr"),
+            "session_start",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
     )

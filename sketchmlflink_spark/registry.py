@@ -123,16 +123,22 @@ _PRIORITY = (
     "p16_overlap_chunking", "p17_orc_interchange_roundtrip",
     "d17_prefix_containment", "t15_bigram_xent", "s15_mips_topk",
     "st15_stream_partitioned_sink",
+    # Round-7 rotation: q40 is NEW (two-phase sessionize, the skew
+    # fix); st04's ORACLE changed (tie-ordering bug found by the skew
+    # fixture) — both need fresh driver rows. Rotated out: mm03 and
+    # d15 (driver-green in r6; their families keep mm01/mm02 and
+    # d01/d04/d06/d13 in the window).
+    "q40_sessionize_twophase", "st04_stream_sessions",
     # Representative spread: headliners whose last driver row is the
     # oldest, one-plus per family — every rotated-out entry stays green
     # in the SWEEP artifacts and the perturbation hash test.
     # relational: pricing agg, salted skew agg, funnel micros, cohorts
     "q01_pricing_summary", "q21_event_type_stats_salted",
     "q34_funnel_conversion", "q36_cohort_retention",
-    # dedup: exact, MinHash-LSH, embedding near-dup, CC, PageRank
+    # dedup: exact, MinHash-LSH, embedding near-dup, CC
+    # (d15 rotated out r7, driver-green r6)
     "d01_dedup_exact", "d04_minhash_lsh_neardup",
     "d06_embed_cosine_neardup", "d13_dup_graph_components",
-    "d15_dup_graph_pagerank",
     # text: token stats, lang-id, unigram xent, Zipf regression
     "t01_token_stats_by_lang", "t03_lang_id",
     "t10_unigram_xent", "t14_zipf_rank_freq",
@@ -141,8 +147,8 @@ _PRIORITY = (
     # sketch aggs: HLL rollup, approx percentiles
     "sk01_hll_user_rollup",
     "sk03_approx_percentiles",
-    # multimodal: metadata, features, frame sampling
-    "mm01_media_metadata", "mm02_media_features", "mm03_frame_sample",
+    # multimodal: metadata, features (mm03 rotated out r7, driver-green r6)
+    "mm01_media_metadata", "mm02_media_features",
     # pipeline: hash-shard routing, bottom-k sampling
     "p13_hash_shard_manifest", "p14_bottomk_sample",
     # streaming: hourly counts (st15/st20/st21 hold slots above)

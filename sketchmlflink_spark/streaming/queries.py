@@ -97,9 +97,16 @@ def st03_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "st04_stream_sessions",
+    # The island-numbering cumulative sum MUST accumulate in the same
+    # total order the lag was computed in (ts, event_id) — the earlier
+    # ORDER BY ts, new_s put a tied-timestamp row BEFORE the session
+    # opener it belongs to, assigning it to the previous island. Benign
+    # on uniform fixtures (no same-user ts ties); found by the hot-user
+    # skew fixture (bin/make_sf.py --skew), where user 0 absorbs rows
+    # from many original users and tied timestamps are common.
     oracle="""
 WITH o AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_s
@@ -107,7 +114,7 @@ WITH o AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
     SELECT user_id, ts,
-           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s ROWS UNBOUNDED PRECEDING) AS sid
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
     FROM o
 )
 SELECT user_id,
@@ -121,7 +128,9 @@ GROUP BY user_id, sid
 def st04_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window(gap=30min) per user; the oracle is the classic
     gaps-and-islands rewrite (new session when gap >= 30 min, matching
-    Spark's half-open [start, last+gap) merge rule)."""
+    Spark's half-open [start, last+gap) merge rule; tied timestamps
+    break by event_id in both window orders so island numbering is
+    deterministic — see the oracle comment for the skew-found bug)."""
     return P.run_to_batch(P.sessionize(P.events_stream(spark, sf_dir)))
 
 
