@@ -517,3 +517,101 @@ def test_watermark_lag_canary(spark, tmp_path):
         "missing 10:00 => eviction lag >= 2. "
         "st20/st21 oracles assume (filter lag 2, evict lag 1)."
     )
+
+
+def test_st15_sink_heals_crashed_partial_attempt(spark, tmp_path):
+    """CHAOS: a foreachBatch attempt that died MID-WRITE — some (hour,
+    epoch) partitions committed with garbage (duplicated rows), others
+    never written — must be fully healed by re-running the same epoch:
+    foreachBatch retries re-deliver the SAME checkpointed batch, so the
+    retry's dynamic overwrite rewrites every (hour_part, _epoch)
+    partition the crashed attempt could have touched. Previously the
+    idempotency claim was argued from the overwrite grain and tested
+    only happy-path (VERDICT r6 stretch)."""
+    from sketchmlflink_spark.streaming.pipelines import land_partitioned
+
+    out = str(tmp_path / "sink")
+    schema = "event_id long, hour_part string, event_type string"
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01-00", "a"), (2, "2024-01-01-01", "b"),
+         (3, "2024-01-01-02", "c")], schema)
+
+    # crashed first attempt of epoch 0: hour 00 committed TWICE-DUPLICATED
+    # garbage, hour 01 committed a half-slice, hour 02 never written
+    garbage = spark.createDataFrame(
+        [(1, "2024-01-01-00", "a"), (1, "2024-01-01-00", "a"),
+         (2, "2024-01-01-01", "b")], schema)
+    land_partitioned(garbage, 0, out)
+    pre = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert pre == [1, 1, 2]  # the wound is real
+
+    # retry of epoch 0 with the true checkpointed batch
+    land_partitioned(b0, 0, out)
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]  # duplicates gone, missing hour present
+
+    # unrelated epochs survive the heal
+    b1 = spark.createDataFrame([(9, "2024-01-01-00", "z")], schema)
+    land_partitioned(b1, 1, out)
+    land_partitioned(b0, 0, out)  # heal again with epoch 1 present
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 9]
+
+
+def test_st21_dedup_survives_midstream_crash_and_restart(spark, tmp_path):
+    """CHAOS for the exactly-once claim: the st21 redelivery replay is
+    killed by a sink crash in micro-batch 1 AFTER committing a partial
+    slice, then RESTARTED from the same checkpoint. Structured
+    Streaming re-executes batch 1 with the same offsets and the
+    batch-0 dedup state; the epoch-keyed overwrite sink heals the
+    partial commit; the dedup state + late-input filter absorb both
+    redelivery waves — so the landed rows are exactly the original
+    events, once each, despite crash + at-least-once redelivery."""
+    import os as _os
+
+    from pyspark.errors import StreamingQueryException
+
+    from sketchmlflink_spark.sources.tables import load_table
+
+    sink = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    attempts: dict[int, int] = {}
+
+    def land(bdf, eid, crash_on=None):
+        d = _os.path.join(sink, f"epoch={int(eid)}")
+        attempts[eid] = attempts.get(eid, 0) + 1
+        if crash_on is not None and eid == crash_on and attempts[eid] == 1:
+            # commit a partial, duplicated slice, then die mid-write
+            bdf.limit(5).union(bdf.limit(5)).write.mode("overwrite").parquet(d)
+            raise RuntimeError("injected mid-write crash")
+        bdf.write.mode("overwrite").parquet(d)
+
+    def start(crash_on):
+        deduped = P.redelivered_events_stream(spark, SF_SMALL).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        return (
+            deduped.writeStream.foreachBatch(
+                lambda b, e: land(b, e, crash_on=crash_on)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(crash_on=1)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(300)
+    # the crash left a corrupted epoch-1 dir behind
+    assert attempts[1] == 1
+
+    q = start(crash_on=None)  # restart from the same checkpoint
+    q.awaitTermination(300)
+    q.stop()
+    assert attempts[1] == 2  # batch 1 really was re-executed
+
+    landed = spark.read.parquet(sink)
+    exact = load_table(spark, SF_SMALL, "events")
+    assert landed.count() == exact.count()
+    assert landed.select("event_id").distinct().count() == exact.count()
