@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sketchmlflink_spark.functions import zround
 from sketchmlflink_spark.registry import register
 from sketchmlflink_spark.session import tune_for_session
 from sketchmlflink_spark.sources.tables import load_table
@@ -49,13 +50,16 @@ def ts(date_str: str) -> F.Column:
     "q01_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(17,4))
+                      * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE)      AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) + 0.0      AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) + 0.0 AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) + 0.0      AS avg_disc,
        CAST(count(*) AS BIGINT)                                         AS count_order
 FROM lineitem
 WHERE year(l_shipdate) <= 2000
@@ -64,21 +68,39 @@ GROUP BY l_returnflag, l_linestatus
     tags=("relational", "agg"),
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan → pushed filter → hash aggregate; whole-stage codegen end to end."""
+    """Scan → pushed filter → hash aggregate; whole-stage codegen end to end.
+
+    Money/quantity columns carry exactly 2 decimals, so every sum is an
+    exact DECIMAL sum (order-free — the q19/q39 recipe; the strict sf1
+    sweep caught q05's double-sum flipping a final cent between runs,
+    round 7); one double conversion at the end, averages divide the
+    exact sum by the count and round once."""
     li = t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    price_dec18 = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(18,2)")
+    # products: exact fixed-point at bounded precision so neither engine
+    # truncates — (12,2)*(4,2) → 4 dp; ×(4,2) again → 6 dp
+    disc_price_dec = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    )
+    charge_dec = disc_price_dec.cast("decimal(17,4)") * (
+        F.lit(1) + F.col("l_tax")
+    ).cast("decimal(4,2)")
+    cnt = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") < ts("2001-01-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(qty_dec), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price_dec18), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price_dec), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge_dec), 2).cast("double").alias("sum_charge"),
+            zround(F.sum(qty_dec).cast("double") / cnt, 4).alias("avg_qty"),
+            zround(F.sum(price_dec18).cast("double") / cnt, 4).alias("avg_price"),
+            zround(F.sum(disc_dec).cast("double") / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -89,7 +111,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q02_revenue_forecast",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT)                    AS n_items
 FROM lineitem
 WHERE year(l_shipdate) BETWEEN 1996 AND 1998
@@ -108,7 +130,7 @@ def q02_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 25)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(18,2)")), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -121,7 +143,7 @@ def q02_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -145,7 +167,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")), 2).cast("double").alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -189,7 +211,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q05_revenue_by_nation",
     oracle="""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -223,7 +245,7 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_suppkey == dims.s_suppkey) & (customer.c_nationkey == dims.s_nationkey),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")), 2).cast("double").alias("revenue"))
     )
 
 
