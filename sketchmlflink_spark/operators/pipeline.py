@@ -547,7 +547,7 @@ P08_DELTA_DAYS = 2  # the "newly arrived" tail treated as the delta
     oracle="""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -580,9 +580,11 @@ def p08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit(cut_day.isoformat()).cast("timestamp_ntz")
 
     def rollup(df: DataFrame) -> DataFrame:
+        # partials persist as exact DECIMAL — a double partial here
+        # would make the stored+delta merge order-dependent (q05 class)
         return df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
         )
 
     stored_dir = os.path.join(
@@ -598,7 +600,7 @@ def p08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.round(F.sum("sum_value"), 2).cast("double").alias("sum_value"),
         )
     )
 

@@ -312,7 +312,7 @@ def q07_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_rollup_sales",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)  AS sum_qty,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
        CAST(count(*) AS BIGINT)   AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -320,9 +320,15 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
     tags=("relational", "rollup"),
 )
 def q08_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantities are exact 2-dp fixed point, so the rollup sums in
+    DECIMAL (order-free — the q19/q39 recipe; round(sum(double),2) can
+    flip a final cent between runs, proven by q05 in round 7) and
+    converts to double once after the single final round."""
     li = t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -427,18 +433,25 @@ def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
        CAST(count(*) AS BIGINT)                            AS n_events,
-       round(sum(value), 2)                                AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1
 """,
     tags=("relational", "events", "json"),
 )
 def q13_events_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value is exact 2-dp fixed point → exact order-free DECIMAL sum
+    (q19/q39 recipe), one round, one double conversion."""
     ev = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.groupBy((k % 10).alias("k_bucket"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
     )
 
 
@@ -662,7 +675,7 @@ SALT_BUCKETS = 16
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT)  AS n_events,
-       round(sum(value), 2)      AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY event_type
 """,
@@ -677,17 +690,22 @@ def q21_event_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hand-rolled counterpart of AQE's skew-join splitting, usable
     where AQE doesn't reach (first-shuffle aggregations).
 
-    The sums are kept exact per (key, salt) and rounded only after the
-    final merge, so salting cannot change the result hash."""
+    The partial sums are exact DECIMAL (value is 2-dp fixed point), so
+    neither salting nor merge order can change the result hash — the
+    q19/q39 recipe; a double partial sum here would be order-dependent
+    twice over (within salt AND across salts)."""
     ev = t(spark, sf_dir, "events")
     phase1 = (
         ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)))
         .groupBy("event_type", "salt")
-        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        )
     )
     return phase1.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.round(F.sum("pv"), 2).alias("sum_value"),
+        F.round(F.sum("pv"), 2).cast("double").alias("sum_value"),
     )
 
 
@@ -797,7 +815,7 @@ def q23_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
     SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_nr,
            strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
-           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
     FROM orders
     GROUP BY 1, 2
 )
@@ -831,7 +849,14 @@ def q24_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
+        .agg(
+            # exact DECIMAL sum → integral cents; the old
+            # round(sum(double)*100) could flip a cent with summation
+            # order (the q05 class) before the integer window even ran
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
         .withColumn("day_nr", F.datediff("d", F.lit("1970-01-01").cast("date")))
         .withColumn("day", F.date_format("d", "yyyy-MM-dd"))
     )
@@ -913,7 +938,7 @@ def q25_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_grouping_sets_orders",
     oracle="""
 SELECT o_orderpriority, o_orderstatus,
-       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
        CAST(count(*) AS BIGINT)    AS n_orders
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
@@ -934,7 +959,9 @@ def q26_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
         )
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -1003,7 +1030,7 @@ SELECT CAST(decile AS INT)                 AS decile,
        CAST(count(*) AS BIGINT)            AS n_orders,
        round(min(o_totalprice), 2)         AS lo_price,
        round(max(o_totalprice), 2)         AS hi_price,
-       round(sum(o_totalprice), 2)         AS sum_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
 FROM d GROUP BY decile
 """,
     tags=("relational", "decile", "percentile-bucketing"),
@@ -1038,7 +1065,9 @@ def q28_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.min("o_totalprice"), 2).alias("lo_price"),
         F.round(F.max("o_totalprice"), 2).alias("hi_price"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -1049,11 +1078,11 @@ def q28_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29_top_value_nations",
     oracle="""
 SELECT n.n_name AS nation,
-       round(sum(s.s_acctbal), 2) AS total_balance
+       CAST(round(sum(CAST(s.s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_balance
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
-HAVING sum(s.s_acctbal) > (
-    SELECT sum(s_acctbal) * 0.05 FROM supplier
+HAVING sum(CAST(s.s_acctbal AS DECIMAL(18,2))) > (
+    SELECT sum(CAST(s_acctbal AS DECIMAL(18,2))) * 0.05 FROM supplier
 )
 """,
     tags=("relational", "having", "scalar-subquery"),
@@ -1072,11 +1101,11 @@ def q29_top_value_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
 SELECT n.n_name AS nation,
-       round(sum(s.s_acctbal), 2) AS total_balance
+       CAST(round(sum(CAST(s.s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_balance
 FROM q29_supplier s JOIN q29_nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
-HAVING sum(s.s_acctbal) > (
-    SELECT sum(s_acctbal) * 0.05 FROM q29_supplier
+HAVING sum(CAST(s.s_acctbal AS DECIMAL(18,2))) > (
+    SELECT sum(CAST(s_acctbal AS DECIMAL(18,2))) * 0.05 FROM q29_supplier
 )
 """
     )
@@ -1596,8 +1625,8 @@ WITH melted AS (
 )
 SELECT p_brand, attr,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(val), 4)       AS avg_val,
-       round(sum(val), 2)       AS sum_val,
+       round(CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) + 0.0 AS avg_val,
+       CAST(round(sum(CAST(val AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_val,
        round(min(val), 2)       AS min_val,
        round(max(val), 2)       AS max_val
 FROM melted
@@ -1636,8 +1665,17 @@ def q37_unpivot_part_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         melted.groupBy("p_brand", "attr")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("val"), 4).alias("avg_val"),
-            F.round(F.sum("val"), 2).alias("sum_val"),
+            # both melted columns are exact 2-dp fixed point → exact
+            # DECIMAL sum (order-free, q19/q39 recipe); avg divides the
+            # exact sum by the count and rounds once
+            zround(
+                F.sum(F.col("val").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_val"),
+            F.round(F.sum(F.col("val").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_val"),
             F.round(F.min("val"), 2).alias("min_val"),
             F.round(F.max("val"), 2).alias("max_val"),
         )

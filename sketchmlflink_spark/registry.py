@@ -80,10 +80,13 @@ def scale_guarded_names(sf: Optional[float]) -> set[str]:
 
 def infer_sf(sf_dir: str) -> Optional[float]:
     """Parse the scale factor out of a fixture path (…/sf0.01,
-    …/testdata_sf3). Returns None when no sf token is present."""
+    …/testdata_sf3, …/sf1skew). Returns None when no sf token is
+    present. The token must start a path segment or follow an
+    underscore (ADVICE r7: a bare substring match let an unrelated
+    component like a mount named *sf10* activate the scale guard)."""
     import re
 
-    m = re.findall(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    m = re.findall(r"(?:^|[_/])sf(\d+(?:\.\d+)?)", sf_dir)
     return float(m[-1]) if m else None
 
 
@@ -98,21 +101,22 @@ _PRIORITY = (
     "m01_linear_predict", "m02_dimension_inference", "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics", "m05_sgd_sparse_metrics", "m06_libsvm_cli_e2e",
     "m07_lr_schedule_sweep", "m08_csvline_report",
-    # the round-4/5 driver red — stays in the window until its driver
-    # row is green (signed zero root-fixed this round: zround on the
-    # engine side, round(...)+0.0 in the oracle)
-    "t12_dsir_importance",
-    # Round-6 rotation (VERDICT r5 item 4): the five entries that have
-    # NEVER had a driver-side CORRECTNESS row in rounds 1-5 — after
-    # this round every catalog entry has had the hard driver signal at
-    # least once (m09 rows-only by contract; s11 gained a full SQL
-    # oracle in round 7 — its SQ8 pipeline is exact integer arithmetic).
-    "q39_price_band_join", "q33_ohlc_bars", "p02_embedding_pipeline",
-    "m09_sgd_million_dim", "s11_sq8_ann_cosine",
-    # Changed this round (signed-zero normalization / oracle typing) —
-    # keep in the window so the change itself gets a driver row
-    "p15_dsir_resample", "s07_embedding_dim_stats",
-    "s13_mmr_diversified_topk", "sk04_histogram_percentile_rollup",
+    # Round-8 rotation (VERDICT r7 items 1-3): every query whose
+    # aggregation arithmetic changed in rounds 7-8 gets a driver row.
+    # q02/q03/q05 were converted to exact DECIMAL money sums in r7 but
+    # never rotated in (VERDICT r7 "rotation slip"); the rest had their
+    # round(sum(double),2) money sums converted to the same order-free
+    # DECIMAL recipe in r8 (q21 and p08, also converted, already hold
+    # window slots below); s14 gained a hash oracle in r8.
+    # Rotated out (all with prior green driver rows, families still
+    # represented): t12 (r5-r7), q39 q33 p02 m09 s11 (r6-r7),
+    # p15 s07 s13 sk04 (r6), q01 (r7, with its new DECIMAL arithmetic).
+    "q02_revenue_forecast", "q03_shipping_priority",
+    "q05_revenue_by_nation", "q08_rollup_sales",
+    "q13_events_json_bucket", "q24_revenue_moving_avg",
+    "q26_grouping_sets_orders", "q28_order_value_deciles",
+    "q29_top_value_nations", "q37_unpivot_part_profile",
+    "s14_ann_recall_report",
     "p08_incremental_rollup",
     # NEW this round (continued session) — no driver row yet, so they
     # take window slots from spread entries whose families keep other
@@ -132,8 +136,10 @@ _PRIORITY = (
     # Representative spread: headliners whose last driver row is the
     # oldest, one-plus per family — every rotated-out entry stays green
     # in the SWEEP artifacts and the perturbation hash test.
-    # relational: pricing agg, salted skew agg, funnel micros, cohorts
-    "q01_pricing_summary", "q21_event_type_stats_salted",
+    # relational: salted skew agg, funnel micros, cohorts (q01 rotated
+    # out r8 — driver-green r7 with its DECIMAL arithmetic; ten other
+    # relational entries hold r8 window slots above)
+    "q21_event_type_stats_salted",
     "q34_funnel_conversion", "q36_cohort_retention",
     # dedup: exact, MinHash-LSH, embedding near-dup, CC
     # (d15 rotated out r7, driver-green r6)

@@ -303,7 +303,7 @@ def test_p08_delta_scan_pushed_merge_reads_rollup(spark, queries):
     assert len(re.findall(r"PushedFilters:.*GreaterThanOrEqual\(ts", plan)) == 1, plan
     # the stored-rollup scan reads aggregate columns, not raw events
     assert re.search(
-        r"ReadSchema: struct<day:date,event_type:string,n_events:bigint,sum_value:double>",
+        r"ReadSchema: struct<day:date,event_type:string,n_events:bigint,sum_value:decimal\(28,2\)>",
         plan,
     ), plan
 
