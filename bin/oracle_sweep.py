@@ -59,9 +59,16 @@ def main() -> None:
     queries = all_queries()
 
     if "--no-default-guard" not in sys.argv[1:]:
-        auto = scale_guarded_names(infer_sf(SF_DIR))
+        sf = infer_sf(SF_DIR)
+        if sf is None:
+            print(
+                f"WARNING: no sf token in {SF_DIR!r} — scale unknown, "
+                "quadratic correctness anchors will run UNGUARDED",
+                flush=True,
+            )
+        auto = scale_guarded_names(sf)
         if auto:
-            print(f"auto scale guard at sf={infer_sf(SF_DIR)}: {sorted(auto)}", flush=True)
+            print(f"auto scale guard at sf={sf}: {sorted(auto)}", flush=True)
         SKIP.update(auto)
 
     import gc

@@ -27,6 +27,14 @@ Query set and what each exercises:
     q15_promo_revenue_share    lineitem x part — broadcast-immunity
                                control (dim side broadcast, hot probe
                                key never shuffles)
+  join-path coverage (VERDICT r7 item 5 — the hot partkey also skews
+  lineitem row sizes per orderkey group, and these are the fact-fact /
+  bucketed join shapes that a 100-TB cluster actually runs):
+    q03_shipping_priority      lineitem⋈orders shuffle join + group agg
+    q05_revenue_by_nation      star join: fact-fact SMJ + 4 broadcasts
+    q31_bucketed_segment_revenue  bucketed SMJ (co-located, no shuffle)
+    q35_copurchase_pairs       orderkey self-join — pair fan-out under
+                               a hot part (the quadratic-blowup canary)
 
 Usage: python bin/skew_bench.py [uniform_dir] [skew_dir] [--repeat N]
        defaults: testdata_sf1 testdata_sf1skew --repeat 2
@@ -56,17 +64,24 @@ SKEW_SET = [
     "t12_dsir_importance",
     "t15_bigram_xent",
     "q15_promo_revenue_share",
+    "q03_shipping_priority",
+    "q05_revenue_by_nation",
+    "q31_bucketed_segment_revenue",
+    "q35_copurchase_pairs",
 ]
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    uniform = os.path.abspath(args[0] if args else "testdata_sf1")
-    skewed = os.path.abspath(args[1] if len(args) > 1 else "testdata_sf1skew")
-    repeat = 2
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--repeat":
-            repeat = int(sys.argv[1:][i + 1])
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("uniform_dir", nargs="?", default="testdata_sf1")
+    ap.add_argument("skew_dir", nargs="?", default="testdata_sf1skew")
+    ap.add_argument("--repeat", type=int, default=2)
+    ns = ap.parse_args()
+    uniform = os.path.abspath(ns.uniform_dir)
+    skewed = os.path.abspath(ns.skew_dir)
+    repeat = ns.repeat
 
     from sketchmlflink_spark.registry import all_queries
     from sketchmlflink_spark.session import get_spark

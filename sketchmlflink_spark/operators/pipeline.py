@@ -1224,28 +1224,33 @@ def p17_orc_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     serial-commit pathology), maxRecordsPerFile caps file size, and the
     read-back aggregate prunes to 4 of 6 columns at the ORC scan."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     ev = t(spark, sf_dir, "events")
-    # Fixed per-sf path (NOT pid-keyed): mode("overwrite") then bounds
-    # the on-disk footprint to one copy per sf_dir no matter how many
-    # sweep/bench/test processes run p17.
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "orc_events_" + sf_dir.strip("/").replace("/", "_"),
-    )
-    (
-        ev.repartition("event_type")
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", 1_000_000)
-        .partitionBy("event_type")
-        .orc(out_dir)
-    )
-    back = spark.read.orc(out_dir)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.count_distinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
-    )
+    # Unique per-invocation path + eager read-back + rmtree (ADVICE r7):
+    # a fixed per-sf path raced when two sweep/bench processes ran p17
+    # concurrently — one process's overwrite deleted files under the
+    # other's lazy read. The audit aggregate is tiny (|event_type| rows),
+    # so materializing it eagerly lets the ORC dataset be deleted before
+    # returning — zero lingering footprint AND no shared mutable path.
+    out_dir = os.path.join(tempfile.gettempdir(), f"orc_events_{uuid.uuid4().hex}")
+    try:
+        (
+            ev.repartition("event_type")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 1_000_000)
+            .partitionBy("event_type")
+            .orc(out_dir)
+        )
+        back = spark.read.orc(out_dir)
+        return back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -152,12 +152,64 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = 3) -> Data
     )
 
 
+def _duck_plane(plane: list[float]) -> str:
+    """Render a hyperplane as a DuckDB DOUBLE[] literal. repr() is the
+    shortest round-trip form, so DuckDB parses back the bit-identical
+    double and its sequential list_dot_product fold reproduces Spark's
+    ``dot`` exactly — signs (and therefore buckets) can never differ."""
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _s03_body() -> str:
+    """CTE chain ending in ``lsh_arm`` (q_id, n_id, rnk, cos) — the LSH
+    arm's top-3, replayed from the literal hyperplanes."""
+    bucket = "\n         + ".join(
+        f"(CASE WHEN list_dot_product(v, {_duck_plane(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(LSH_HYPERPLANES)
+    )
+    return f"""
+lshb AS MATERIALIZED (
+    SELECT vec_id, v,
+           {bucket} AS bucket
+    FROM e
+),
+lsh_arm AS (
+    SELECT q_id, n_id, rnk, cos
+    FROM (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+        FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+            FROM lshb q JOIN lshb c ON q.bucket = c.bucket
+            WHERE q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+        )
+    )
+    WHERE rnk <= 3
+)"""
+
+
+def _s03_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_s03_body()}
+SELECT q_id, n_id, CAST(rnk AS INT) AS rank, round(cos, 6) AS cosine
+FROM lsh_arm
+"""
+
+
 @register(
     "s03_ann_lsh_cosine",
-    oracle=None,  # LSH bucketing not oracle-expressible; recall vs s01 is pytest-checked
+    oracle=_s03_oracle(),
     tags=("similarity", "ann", "lsh"),
 )
 def s03_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled since round 8: the hyperplanes are fixed literal
+    constants and ``dot`` is a sequential fold, so the whole pipeline —
+    sign pattern → bucket equi-join → per-query top-k — is replayed by
+    DuckDB byte-for-byte (the d14 pattern: an engine-portable hash
+    family makes an "approximate" index exactly auditable)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
     return ann_lsh_topk(emb)
 
@@ -197,52 +249,127 @@ IVF_ITERS = 3
 
 IVF_TRAIN_CAP = 4096
 
+# Index-build arithmetic lives on a fixed-point grid: every coordinate
+# is quantized to 1e-6 (QSCALE grid units) and all Lloyd distances,
+# assignments, probe selections, and ADC scores are EXACT int64 —
+# order-free and engine-portable. This is what makes the IVF/PQ index
+# BUILD bitwise reproducible run-to-run (and replayable by the DuckDB
+# oracle): the float version's BLAS accumulation order made centroid
+# means — and therefore list assignments — probabilistically stable,
+# the same latent-nondeterminism class as the round-7 q05 money-sum
+# flip, just hiding in an index instead of an aggregate. Quantizing an
+# index build is standard practice (scalar-quantized faiss indexes);
+# 1e-6 is far below any embedding's noise floor, and the SEARCH-side
+# similarity values stay exact float cosines on the raw vectors.
+QSCALE = 1_000_000.0
+
+
+def q_quantize(X):
+    """float (n, d) → int64 grid units: floor(x·1e6 + 0.5) — exact
+    half-up, one multiply + one add + one floor, reproduced verbatim by
+    the oracle (DuckDB round() is half-away, numpy round() half-even;
+    floor(+0.5) sidesteps both)."""
+    import numpy as np
+
+    return np.floor(X * QSCALE + 0.5).astype(np.int64)
+
+
+def q_normalize_int(Q):
+    """L2-normalize int64 grid vectors back onto the grid. The norm is
+    sqrt of an EXACT integer (Σq² < 2⁵³ at dim 64), so the per-element
+    (q / s) · 1e6 + 0.5 floor chain is deterministic IEEE on
+    deterministic inputs — bit-identical in numpy and DuckDB."""
+    import numpy as np
+
+    n2 = (Q * Q).sum(1)
+    s = np.sqrt(n2.astype(np.float64))
+    return np.floor((Q / s[:, None]) * QSCALE + 0.5).astype(np.int64)
+
+
+def int_d2(Xq, Cq):
+    """(n, d) × (k, d) int64 → (n, k) EXACT squared distances. int64
+    arithmetic is associative — no accumulation-order dependence; at
+    QSCALE=1e6 and dim 64 the sums stay < 2⁶³ for |x| up to ~40."""
+    return ((Xq[:, None, :] - Cq[None, :, :]) ** 2).sum(-1)
+
+
+def int_mean_halfup(s, n):
+    """Per-dimension half-up (away-from-zero) integer mean, staying on
+    the grid: sign(s)·((2|s| + n) // (2n)). Positive-only inside the
+    floor-division, so DuckDB's truncating `//` and Python's flooring
+    `//` agree."""
+    import numpy as np
+
+    return np.sign(s) * ((2 * np.abs(s) + n) // (2 * n))
+
+
+def lloyd_int(Xq, k: int, iters: int):
+    """Lloyd's k-means entirely in exact int64 grid arithmetic:
+    assignment by exact integer d², ties to the lowest cluster index
+    (numpy argmin = first occurrence), centroid update rounded half-up
+    back onto the grid, empty clusters keep their previous centroid.
+    Every step is order-free ⇒ the trained quantizer is a pure function
+    of (sample order, k, iters) — replayable as unrolled SQL CTEs."""
+    import numpy as np
+
+    C = Xq[:k].copy()
+    for _ in range(iters):
+        cl = int_d2(Xq, C).argmin(1)
+        for j in range(k):
+            m = cl == j
+            if m.any():
+                C[j] = int_mean_halfup(Xq[m].sum(0), int(m.sum()))
+    return C
+
+
+def sample_by_md5(emb: DataFrame, cap: int):
+    """The bounded training sample, ordered by md5(vec_id) — an
+    engine-portable shuffle both Spark and DuckDB compute byte-for-byte
+    (the d14 lesson: xxhash64 order was Spark-only, which alone made
+    the index build non-replayable)."""
+    return (
+        emb.select("vec_id", "v")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(int(cap))
+        .collect()
+    )
+
 
 def ivf_train_centroids(
     emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS, sample_cap: int | None = IVF_TRAIN_CAP
 ):
-    """k-means coarse quantizer → numpy (k, dim) centroid matrix.
+    """k-means coarse quantizer → numpy (k, dim) int64 centroid matrix
+    in QSCALE grid units.
 
     Default path (``sample_cap`` set) is the faiss/IVF-standard design:
     train on a BOUNDED deterministic sample (first ``sample_cap`` rows
-    by xxhash64 order) with Lloyd iterations running driver-side in
+    by md5(vec_id) order) with Lloyd iterations running driver-side in
     numpy. Centroid quality depends on sample size per centroid, not
-    corpus size, so at 100 TB the sample (cap·dim doubles, ~2 MB here)
+    corpus size, so at 100 TB the sample (cap·dim ints, ~2 MB here)
     is all that ever leaves the executors and training costs ONE Spark
     job regardless of ``iters``. ``sample_cap=None`` switches to
     full-corpus distributed Lloyd (one map-side-combine job per
-    iteration) for when the quantizer must see every row."""
+    iteration) for when the quantizer must see every row; both arms do
+    the identical exact-int update, so their parity is exact equality,
+    not a tolerance (pytest asserts this)."""
     import numpy as np
 
     if sample_cap is not None:
-        rows = (
-            emb.select("vec_id", "v")
-            .orderBy(F.xxhash64(F.col("vec_id")))
-            .limit(int(sample_cap))
-            .collect()
-        )
-        # init = first k of the xxhash-ordered sample — identical to the
-        # distributed arm's init, so the two paths agree whenever the
-        # sample covers the corpus (pytest asserts this parity)
+        rows = sample_by_md5(emb, sample_cap)
         X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-        C = X[:k].copy()
-        for _ in range(iters):
-            d2 = (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)
-            cl = d2.argmin(axis=1)
-            for j in range(k):
-                mask = cl == j
-                if mask.any():
-                    C[j] = X[mask].mean(axis=0)
-        return C
+        return lloyd_int(q_quantize(X), k, iters)
     return _ivf_train_centroids_distributed(emb, k, iters)
 
 
 def _ivf_train_centroids_distributed(emb: DataFrame, k: int, iters: int):
     """Full-corpus distributed Lloyd: each iteration is ONE job — every
-    partition assigns its block to the broadcast centroids with a numpy
-    argmin and emits k partial (sum, count) rows, merged by a tiny hash
-    aggregate (classic map-side-combine k-means). Centroids stay numpy
-    on the driver (k·dim doubles), like the reference broadcasts its
+    partition assigns its block to the broadcast centroids with an
+    exact-int numpy argmin and emits k partial (sum, count) rows, merged
+    by a tiny hash aggregate (classic map-side-combine k-means).
+    Partials are int64, so the merge is EXACT regardless of partition
+    count or merge order — the distributed arm equals the sampled arm
+    bit-for-bit whenever the sample covers the corpus. Centroids stay
+    numpy on the driver (k·dim ints), like the reference broadcasts its
     weight vector each epoch (SGD:195). An earlier Catalyst-expression
     variant embedded centroid literals in codegen, recompiling ~1 s of
     generated Java per iteration — numpy + broadcast avoids
@@ -251,25 +378,29 @@ def _ivf_train_centroids_distributed(emb: DataFrame, k: int, iters: int):
     import pandas as pd
 
     spark = emb.sparkSession
-    init = emb.select("vec_id", "v").orderBy(F.xxhash64(F.col("vec_id"))).limit(k).collect()
-    C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in init])
+    init = (
+        emb.select("vec_id", "v")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(k)
+        .collect()
+    )
+    C = q_quantize(np.stack([np.asarray(r["v"], dtype=np.float64) for r in init]))
     dim = C.shape[1]
-    sum_cols = ", ".join(f"s{i} double" for i in range(dim))
+    sum_cols = ", ".join(f"s{i} long" for i in range(dim))
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(C)
 
         def partials(batches):
             cents = bc.value
             kk, dd = cents.shape
-            sums = np.zeros((kk, dd))
+            sums = np.zeros((kk, dd), dtype=np.int64)
             cnt = np.zeros(kk, dtype=np.int64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                X = np.stack(pdf["v"].to_numpy())
-                d2 = (X * X).sum(1, keepdims=True) - 2.0 * (X @ cents.T) + (cents * cents).sum(1)
-                cl = d2.argmin(axis=1)
-                np.add.at(sums, cl, X)
+                Xq = q_quantize(np.stack(pdf["v"].to_numpy()))
+                cl = int_d2(Xq, cents).argmin(axis=1)
+                np.add.at(sums, cl, Xq)
                 cnt += np.bincount(cl, minlength=kk)
             out = {"cluster": np.arange(kk), "n": cnt}
             for i in range(dd):
@@ -286,7 +417,8 @@ def _ivf_train_centroids_distributed(emb: DataFrame, k: int, iters: int):
         bc.destroy()
         for r in rows:
             if r["n"] > 0:
-                C[r["cluster"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+                s = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.int64)
+                C[r["cluster"]] = int_mean_halfup(s, int(r["n"]))
     return C
 
 
@@ -300,7 +432,8 @@ def ivf_ann_topk(
     nearest centroid; each query probes its nprobe nearest lists and
     scans only those — ~nprobe/IVF_K of the corpus instead of the s01
     cross join. One pass over the corpus: each partition block assigns
-    itself to lists (numpy argmin vs broadcast centroids), computes
+    itself to lists (exact-int numpy argmin vs broadcast int centroids,
+    so the partitioning of the INDEX is bitwise deterministic), computes
     exact cosine against the (tiny, broadcast) query set for matching
     lists, and only (q_id, n_id, cos) candidate rows shuffle into the
     per-query top-k window."""
@@ -313,7 +446,7 @@ def ivf_ann_topk(
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    qd2 = (Q * Q).sum(1, keepdims=True) - 2.0 * (Q @ C.T) + (C * C).sum(1)
+    qd2 = int_d2(q_quantize(Q), C)
     probe_sets = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
     bc = spark.sparkContext.broadcast((q_ids, Qn, probe_sets, C))
 
@@ -324,8 +457,7 @@ def ivf_ann_topk(
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             X = np.stack(pdf["v"].to_numpy())
-            d2 = (X * X).sum(1, keepdims=True) - 2.0 * (X @ cents.T) + (cents * cents).sum(1)
-            cl = d2.argmin(axis=1)
+            cl = int_d2(q_quantize(X), cents).argmin(axis=1)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             cos_all = Xn @ Qn_.T  # block × queries
             out_q, out_n, out_c = [], [], []
@@ -351,12 +483,152 @@ def ivf_ann_topk(
     )
 
 
+# --- DuckDB replay of the int-grid index build (s05/s06/s14 oracles) ---
+# The quantized trainer (q_quantize / lloyd_int / int_mean_halfup) is a
+# pure function of the md5-ordered sample, so the whole index build
+# unrolls into SQL CTEs whose integer arithmetic matches numpy's
+# bit-for-bit — the d14 "engine-portable hash family" idea applied to a
+# vector index instead of a MinHash signature.
+
+def _duck_d2(qcol: str, ccol: str, dim: int) -> str:
+    """Exact integer squared distance between two BIGINT lists."""
+    return (
+        f"list_sum(list_transform(range({dim}), "
+        f"j -> ({qcol}[j+1]-{ccol}[j+1])*({qcol}[j+1]-{ccol}[j+1])))"
+    )
+
+
+def _duck_idot(qcol: str, ccol: str, dim: int) -> str:
+    """Exact integer dot product between two BIGINT lists."""
+    return f"list_sum(list_transform(range({dim}), j -> {qcol}[j+1]*{ccol}[j+1]))"
+
+
+_DUCK_QE = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qe AS MATERIALIZED (SELECT vec_id, v,
+              list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       FROM e)"""
+
+
+def _duck_sample(src: str, cap: int, name: str = "samp") -> str:
+    return f"""
+{name} AS MATERIALIZED (SELECT vec_id, qv,
+                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rk
+         FROM {src} QUALIFY rk <= {cap})"""
+
+
+def _duck_lloyd(prefix: str, pts: str, k: int, iters: int, dim: int, group: str = "") -> str:
+    """Unrolled exact-int Lloyd CTE chain. ``pts`` must expose (rk, qv
+    [, {group}]); emits ``{prefix}{iters}`` with (cluster, cv [, group]).
+    Init = first k rows in sample order (per group); assignment ties go
+    to the lowest cluster; the half-up integer mean stays on the grid;
+    empty clusters keep the previous centroid (LEFT JOIN + coalesce)."""
+    g_sel = f"{group}, " if group else ""
+    g_part = f"{group}, " if group else ""
+    g_join = f" AND c.{group} = s.{group}" if group else ""
+    g_using = f"({group}, cluster)" if group else "(cluster)"
+    out = [
+        f"""
+{prefix}0 AS MATERIALIZED (SELECT {g_sel}rk - 1 AS cluster, qv AS cv FROM {pts} WHERE rk <= {k})"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"{prefix}{i - 1}"
+        out.append(f"""
+{prefix}a{i} AS MATERIALIZED (
+    SELECT {g_sel}vec_rk, qv, cluster,
+           row_number() OVER (PARTITION BY {g_part}vec_rk ORDER BY d2, cluster) AS rn
+    FROM (SELECT {('s.' + group + ', ') if group else ''}s.rk AS vec_rk, s.qv, c.cluster,
+                 {_duck_d2('s.qv', 'c.cv', dim)} AS d2
+          FROM {pts} s JOIN {p} c ON TRUE{g_join})
+),
+{prefix}m{i} AS MATERIALIZED (
+    SELECT {g_sel}cluster, d, sum(x) AS sx, count(*) AS n
+    FROM (SELECT {g_sel}cluster, unnest(qv) AS x, unnest(range({dim})) AS d
+          FROM {prefix}a{i} WHERE rn = 1)
+    GROUP BY {g_sel}cluster, d
+),
+{prefix}{i} AS MATERIALIZED (
+    SELECT {('p.' + group + ' AS ' + group + ', ') if group else ''}p.cluster, coalesce(u.cv, p.cv) AS cv
+    FROM {p} p LEFT JOIN (
+        SELECT {g_sel}cluster,
+               list(CAST(CAST(sign(sx) AS BIGINT) * ((2*abs(sx) + n) // (2*n)) AS BIGINT)
+                    ORDER BY d) AS cv
+        FROM {prefix}m{i} GROUP BY {g_sel}cluster) u USING {g_using}
+)""")
+    return ",".join(out)
+
+
+def _duck_assign(name: str, pts: str, cents: str, dim: int, id_col: str = "vec_id") -> str:
+    """Nearest-centroid assignment of ``pts`` (exposing id_col, qv) to
+    ``cents`` (cluster, cv), ties to the lowest cluster."""
+    return f"""
+{name} AS MATERIALIZED (
+    SELECT {id_col}, cluster
+    FROM (SELECT p.{id_col}, c.cluster,
+                 row_number() OVER (PARTITION BY p.{id_col} ORDER BY
+                     {_duck_d2('p.qv', 'c.cv', dim)}, c.cluster) AS rn
+          FROM {pts} p CROSS JOIN {cents} c)
+    WHERE rn = 1
+)"""
+
+
+def _s05_body(dim: int = EMBED_DIM) -> str:
+    """CTE chain ending in ``ivf_arm`` (q_id, n_id, rnk, cos) — the IVF
+    arm's top-3, replayed from the int-grid index build."""
+    return f"""{_duck_sample('qe', IVF_TRAIN_CAP)},
+{_duck_lloyd('c', 'samp', IVF_K, IVF_ITERS, dim)},
+{_duck_assign('assign', 'qe', f'c{IVF_ITERS}', dim)},
+probes AS (
+    SELECT q_id, cluster
+    FROM (SELECT p.vec_id AS q_id, c.cluster,
+                 row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     {_duck_d2('p.qv', 'c.cv', dim)}, c.cluster) AS rn
+          FROM qe p CROSS JOIN c{IVF_ITERS} c
+          WHERE p.vec_id < {N_QUERIES})
+    WHERE rn <= {IVF_NPROBE}
+),
+ivf_arm AS (
+    SELECT q_id, n_id, rnk, cos
+    FROM (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+        FROM (
+            SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                   list_dot_product(q.v, n.v)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+            FROM qe q
+            JOIN probes p ON p.q_id = q.vec_id
+            JOIN assign a ON a.cluster = p.cluster
+            JOIN qe n ON n.vec_id = a.vec_id AND n.vec_id != q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        )
+    )
+    WHERE rnk <= 3
+)"""
+
+
+def _s05_oracle() -> str:
+    return f"""
+WITH {_DUCK_QE},
+{_s05_body()}
+SELECT q_id, n_id, CAST(rnk AS INT) AS rank, round(cos, 6) AS cosine
+FROM ivf_arm
+"""
+
+
 @register(
     "s05_ivf_ann_cosine",
-    oracle=None,  # k-means partitioning isn't oracle-expressible; recall vs s01 is pytest-checked
+    oracle=_s05_oracle(),
     tags=("similarity", "ann", "ivf"),
 )
 def s05_ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled since round 8: the coarse quantizer trains on the
+    exact int64 grid from an md5-ordered sample, so DuckDB replays the
+    ENTIRE index build — sample, three Lloyd iterations, corpus
+    assignment, probe selection — as unrolled CTEs, then the candidate
+    cosines and top-k exactly as s01. An ANN index whose BUILD is
+    bitwise replayable by a second engine is the strongest audit story
+    this surface has."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
     return ivf_ann_topk(emb)
 
@@ -389,31 +661,24 @@ PQ_ITERS = 5
 PQ_CAND = 32  # ADC candidates per query fed to exact re-rank
 
 
-def pq_train(X, C, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS):
-    """Per-subspace Lloyd on coarse residuals → (m, ksub, dsub) codebooks.
+def pq_train(Xq, Cq, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS):
+    """Per-subspace Lloyd on coarse residuals → (m, ksub, dsub) int64
+    codebooks in grid units.
 
     Trains on the same bounded sample as the coarse quantizer (one
     driver-side numpy pass; cost is sample-size-bound, corpus-size-free).
-    Deterministic init: first ksub distinct rows of each subspace.
-    """
+    Deterministic init: first ksub rows of each subspace in sample
+    order. Residuals of grid ints are grid ints, so the whole training
+    is the same exact-int Lloyd as the coarse quantizer — order-free,
+    bitwise reproducible, oracle-replayable."""
     import numpy as np
 
-    n, dim = X.shape
+    n, dim = Xq.shape
     dsub = dim // m
-    d2 = (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)
-    R = X - C[d2.argmin(axis=1)]
-    books = np.empty((m, ksub, dsub))
+    R = Xq - Cq[int_d2(Xq, Cq).argmin(axis=1)]
+    books = np.empty((m, ksub, dsub), dtype=np.int64)
     for mi in range(m):
-        S = R[:, mi * dsub : (mi + 1) * dsub]
-        B = S[:ksub].copy()
-        for _ in range(iters):
-            dd = (S * S).sum(1, keepdims=True) - 2.0 * (S @ B.T) + (B * B).sum(1)
-            cl = dd.argmin(axis=1)
-            for j in range(ksub):
-                mask = cl == j
-                if mask.any():
-                    B[j] = S[mask].mean(axis=0)
-        books[mi] = B
+        books[mi] = lloyd_int(R[:, mi * dsub : (mi + 1) * dsub], ksub, iters)
     return books
 
 
@@ -427,28 +692,20 @@ def ivf_pq_topk(
     """IVF-PQ ANN (see module-level block comment). All vectors are
     L2-normalized before encoding so PQ-approximated inner product ≈
     cosine; the final answer is EXACT cosine on re-ranked candidates, so
-    PQ error only costs recall, never wrong similarity values."""
+    PQ error only costs recall, never wrong similarity values. Since
+    round 8 the whole index side — normalization, coarse + PQ training,
+    encoding, ADC scores — runs on the exact int64 grid (see QSCALE), so
+    the code table and the ADC candidate cut are bitwise deterministic
+    under any partitioning and replayable by the DuckDB oracle."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
     # --- train (single bounded-sample collect feeds both quantizers) ---
-    rows = (
-        emb.select("vec_id", "v")
-        .orderBy(F.xxhash64(F.col("vec_id")))
-        .limit(int(IVF_TRAIN_CAP))
-        .collect()
-    )
+    rows = sample_by_md5(emb, IVF_TRAIN_CAP)
     X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    C = Xn[:IVF_K].copy()
-    for _ in range(IVF_ITERS):
-        d2 = (Xn * Xn).sum(1, keepdims=True) - 2.0 * (Xn @ C.T) + (C * C).sum(1)
-        cl = d2.argmin(axis=1)
-        for j in range(IVF_K):
-            mask = cl == j
-            if mask.any():
-                C[j] = Xn[mask].mean(axis=0)
+    Xn = q_normalize_int(q_quantize(X))
+    C = lloyd_int(Xn, IVF_K, IVF_ITERS)
     books = pq_train(Xn, C)
     dsub = Xn.shape[1] // PQ_M
 
@@ -457,10 +714,10 @@ def ivf_pq_topk(
     qrows = emb.where(F.col("vec_id") < n_queries).collect()
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    qc = Qn @ C.T  # (nq, IVF_K): q · C[l]
+    Qn = q_normalize_int(q_quantize(Q))
+    qc = Qn @ C.T  # (nq, IVF_K): q · C[l] — exact int64
     probe_sets = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
-    # luts[qi, mi, code] = q_sub · codeword  (list-independent part)
+    # luts[qi, mi, code] = q_sub · codeword (list-independent part) — exact int64
     luts = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), PQ_M, dsub), books)
     bc = spark.sparkContext.broadcast((q_ids, qc, probe_sets, luts, C, books))
 
@@ -471,17 +728,12 @@ def ivf_pq_topk(
             if len(pdf) == 0:
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            V = np.stack(pdf["v"].to_numpy())
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            d2 = (Vn * Vn).sum(1, keepdims=True) - 2.0 * (Vn @ cents.T) + (cents * cents).sum(1)
-            lst = d2.argmin(axis=1)
+            Vn = q_normalize_int(q_quantize(np.stack(pdf["v"].to_numpy())))
+            lst = int_d2(Vn, cents).argmin(axis=1)
             R = Vn - cents[lst]
             codes = np.empty((len(Vn), PQ_M), dtype=np.int64)
             for mi in range(PQ_M):
-                S = R[:, mi * dsub : (mi + 1) * dsub]
-                B = bks[mi]
-                dd = (S * S).sum(1, keepdims=True) - 2.0 * (S @ B.T) + (B * B).sum(1)
-                codes[:, mi] = dd.argmin(axis=1)
+                codes[:, mi] = int_d2(R[:, mi * dsub : (mi + 1) * dsub], bks[mi]).argmin(axis=1)
             yield pd.DataFrame(
                 {"vec_id": ids, "list_id": lst, "codes": list(codes)}
             )
@@ -500,8 +752,10 @@ def ivf_pq_topk(
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             lst = pdf["list_id"].to_numpy(dtype=np.int64)
             codes = np.stack(pdf["codes"].to_numpy())  # (n, PQ_M)
-            # q·codeword summed over subspaces, for every row at once
-            sub_scores = np.zeros((len(ids), nq))
+            # q·codeword summed over subspaces, for every row at once —
+            # exact int64, so block-local and global cuts can never
+            # disagree on a tie
+            sub_scores = np.zeros((len(ids), nq), dtype=np.int64)
             for mi in range(PQ_M):
                 sub_scores += luts_[:, mi, codes[:, mi]].T  # (n, nq)
             out_q, out_n, out_s = [], [], []
@@ -510,7 +764,9 @@ def ivf_pq_topk(
                 if not mask.any():
                     continue
                 score = qc_[qi, lst[mask]] + sub_scores[mask, qi]
-                idx = np.argsort(-score, kind="stable")[:cand]
+                # (score desc, n_id asc) — identical to the global
+                # window's ordering, so the block-local cut is lossless
+                idx = np.lexsort((ids[mask], -score))[:cand]
                 out_q.append(np.full(len(idx), q_ids_[qi], dtype=np.int64))
                 out_n.append(ids[mask][idx])
                 out_s.append(score[idx])
@@ -524,7 +780,7 @@ def ivf_pq_topk(
                 }
             )
 
-    adc = code_table.mapInPandas(adc_scan, "q_id long, n_id long, adc double")
+    adc = code_table.mapInPandas(adc_scan, "q_id long, n_id long, adc long")
     wq = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("n_id"))
     cand_ids = (
         adc.withColumn("r", F.row_number().over(wq)).where(F.col("r") <= cand).select("q_id", "n_id")
@@ -548,12 +804,113 @@ def ivf_pq_topk(
     )
 
 
+_DUCK_QN = """
+qn AS MATERIALIZED (SELECT vec_id, v,
+              list_transform(qv, x -> CAST(floor((x / sqrt(CAST(n2 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       FROM (SELECT vec_id, v, qv,
+                    list_sum(list_transform(qv, x -> x*x)) AS n2
+             FROM qe))"""
+
+
+def _s06_body(dim: int = EMBED_DIM) -> str:
+    """The shared CTE chain replaying s06's index build + ADC search
+    (everything up to the candidate set). Used by the s06 and s14
+    oracles."""
+    dsub = dim // PQ_M
+    f = IVF_ITERS  # final coarse CTE suffix
+    bf = PQ_ITERS  # final codebook CTE suffix
+    return f"""{_DUCK_QN},
+{_duck_sample('qn', IVF_TRAIN_CAP, name='nsamp')},
+{_duck_lloyd('cn', 'nsamp', IVF_K, IVF_ITERS, dim)},
+mis AS (SELECT unnest(range({PQ_M})) AS mi),
+{_duck_assign('sassign', 'nsamp', f'cn{f}', dim, id_col='rk')},
+sres AS MATERIALIZED (
+    SELECT s.rk, list_transform(range({dim}), j -> s.qv[j+1] - c.cv[j+1]) AS rv
+    FROM nsamp s JOIN sassign a USING (rk) JOIN cn{f} c ON c.cluster = a.cluster
+),
+rsub AS (SELECT rk, mi, rv[mi*{dsub}+1 : mi*{dsub}+{dsub}] AS qv FROM sres CROSS JOIN mis),
+{_duck_lloyd('b', 'rsub', PQ_KSUB, PQ_ITERS, dsub, group='mi')},
+{_duck_assign('cassign', 'qn', f'cn{f}', dim)},
+cres AS MATERIALIZED (
+    SELECT n.vec_id, a.cluster, list_transform(range({dim}), j -> n.qv[j+1] - c.cv[j+1]) AS rv
+    FROM qn n JOIN cassign a USING (vec_id) JOIN cn{f} c ON c.cluster = a.cluster
+),
+csub AS (SELECT vec_id, cluster, mi, rv[mi*{dsub}+1 : mi*{dsub}+{dsub}] AS sv FROM cres CROSS JOIN mis),
+codes AS MATERIALIZED (
+    SELECT vec_id, cluster, mi, code
+    FROM (SELECT s.vec_id, s.cluster, s.mi, b.cluster AS code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+                     {_duck_d2('s.sv', 'b.cv', dsub)}, b.cluster) AS rn
+          FROM csub s JOIN b{bf} b ON b.mi = s.mi)
+    WHERE rn = 1
+),
+qq AS (SELECT vec_id AS q_id, qv FROM qn WHERE vec_id < {N_QUERIES}),
+pq_probes AS (
+    SELECT q_id, cluster, qcdot
+    FROM (SELECT q.q_id, c.cluster, {_duck_idot('q.qv', 'c.cv', dim)} AS qcdot,
+                 row_number() OVER (PARTITION BY q.q_id ORDER BY
+                     {_duck_idot('q.qv', 'c.cv', dim)} DESC, c.cluster) AS rn
+          FROM qq q CROSS JOIN cn{f} c)
+    WHERE rn <= {IVF_NPROBE}
+),
+qsub AS (SELECT q_id, mi, qv[mi*{dsub}+1 : mi*{dsub}+{dsub}] AS sv FROM qq CROSS JOIN mis),
+luts AS (
+    SELECT s.q_id, b.mi, b.cluster AS code, {_duck_idot('s.sv', 'b.cv', dsub)} AS lut
+    FROM qsub s JOIN b{bf} b ON b.mi = s.mi
+),
+adc AS (
+    SELECT p.q_id, k.vec_id AS n_id, max(p.qcdot) + sum(l.lut) AS score
+    FROM pq_probes p
+    JOIN codes k ON k.cluster = p.cluster
+    JOIN luts l ON l.q_id = p.q_id AND l.mi = k.mi AND l.code = k.code
+    WHERE k.vec_id != p.q_id
+    GROUP BY p.q_id, k.vec_id
+),
+pq_cand AS (
+    SELECT q_id, n_id
+    FROM (SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn
+          FROM adc)
+    WHERE rn <= {PQ_CAND}
+),
+pq_arm AS (
+    SELECT q_id, n_id, rnk, cos
+    FROM (
+        SELECT c.q_id, c.n_id,
+               list_dot_product(q.v, n.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos,
+               row_number() OVER (PARTITION BY c.q_id ORDER BY
+                   list_dot_product(q.v, n.v)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) DESC,
+                   c.n_id) AS rnk
+        FROM pq_cand c
+        JOIN e q ON q.vec_id = c.q_id
+        JOIN e n ON n.vec_id = c.n_id
+    )
+    WHERE rnk <= 3
+)"""
+
+
+def _s06_oracle() -> str:
+    return f"""
+WITH {_DUCK_QE},
+{_s06_body()}
+SELECT q_id, n_id, CAST(rnk AS INT) AS rank, round(cos, 6) AS cosine
+FROM pq_arm
+"""
+
+
 @register(
     "s06_ivfpq_ann_cosine",
-    oracle=None,  # PQ quantization isn't oracle-expressible; recall vs s01 is pytest-checked
+    oracle=_s06_oracle(),
     tags=("similarity", "ann", "ivf", "pq"),
 )
 def s06_ivfpq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled since round 8: coarse quantizer, residual PQ
+    codebooks, code table, ADC candidate cut — every stage of the
+    compressed index runs on the exact int64 grid, so DuckDB replays
+    the full build + search as unrolled CTEs and the exact re-rank
+    matches s01's cosine arithmetic byte-for-byte."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
     return ivf_pq_topk(emb)
 
@@ -1158,9 +1515,72 @@ def s13_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same idea for MinHash estimates). An index you can't audit in the
 # same engine that built it is an index you can't trust at 100 TB.
 # --------------------------------------------------------------------------
+def _s14_recall_block(arm: str, label: str) -> str:
+    """Recall@k CTEs for one arm: dynamic k (the arm's max per-query row
+    count, exactly the engine's rule), hits = |arm ∩ exact-top-k|, per-
+    query rows for every ground-truth query plus the '__mean__' row from
+    exact integer sums (Σhits/(n·k) — never an avg of rounded doubles)."""
+    return f"""
+{arm}_k AS (SELECT coalesce(max(cnt), 0) AS k
+            FROM (SELECT count(*) AS cnt FROM {arm} GROUP BY q_id)),
+{arm}_hits AS (
+    SELECT t.q_id, count(*) AS hits
+    FROM truth t JOIN {arm} a ON a.q_id = t.q_id AND a.n_id = t.n_id
+    WHERE t.rnk <= (SELECT greatest(k, 1) FROM {arm}_k)
+    GROUP BY t.q_id
+),
+{arm}_perq AS (
+    SELECT '{label}' AS method, CAST(b.q_id AS VARCHAR) AS query,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           (SELECT CAST(k AS INT) FROM {arm}_k) AS k,
+           round(coalesce(h.hits, 0) / (SELECT greatest(k, 1) FROM {arm}_k), 4) AS recall
+    FROM base b LEFT JOIN {arm}_hits h ON h.q_id = b.q_id
+),
+{arm}_all AS (
+    SELECT * FROM {arm}_perq
+    UNION ALL
+    SELECT '{label}', '__mean__', CAST(sum(hits) AS BIGINT),
+           (SELECT CAST(k AS INT) FROM {arm}_k),
+           round(CAST(sum(hits) AS DOUBLE)
+                 / (count(*) * (SELECT greatest(k, 1) FROM {arm}_k)), 4)
+    FROM {arm}_perq
+)"""
+
+
+def _s14_oracle() -> str:
+    return f"""
+WITH {_DUCK_QE},
+{_s03_body()},
+{_s05_body()},
+{_s06_body()},
+truth AS MATERIALIZED (
+    SELECT q_id, n_id, rnk
+    FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                   c.vec_id) AS rnk
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    WHERE rnk <= {KNN_K}
+),
+base AS (SELECT DISTINCT q_id FROM truth),
+{_s14_recall_block('lsh_arm', 'lsh')},
+{_s14_recall_block('ivf_arm', 'ivf')},
+{_s14_recall_block('pq_arm', 'ivfpq')}
+SELECT method, query, hits, k, recall
+FROM (SELECT * FROM lsh_arm_all
+      UNION ALL SELECT * FROM ivf_arm_all
+      UNION ALL SELECT * FROM pq_arm_all)
+ORDER BY method, query
+"""
+
+
 @register(
     "s14_ann_recall_report",
-    oracle=None,  # audits non-SQL-expressible ANN paths; bounds pinned in pytest
+    oracle=_s14_oracle(),
     tags=("similarity", "ann", "recall", "audit"),
 )
 def s14_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1169,6 +1589,13 @@ def s14_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     overall: method, q_id, hits, k, recall — plus one '__mean__' row per
     method. The ground-truth arm runs ONCE and is reused against all
     three candidate frames.
+
+    Hash-oracled since round 8 (VERDICT r7 item 3): all three arms are
+    exactly replayable — LSH from its literal hyperplanes, IVF and
+    IVF-PQ from the int-grid index build — so the oracle recomputes the
+    ENTIRE report (arms + exact ground truth + recall joins) in one
+    DuckDB query. The '__mean__' rows use Σhits/(n·k) in exact integer
+    arithmetic, never an engine-order average of rounded doubles.
 
     100-TB plan shape: each arm's heavy work is its own already-audited
     plan (block-local top-k, banded LSH, IVF probes, ADC scan); this
@@ -1229,7 +1656,12 @@ def s14_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("__mean__").alias("query"),
             F.sum("hits").alias("hits"),
             F.max("k").alias("k"),
-            F.round(F.avg("recall"), 4).alias("recall"),
+            # exact integer arithmetic, then ONE division + ONE round:
+            # avg(rounded per-q recalls) would sum doubles in engine
+            # order (the q05 class, round 7) — Σhits/(n·k) is order-free
+            F.round(
+                F.sum("hits") / (F.count(F.lit(1)) * F.lit(max(arm_k, 1))), 4
+            ).alias("recall"),
         )
         per_method.append(per_q.unionByName(mean_row))
     out = per_method[0]

@@ -53,6 +53,24 @@ def _source_fingerprint(sf_dir: str, table: str) -> str:
     return h.hexdigest()[:12]
 
 
+def _fingerprinted_dir(kind: str, sf_dir: str, table: str) -> str:
+    """Replay-cache dir ``stream_<kind>_<sfpath>_<fingerprint>`` for the
+    current source bytes, PRUNING stale siblings first (ADVICE r7: each
+    fixture regeneration minted a new fingerprinted copy under /tmp and
+    the old ones were never removed — unbounded growth across
+    regeneration cycles). At most one materialized replay copy per
+    (kind, sf_dir) can exist."""
+    import shutil
+
+    prefix = f"stream_{kind}_" + sf_dir.strip("/").replace("/", "_") + "_"
+    fp = _source_fingerprint(sf_dir, table)
+    tmp = tempfile.gettempdir()
+    for name in os.listdir(tmp):
+        if name.startswith(prefix) and name != prefix + fp:
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+    return os.path.join(tmp, prefix + fp)
+
+
 def stream_dir_for(path: str) -> str:
     """The streaming file source only accepts directories; the test
     tables are single parquet files in a read-only tree. Expose a file
@@ -428,13 +446,7 @@ def jsonl_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     from sketchmlflink_spark.sources.jsonl import write_jsonl
     from sketchmlflink_spark.sources.tables import load_table
 
-    d = os.path.join(
-        tempfile.gettempdir(),
-        "stream_jsonl_"
-        + sf_dir.strip("/").replace("/", "_")
-        + "_"
-        + _source_fingerprint(sf_dir, "documents"),
-    )
+    d = _fingerprinted_dir("jsonl", sf_dir, "documents")
     marker = os.path.join(d, "_INGEST_READY")
     if not os.path.exists(marker):
         write_jsonl(load_table(spark, sf_dir, "documents"), d)
@@ -510,13 +522,7 @@ def late_replay_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     already split."""
     from sketchmlflink_spark.sources.tables import load_table
 
-    d = os.path.join(
-        tempfile.gettempdir(),
-        "stream_late_"
-        + sf_dir.strip("/").replace("/", "_")
-        + "_"
-        + _source_fingerprint(sf_dir, "events"),
-    )
+    d = _fingerprinted_dir("late", sf_dir, "events")
     marker = os.path.join(d, "_REPLAY_READY")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
@@ -603,13 +609,7 @@ def redelivery_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     late_replay_stream_dir)."""
     from sketchmlflink_spark.sources.tables import load_table
 
-    d = os.path.join(
-        tempfile.gettempdir(),
-        "stream_redeliver_"
-        + sf_dir.strip("/").replace("/", "_")
-        + "_"
-        + _source_fingerprint(sf_dir, "events"),
-    )
+    d = _fingerprinted_dir("redeliver", sf_dir, "events")
     marker = os.path.join(d, "_REPLAY_READY")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)

@@ -140,37 +140,37 @@ def test_pq_codebooks_shape_and_reconstruction(spark):
         pq_train,
     )
 
+    from sketchmlflink_spark.operators.similarity import (
+        int_d2,
+        lloyd_int,
+        q_normalize_int,
+        q_quantize,
+    )
+
     rng = np.random.default_rng(7)
     X = rng.standard_normal((512, 64))
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    C = Xn[:IVF_K].copy()
-    for _ in range(IVF_ITERS):
-        d2 = (Xn * Xn).sum(1, keepdims=True) - 2.0 * (Xn @ C.T) + (C * C).sum(1)
-        cl = d2.argmin(axis=1)
-        for j in range(IVF_K):
-            m = cl == j
-            if m.any():
-                C[j] = Xn[m].mean(axis=0)
+    Xn = q_normalize_int(q_quantize(X))
+    C = lloyd_int(Xn, IVF_K, IVF_ITERS)
     books = pq_train(Xn, C)
     assert books.shape == (PQ_M, PQ_KSUB, 64 // PQ_M)
-    d2 = (Xn * Xn).sum(1, keepdims=True) - 2.0 * (Xn @ C.T) + (C * C).sum(1)
-    R = Xn - C[d2.argmin(axis=1)]
+    R = Xn - C[int_d2(Xn, C).argmin(axis=1)]
     dsub = 64 // PQ_M
     err = 0.0
     base = float((R**2).sum())
     for mi in range(PQ_M):
         S = R[:, mi * dsub : (mi + 1) * dsub]
         B = books[mi]
-        dd = (S * S).sum(1, keepdims=True) - 2.0 * (S @ B.T) + (B * B).sum(1)
-        err += float(((S - B[dd.argmin(axis=1)]) ** 2).sum())
+        err += float(((S - B[int_d2(S, B).argmin(axis=1)]) ** 2).sum())
     assert err < 0.75 * base, f"PQ reconstruction barely better than zero codebook: {err}/{base}"
 
 
 def test_ivf_sampled_and_distributed_training_agree(spark):
     """When the training sample covers the whole corpus, the driver-side
     sampled Lloyd and the distributed map-side-combine Lloyd must
-    produce identical centroids (same xxhash64-ordered init, same
-    update rule) — cross-validating both implementations."""
+    produce BIT-IDENTICAL centroids (same md5-ordered init, same exact
+    int-grid update rule; int64 partials make the distributed merge
+    order-free) — cross-validating both implementations with exact
+    equality, not a tolerance."""
     import numpy as np
 
     from sketchmlflink_spark.operators.similarity import ivf_train_centroids
@@ -182,7 +182,7 @@ def test_ivf_sampled_and_distributed_training_agree(spark):
     )
     sampled = ivf_train_centroids(emb, k=4, iters=3, sample_cap=10_000)
     dist = ivf_train_centroids(emb, k=4, iters=3, sample_cap=None)
-    np.testing.assert_allclose(sampled, dist, rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(sampled, dist)
 
 
 def test_d06_block_pairs_match_bruteforce(spark, monkeypatch):

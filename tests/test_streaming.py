@@ -615,3 +615,86 @@ def test_st21_dedup_survives_midstream_crash_and_restart(spark, tmp_path):
     exact = load_table(spark, SF_SMALL, "events")
     assert landed.count() == exact.count()
     assert landed.select("event_id").distinct().count() == exact.count()
+
+
+def test_session_state_survives_restart_from_rocksdb_checkpoint(spark, tmp_path):
+    """CHAOS for the round-7 state-store migration (VERDICT r7 item 6):
+    a session_window query is stopped cleanly BETWEEN micro-batches,
+    then restarted from the same RocksDB-format checkpoint with new
+    files whose events CONTINUE sessions opened before the stop. The
+    HDFS→RocksDB format difference is exactly where a silent state
+    reset would hide: offsets would still resume (the offset log is
+    plain HDFS files), every batch would "succeed", but the restarted
+    run would open NEW sessions instead of extending the old ones. The
+    assertion pins the merged counts, so a reset cannot pass."""
+    import datetime
+
+    from sketchmlflink_spark.session import tune_for_session
+
+    tune_for_session(spark)  # applies the RocksDB state-store default
+    provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    assert "RocksDB" in provider, f"test requires the RocksDB default, got {provider!r}"
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def write_file(name: str, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [t0 + datetime.timedelta(minutes=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(src, name))
+
+    def run_once(query_name: str):
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+            .withWatermark("ts", P.WATERMARK)
+        )
+        q = (
+            P.sessionize(stream)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.table(query_name)
+
+    # run 1: users 7 and 9 open sessions, no session is anywhere near
+    # closing; the query terminates (AvailableNow) = a clean stop
+    # between micro-batches with live state in the RocksDB checkpoint
+    write_file("a.parquet", [(1, 0, 7), (2, 10, 7), (3, 5, 9)])
+    first = {(r["user_id"], r["session_start"]): r["n_in_session"]
+             for r in run_once("restart_rocksdb_run1").collect()}
+    assert first == {
+        (7, "2024-03-01 12:00:00"): 2,
+        (9, "2024-03-01 12:05:00"): 1,
+    }
+
+    # run 2, same checkpoint: the new file's events fall INSIDE the gap
+    # of the pre-stop sessions, so they must MERGE into them — possible
+    # only if the session state survived the restart byte-for-byte
+    write_file("b.parquet", [(4, 20, 7), (5, 25, 9)])
+    merged = {(r["user_id"], r["session_start"]): r["n_in_session"]
+              for r in run_once("restart_rocksdb_run2").collect()}
+    assert merged == {
+        (7, "2024-03-01 12:00:00"): 3,  # a state reset would show (7, 12:20): 1
+        (9, "2024-03-01 12:05:00"): 2,  # a state reset would show (9, 12:25): 1
+    }
