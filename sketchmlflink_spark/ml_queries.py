@@ -202,20 +202,44 @@ def m06_libsvm_cli_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "train", "csvline"),
 )
 def m08_csvline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's FULL 11-column CSV_Line metrics row
-    (Test.scala:71-77) for the exact arm — the S6 results-sink surface
-    kept driver-visible now that m03-m07 project their deterministic
-    columns for hash checks. Rows-only: total/per-epoch timings and the
+    """The reference's FULL CSV_Line metrics row (Test.scala:71-77) for
+    the exact arm — the S6 results-sink surface kept driver-visible now
+    that m03-m07 project their deterministic columns for hash checks —
+    EXTENDED with the gradient-byte accounting (the reference's own
+    metrics row concern, Test:72-77): exact_grad_bytes and
+    sketch_grad_bytes are the engine's per-combine-hop payload counters
+    for the two arms on the identical split, and sketch_byte_ratio is
+    their quotient — the PROBE_r07_ml compression headline as a
+    queryable engine metric. On THIS dim-64 dense input the ratio reads
+    1.0 by design: nnz=64 < auto_fallback_nnz=512, so the sketch arm
+    correctly ships exact payloads (sketching small dense gradients
+    LOSES bytes — PROBE_r07_ml measured 2.7× worse at dim 16; the ratio
+    exceeds 1 in the wide-sparse regime m05/m09 exercise, growing
+    4.3→6.5× across three decades). Rows-only: total/per-epoch timings and the
     float-order-sensitive error sums can't be SQL-reproduced; the error
     bound itself is pytest-pinned against closed-form OLS."""
     from sketchmlflink_spark.ml.regression import MultipleLinearRegression
 
     df = _training_df(spark, sf_dir)
     mlr = MultipleLinearRegression(iterations=5, step_size=0.5, compression="None")
-    return mlr.fit_evaluate_report(spark, df, split_key="vec_id").select(
-        "sketch_or_flink", "parallelism", "iterations", "step_size",
-        "compression_type", "input_file", "max_dim", "total_time_ms",
-        "time_per_epoch_ms", "absolute_error", "avg_error",
+    report = mlr.fit_evaluate_report(spark, df, split_key="vec_id")
+    sk = MultipleLinearRegression(iterations=5, step_size=0.5, compression="Sketch")
+    is_test = F.pmod(F.col("vec_id"), F.lit(4)) == 3
+    sk.fit(df.filter(~is_test))
+    sketch_bytes = int(sk.result_.shuffle_bytes)
+    return (
+        report.withColumnRenamed("shuffle_bytes", "exact_grad_bytes")
+        .withColumn("sketch_grad_bytes", F.lit(sketch_bytes))
+        .withColumn(
+            "sketch_byte_ratio",
+            F.round(F.col("exact_grad_bytes") / F.greatest(F.col("sketch_grad_bytes"), F.lit(1)), 2),
+        )
+        .select(
+            "sketch_or_flink", "parallelism", "iterations", "step_size",
+            "compression_type", "input_file", "max_dim", "total_time_ms",
+            "time_per_epoch_ms", "absolute_error", "avg_error",
+            "exact_grad_bytes", "sketch_grad_bytes", "sketch_byte_ratio",
+        )
     )
 
 
