@@ -428,7 +428,8 @@ SELECT source,
        CAST(count(*) AS BIGINT)                              AS n_pairs,
        CAST(sum(CASE WHEN align_score >= {MM06_THRESHOLD}
                 THEN 1 ELSE 0 END) AS BIGINT)                AS n_kept,
-       round(avg(align_score), 4)                            AS avg_score
+       round(CAST(sum(CAST(round(align_score, 12) AS DECIMAL(25,12))) AS DOUBLE)
+             / count(*), 4)                                  AS avg_score
 FROM pairs
 GROUP BY source
 """,
@@ -477,6 +478,12 @@ def mm06_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (F.col("align_score") >= MM06_THRESHOLD).cast("long")
             ).alias("n_kept"),
-            F.round(F.avg("align_score"), 4).alias("avg_score"),
+            # per-pair score fixed as 12-dp DECIMAL → exact order-free
+            # mean (t12/t15 recipe, round 8)
+            F.round(
+                F.sum(F.round(F.col("align_score"), 12).cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_score"),
         )
     )

@@ -463,7 +463,7 @@ def q13_events_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        CAST(count(*) AS BIGINT)     AS n_gaps,
-       round(avg(gap_sec), 4)       AS avg_gap_sec
+       round(CAST(sum(gap_sec) AS DOUBLE) / count(*), 4) AS avg_gap_sec
 FROM (
     SELECT user_id,
            CAST(floor(epoch(ts)) AS BIGINT)
@@ -476,6 +476,10 @@ GROUP BY user_id
     tags=("relational", "events", "window"),
 )
 def q14_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps are exact integer seconds, so the average is an exact
+    BIGINT sum divided once and rounded once (order-free — engine
+    `avg` internals over integral types differ between Spark and
+    DuckDB; the explicit sum/count form is provably identical)."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -483,7 +487,12 @@ def q14_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("gap_sec", gap)
         .where(F.col("gap_sec").isNotNull())
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_gaps"), F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum("gap_sec").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_gap_sec"),
+        )
     )
 
 
@@ -494,21 +503,36 @@ def q14_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_promo_revenue_share",
     oracle="""
 SELECT round(
-         100.0 * sum(CASE WHEN p_type = 'PROMO'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                               * CAST(1 - l_discount AS DECIMAL(4,2))
+                          ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS promo_share
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """,
     tags=("relational", "join", "case"),
 )
 def q15_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both revenue sums are exact DECIMAL (order-free, the q19/q39
+    recipe — a double-sum ratio is order-dependent in both its
+    numerator and denominator), converted to double once each, ONE
+    division, one round."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev_dec = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    promo = F.when(F.col("p_type") == "PROMO", rev_dec).otherwise(
+        F.lit(0).cast("decimal(17,4)")
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev_dec).cast("double"), 4
+            ).alias("promo_share")
+        )
     )
 
 
@@ -522,7 +546,7 @@ SELECT n_name,
        CAST(count(*) AS BIGINT)      AS n_suppliers,
        round(min(s_acctbal), 2)      AS min_bal,
        round(max(s_acctbal), 2)      AS max_bal,
-       round(avg(s_acctbal), 4)      AS avg_bal
+       round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) + 0.0 AS avg_bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """,
@@ -538,7 +562,14 @@ def q16_supplier_stats_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_suppliers"),
             F.round(F.min("s_acctbal"), 2).alias("min_bal"),
             F.round(F.max("s_acctbal"), 2).alias("max_bal"),
-            F.round(F.avg("s_acctbal"), 4).alias("avg_bal"),
+            # exact DECIMAL sum / count, rounded once (q01's avg recipe);
+            # balances straddle zero so the mean can be a tiny negative
+            # → signed-zero normalization on both sides
+            zround(
+                F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_bal"),
         )
     )
 
@@ -642,22 +673,29 @@ def q19_cube_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_above
 FROM orders o
-WHERE o_totalprice > (
-    SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
-)
+WHERE CAST(o_totalprice AS DECIMAL(18,2))
+      * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
 GROUP BY o_custkey
 """,
     tags=("relational", "subquery", "window"),
 )
 def q20_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The correlated scalar subquery decorrelates to a per-key window
-    average — one shuffle on o_custkey instead of the self-join a naive
-    rewrite would produce."""
+    aggregate — one shuffle on o_custkey instead of the self-join a
+    naive rewrite would produce. 'Above the customer average' is
+    evaluated as price·n > Σprice in EXACT DECIMAL (identical
+    semantics, zero float): a float window-avg compared against a
+    member of its own population can flip on the 1-ulp boundary when a
+    price ties the mean — the q05 latent class in comparison form."""
     orders = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     return (
-        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
-        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        orders.withColumn("cust_sum", F.sum(price_dec).over(w))
+        .withColumn("cust_n", F.count(F.lit(1)).over(w))
+        .where(price_dec * F.col("cust_n") > F.col("cust_sum"))
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_above"))
     )

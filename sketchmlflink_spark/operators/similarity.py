@@ -222,19 +222,23 @@ def s03_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT label,
        CAST(count(*) AS BIGINT) AS n_vecs,
-       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+       round(CAST(sum(CAST(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[]))), 12)
+                           AS DECIMAL(25,12))) AS DOUBLE) / count(*), 4) AS avg_norm
 FROM embeddings
 GROUP BY label
 """,
     tags=("similarity", "agg"),
 )
 def s04_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector norm fixed as 12-dp DECIMAL so the per-label mean is
+    an exact order-free sum divided once (t12/t15 recipe, round 8)."""
     emb = t(spark, sf_dir, "embeddings")
     v = as_double_array("embedding")
+    norm_dec = F.round(norm2(v), 12).cast("decimal(25,12)")
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg(norm2(v)), 4).alias("avg_norm"),
+        F.round(F.sum(norm_dec).cast("double") / F.count(F.lit(1)), 4).alias("avg_norm"),
     )
 
 
@@ -926,7 +930,8 @@ SELECT label,
        -- + 0.0: signed-zero normalization — dim means of roughly
        -- centered embeddings sit near 0, so a −1e-7 pre-round value
        -- would hash-split the engines (functions.zround's oracle twin)
-       round(avg(x), 6) + 0.0          AS dim_mean,
+       round(CAST(sum(CAST(round(x, 12) AS DECIMAL(25,12))) AS DOUBLE)
+             / count(*), 6) + 0.0      AS dim_mean,
        round(min(x), 6) + 0.0          AS dim_min,
        round(max(x), 6) + 0.0          AS dim_max
 FROM (
@@ -944,15 +949,15 @@ def s07_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexing. posexplode is a row-explosion, not a Python UDF: the
     64× row blowup stays JVM-side and collapses in the same stage's
     partial aggregate, so the shuffle carries only (label·dim) partial
-    rows, never the exploded data. avg is the only float agg computed
-    from a sum whose operand count per (label,dim) cell is fixed by the
-    grouping, and 6-dp rounding on float32-origin values is far from
-    any representability boundary, so the hash matches without integer
-    tricks."""
+    rows, never the exploded data. The mean's per-element value is
+    fixed as 12-dp DECIMAL so the sum is exact and order-free (the
+    t12/t15 recipe — a plain avg(double) sums in engine order, the q05
+    latent class; converted round 8), divided once, rounded once."""
     emb = t(spark, sf_dir, "embeddings").select("label", as_double_array("embedding").alias("v"))
     ex = emb.select("label", F.posexplode("v").alias("dim_idx", "x"))
+    x_dec = F.round(F.col("x"), 12).cast("decimal(25,12)")
     return ex.groupBy("label", "dim_idx").agg(
-        zround(F.avg("x"), 6).alias("dim_mean"),
+        zround(F.sum(x_dec).cast("double") / F.count(F.lit(1)), 6).alias("dim_mean"),
         zround(F.min("x"), 6).alias("dim_min"),
         zround(F.max("x"), 6).alias("dim_max"),
     )

@@ -32,23 +32,27 @@ def _duck_tokens(col: str = "text") -> str:
 SELECT lang,
        CAST(count(*) AS BIGINT)                                   AS n_docs,
        CAST(sum(len({_duck_tokens()})) AS BIGINT)                 AS total_tokens,
-       round(avg(len({_duck_tokens()})), 4)                       AS avg_tokens,
-       round(avg(n_chars), 4)                                     AS avg_chars
+       round(CAST(sum(len({_duck_tokens()})) AS DOUBLE) / count(*), 4) AS avg_tokens,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4)          AS avg_chars
 FROM documents
 GROUP BY lang
 """,
     tags=("text", "tokens"),
 )
 def t01_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counts per language bucket."""
+    """Whitespace token counts per language bucket. Averages divide the
+    exact integer sums once and round once — order-free (engine `avg`
+    internals over integral types differ; explicit sum/count is
+    provably identical cross-engine)."""
     docs = t(spark, sf_dir, "documents")
     # project once: token_count inlined into 3 aggregates would re-split
     with_n = docs.select("lang", "n_chars", T.token_count("text").alias("n_tok"))
+    cnt = F.count(F.lit(1))
     return with_n.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        cnt.alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
-        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.sum("n_tok").cast("double") / cnt, 4).alias("avg_tokens"),
+        F.round(F.sum("n_chars").cast("double") / cnt, 4).alias("avg_chars"),
     )
 
 
@@ -315,16 +319,16 @@ corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM sig),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (
     SELECT tf.doc_id,
-           sum(
+           sum(CAST(round(
              ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1)
              * tf.tf * ({BM25_K1} + 1)
              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / corpus.avgdl))
-           ) AS score
+           , 12) AS DECIMAL(25,12))) AS score
     FROM tf JOIN df ON tf.term = df.term CROSS JOIN corpus
     WHERE tf.term IN ({terms_sql})
     GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 6) AS bm25
+SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS bm25
 FROM scored
 ORDER BY round(score, 6) DESC, doc_id
 LIMIT {BM25_TOPN}
@@ -384,10 +388,12 @@ def t07_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .groupBy("doc_id")
-        .agg(F.sum("s").alias("score"))
+        # per-term score fixed as 12-dp DECIMAL → exact order-free
+        # per-doc sum (t12/t15 recipe, round 8)
+        .agg(F.sum(F.round(F.col("s"), 12).cast("decimal(25,12)")).alias("score"))
     )
     return (
-        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        scored.select("doc_id", F.round("score", 6).cast("double").alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOPN)
     )
@@ -571,7 +577,8 @@ vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
 stats AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v_size FROM vocab)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(-ln((c + 1.0) / (n_total + v_size))), 4) AS xent_nats
+       round(CAST(sum(CAST(round(-ln((c + 1.0) / (n_total + v_size)), 12)
+                           AS DECIMAL(25,12))) AS DOUBLE) / count(*), 4) AS xent_nats
 FROM toks JOIN vocab USING (tok) CROSS JOIN stats
 GROUP BY doc_id
 """,
@@ -598,14 +605,18 @@ def t10_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = vocab.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
     )
+    # per-token nll fixed as 12-dp DECIMAL so the per-doc reduction is
+    # an exact order-free sum (the t12/t15 recipe; a plain avg(double)
+    # sums in engine order — the q05 latent class)
     nll = -F.log((F.col("c") + F.lit(1.0)) / (F.col("n_total") + F.col("v_size")))
+    nll_dec = F.round(nll, 12).cast("decimal(25,12)")
     return (
         toks.join(vocab, "tok")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(nll), 4).alias("xent_nats"),
+            F.round(F.sum(nll_dec).cast("double") / F.count(F.lit(1)), 4).alias("xent_nats"),
         )
     )
 

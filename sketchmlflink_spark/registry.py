@@ -118,6 +118,18 @@ _PRIORITY = (
     "q29_top_value_nations", "q37_unpivot_part_profile",
     "s14_ann_recall_report",
     "p08_incremental_rollup",
+    # Round-8 second wave: the avg(double)/sum-ratio sibling class
+    # converted to exact order-free forms (q14 q15 q16 q20 t07 s04 s07
+    # mm06 — t01/t10 also converted but already hold slots below), and
+    # s03/s06 whose engine arms moved to the int-grid build (s05/s14
+    # hold slots above). Rotated out for them (all driver-green r7,
+    # families still represented): q34 q36 d06 d13 t03 t14 s01 sk03
+    # mm01 p13.
+    "q14_user_event_gaps", "q15_promo_revenue_share",
+    "q16_supplier_stats_by_nation", "q20_above_customer_avg",
+    "t07_bm25_keyword_search", "s04_embedding_norms",
+    "s07_embedding_dim_stats", "mm06_pair_curation",
+    "s03_ann_lsh_cosine", "s06_ivfpq_ann_cosine",
     # NEW this round (continued session) — no driver row yet, so they
     # take window slots from spread entries whose families keep other
     # representatives (the rotated-out entries all have prior driver
@@ -136,27 +148,27 @@ _PRIORITY = (
     # Representative spread: headliners whose last driver row is the
     # oldest, one-plus per family — every rotated-out entry stays green
     # in the SWEEP artifacts and the perturbation hash test.
-    # relational: salted skew agg, funnel micros, cohorts (q01 rotated
-    # out r8 — driver-green r7 with its DECIMAL arithmetic; ten other
-    # relational entries hold r8 window slots above)
+    # relational: salted skew agg (q01/q34/q36 rotated out r8 —
+    # driver-green r7; fourteen other relational entries hold r8
+    # window slots above)
     "q21_event_type_stats_salted",
-    "q34_funnel_conversion", "q36_cohort_retention",
-    # dedup: exact, MinHash-LSH, embedding near-dup, CC
-    # (d15 rotated out r7, driver-green r6)
+    # dedup: exact, MinHash-LSH (d06/d13 rotated out r8, d15 r7 —
+    # all driver-green r6/r7)
     "d01_dedup_exact", "d04_minhash_lsh_neardup",
-    "d06_embed_cosine_neardup", "d13_dup_graph_components",
-    # text: token stats, lang-id, unigram xent, Zipf regression
-    "t01_token_stats_by_lang", "t03_lang_id",
-    "t10_unigram_xent", "t14_zipf_rank_freq",
-    # similarity: exact kNN, IVF ANN (s15 holds a slot above)
-    "s01_knn_cosine_brute", "s05_ivf_ann_cosine",
-    # sketch aggs: HLL rollup, approx percentiles
+    # text: token stats + unigram xent (both avg-converted r8; t03/t14
+    # rotated out r8, driver-green r7; t07/t15 hold slots above)
+    "t01_token_stats_by_lang",
+    "t10_unigram_xent",
+    # similarity: IVF ANN (int-grid build r8; s03/s06/s14/s15 hold
+    # slots above; s01 rotated out r8, driver-green r7)
+    "s05_ivf_ann_cosine",
+    # sketch aggs: HLL rollup (sk03 rotated out r8, driver-green r7)
     "sk01_hll_user_rollup",
-    "sk03_approx_percentiles",
-    # multimodal: metadata, features (mm03 rotated out r7, driver-green r6)
-    "mm01_media_metadata", "mm02_media_features",
-    # pipeline: hash-shard routing, bottom-k sampling
-    "p13_hash_shard_manifest", "p14_bottomk_sample",
+    # multimodal: features (mm06 holds a slot above; mm01 rotated out
+    # r8, mm03 r7 — driver-green r7/r6)
+    "mm02_media_features",
+    # pipeline: bottom-k sampling (p13 rotated out r8, driver-green r7)
+    "p14_bottomk_sample",
     # streaming: hourly counts (st15/st20/st21 hold slots above)
     "st01_stream_hourly_counts",
 )
