@@ -1223,34 +1223,34 @@ def p17_orc_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     owning that key (type cardinality is the fan-out, so no st15-style
     serial-commit pathology), maxRecordsPerFile caps file size, and the
     read-back aggregate prunes to 4 of 6 columns at the ORC scan."""
+    import atexit
     import os
     import shutil
     import tempfile
     import uuid
 
     ev = t(spark, sf_dir, "events")
-    # Unique per-invocation path + eager read-back + rmtree (ADVICE r7):
-    # a fixed per-sf path raced when two sweep/bench processes ran p17
+    # Unique per-invocation path + atexit rmtree (ADVICE r7): a fixed
+    # per-sf path raced when two sweep/bench processes ran p17
     # concurrently — one process's overwrite deleted files under the
-    # other's lazy read. The audit aggregate is tiny (|event_type| rows),
-    # so materializing it eagerly lets the ORC dataset be deleted before
-    # returning — zero lingering footprint AND no shared mutable path.
+    # other's LAZY read-back. A unique dir removes the race; atexit
+    # bounds the footprint (one tiny ORC copy per p17 call, deleted at
+    # process exit) while keeping the returned frame lazy so its plan
+    # still shows the ORC scan with pruned columns (plan-locked).
     out_dir = os.path.join(tempfile.gettempdir(), f"orc_events_{uuid.uuid4().hex}")
-    try:
-        (
-            ev.repartition("event_type")
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", 1_000_000)
-            .partitionBy("event_type")
-            .orc(out_dir)
-        )
-        back = spark.read.orc(out_dir)
-        return back.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
-            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
-            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
-        ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    (
+        ev.repartition("event_type")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .partitionBy("event_type")
+        .orc(out_dir)
+    )
+    back = spark.read.orc(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

@@ -76,7 +76,18 @@ def test_full_catalog_hashes_config_invariant_sf0001(tmp_path):
 def _sensitive_names() -> list[str]:
     from sketchmlflink_spark.registry import all_queries
 
-    pat = re.compile(r"round\s*\(\s*(avg|sum|stddev|corr|regr|var)", re.I)
+    # Matches the raw order-dependent forms AND the round-7/8 exact
+    # conversions (CAST(round(sum(…), money recipe; round(CAST(sum(…,
+    # exact-sum/count averages; sum(CAST(round(…, the 12-dp per-element
+    # fix): the converted queries CLAIM order-independence, and this
+    # perturbation run is precisely the proof of that claim.
+    pat = re.compile(
+        r"round\s*\(\s*(avg|sum|stddev|corr|regr|var)"
+        r"|CAST\s*\(\s*round\s*\(\s*sum"
+        r"|round\s*\(\s*CAST\s*\(\s*sum"
+        r"|sum\s*\(\s*CAST\s*\(\s*round",
+        re.I,
+    )
     names = [n for n, q in all_queries().items() if q.oracle and pat.search(q.oracle)]
     for extra in ("t11_tfidf_top_terms", "t12_dsir_importance",
                   "d14_minhash_estimate_accuracy"):
