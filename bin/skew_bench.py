@@ -85,7 +85,7 @@ def main() -> None:
 
     from sketchmlflink_spark.registry import all_queries
     from sketchmlflink_spark.session import get_spark
-    from tests.oracle_check import compare_query, duck_connection
+    from tests.oracle_check import compare_query_strict, duck_connection
 
     spark = get_spark("sketchmlflink-skewbench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,7 +111,9 @@ def main() -> None:
 
     # correctness under skew: the DuckDB oracle doesn't care about key
     # distribution, so a hash-equal result on the skewed fixture proves
-    # the engine's salting/AQE path doesn't change answers.
+    # the engine's salting/AQE path doesn't change answers. REPR-STRICT
+    # since round 8 — the same zero-tolerance comparator as the driver's
+    # value hash, on the skewed data too.
     oracle_skew = {}
     con = duck_connection(skewed)
     for name in SKEW_SET:
@@ -120,7 +122,7 @@ def main() -> None:
             oracle_skew[name] = "rows-only"
             continue
         try:
-            problems = compare_query(q.build(spark, skewed), con, q.oracle)
+            problems = compare_query_strict(q.build(spark, skewed), con, q.oracle)
             oracle_skew[name] = "OK" if not problems else "; ".join(problems[:2])[:200]
         except Exception as e:  # noqa: BLE001
             oracle_skew[name] = f"{type(e).__name__}: {e}"[:200]
