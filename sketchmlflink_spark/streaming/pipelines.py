@@ -314,7 +314,18 @@ def run_to_batch(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        # A timed-out replay MUST raise, never return the partial memory
+        # table: the first full-catalog strict sweep on the SKEWED
+        # fixture (round 8) caught st08 returning an empty frame after
+        # its hot-user interval join outran the 300 s default — a silent
+        # wrong answer, the worst failure mode there is. On a slower
+        # machine/bigger replay, raise and let the caller size timeout_s.
+        if not finished:
+            raise TimeoutError(
+                f"streaming replay {name!r} still running after {timeout_s}s — "
+                "refusing to return a partial result; raise timeout_s"
+            )
     finally:
         q.stop()
     return spark.table(name)
