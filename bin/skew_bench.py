@@ -17,6 +17,11 @@ Query set and what each exercises:
     q34_funnel_conversion      per-user window + funnel micros
     q36_cohort_retention       per-user window + cohort join
     st04_stream_sessions       streaming session window state
+    st22_stream_interval_join_quarantine  hot-key-quarantined stream-
+                               stream join (plain st08 exceeds 1500 s on
+                               the skew twin — one key = one state task,
+                               unreachable by AQE/salting; measured r8,
+                               BASELINE.md — st22 is the playbook fix)
     q21_event_type_stats_salted control: agg already salted by design
   token hot key ('zipfhead' ~= 30% of corpus token mass):
     t10_unigram_xent           token explode -> token-score join
@@ -58,6 +63,7 @@ SKEW_SET = [
     "q34_funnel_conversion",
     "q36_cohort_retention",
     "st04_stream_sessions",
+    "st22_stream_interval_join_quarantine",
     "q21_event_type_stats_salted",
     "t10_unigram_xent",
     "t11_tfidf_top_terms",

@@ -169,8 +169,12 @@ _PRIORITY = (
     "mm02_media_features",
     # pipeline: bottom-k sampling (p13 rotated out r8, driver-green r7)
     "p14_bottomk_sample",
-    # streaming: hourly counts (st15/st20/st21 hold slots above)
-    "st01_stream_hourly_counts",
+    # streaming: st22 is NEW this round (hot-key quarantine variant of
+    # st08 — the first-class fix for the stream-stream skew limitation
+    # the r8 skew sweep measured) and needs its first driver row;
+    # rotated out for it: st01 (driver-green every round since r2; the
+    # family keeps st04/st15/st20/st21 plus st22 itself in the window)
+    "st22_stream_interval_join_quarantine",
 )
 
 

@@ -214,6 +214,88 @@ def click_view_interval_join(events: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# hot-key quarantine for the stream-stream interval join (st22)
+# --------------------------------------------------------------------------
+# The round-8 skew sweep measured the failure this pair of helpers
+# exists to fix: under a 30%-hot user, st08's stream-stream interval
+# join exceeds 1500 s where the identical BATCH join finishes in ~40 s
+# (SWEEP_r08_strict_sf1skew.txt / BASELINE.md). Stream-stream join
+# state is hash-partitioned by the join key, one key lives in ONE
+# state-store task, and neither AQE nor salting reaches inside
+# streaming state — so the hot key must be kept OUT of the stream.
+# st22 quarantines keys above HOT_USER_FRACTION of the events with a
+# cheap batch census, streams the (uniform) cold tail through the
+# normal watermarked join, and computes the hot keys on a batch path
+# bucketed by join-interval-sized time blocks — the (user × 3h-block)
+# partitioning a window/stream state store cannot create.
+HOT_USER_FRACTION = 0.01  # census threshold; at most 1/f keys quarantine
+_JOIN_INTERVAL_US = 3 * 3600 * 1_000_000  # st08's 3 h interval, in µs
+
+
+def hot_user_census(events: DataFrame, fraction: float = HOT_USER_FRACTION) -> list:
+    """Exact hot-key census: user_ids carrying more than ``fraction``
+    of the batch events. One scan + one tiny agg; the result is bounded
+    by 1/fraction keys (a driver list by construction, never data-
+    sized), and exact integer comparison keeps it deterministic."""
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).cache()
+    try:
+        total = counts.agg(F.sum("n").alias("t")).collect()[0]["t"] or 0
+        # integer-only threshold (n/total > fraction ⇔ n·k > total for
+        # k = 1/fraction): round() because int() truncates 1/0.01's
+        # float representation to 99
+        k = int(round(1 / fraction))
+        rows = counts.where(F.col("n") * F.lit(k) > F.lit(total)).collect()
+    finally:
+        counts.unpersist()
+    return sorted(int(r["user_id"]) for r in rows)
+
+
+def bucketed_click_view_join(events: DataFrame) -> DataFrame:
+    """Batch interval join emitting EXACTLY the pair set of
+    click_view_interval_join, but shuffle-partitioned by
+    (user_id, 3h time block) instead of by user alone.
+
+    Blocks are exactly the join interval wide, so a click in block b
+    can only match views in blocks {b-1, b}: exploding each click to
+    those two block ids, equi-joining on (user_id, block) and re-
+    applying the exact range predicate meets every qualifying pair
+    exactly once (a view's block is unique, so no pair meets twice).
+    Block ids use integer division of unix_micros — double division
+    could misfloor an exact block-boundary timestamp. This splits a
+    Zipf-head user's lifetime into per-3h tasks, which is what makes
+    the quarantine path scale where single-task join state cannot."""
+    blk = F.expr(f"unix_micros(ts) div {_JOIN_INTERVAL_US}")
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.explode(F.array(blk - 1, blk)).alias("blk"),
+        )
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+        blk.alias("vblk"),
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("view_user"))
+        & (F.col("blk") == F.col("vblk"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") > F.col("click_ts") - F.expr("INTERVAL 3 HOURS")),
+    )
+    return joined.select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
 def sketch_profile(events: DataFrame) -> DataFrame:
     """Sketch-typed windowed aggregation (the M5 promise): per tumbling
     hour, HLL distinct-user estimate + approximate median value. The

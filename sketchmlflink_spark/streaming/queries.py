@@ -232,6 +232,51 @@ def st08_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# st22 — st08 under hot-key quarantine (the skew-proof stream-stream join)
+# --------------------------------------------------------------------------
+@register(
+    "st22_stream_interval_join_quarantine",
+    oracle="""
+SELECT c.event_id AS click_id,
+       v.event_id AS view_id,
+       c.user_id  AS user_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events c
+JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click'
+ AND v.event_type = 'view'
+ AND v.ts <= c.ts
+ AND v.ts > c.ts - INTERVAL 3 HOUR
+""",
+    tags=("streaming", "stream-stream-join", "skew", "quarantine"),
+)
+def st22_stream_interval_join_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st08's interval join with hot-key quarantine — the 100-TB answer
+    to the limitation the round-8 skew sweep measured: a 30%-hot user
+    puts its whole lifetime into ONE stream-stream state task (>1500 s
+    at sf1skew where the batch join takes ~40 s), and neither AQE nor
+    salting reaches inside streaming join state. A cheap exact batch
+    census quarantines users above 1% of events; the cold tail streams
+    through the normal watermarked join, the hot keys run the identical
+    join as a batch pass bucketed by (user, 3h block). The union is the
+    exact same pair set, so st08's hash oracle applies unchanged; on a
+    uniform fixture the census is empty and this IS st08 plus one cheap
+    scan."""
+    from sketchmlflink_spark.sources.tables import load_table
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    hot = P.hot_user_census(ev_batch)
+    ev = P.events_stream(spark, sf_dir)
+    cold = ev.where(~F.col("user_id").isin(hot)) if hot else ev
+    cold_out = P.run_to_batch(P.click_view_interval_join(cold), output_mode="append")
+    if not hot:
+        return cold_out
+    hot_out = P.bucketed_click_view_join(ev_batch.where(F.col("user_id").isin(hot)))
+    return cold_out.unionByName(hot_out)
+
+
+# --------------------------------------------------------------------------
 # st06 — foreachBatch incremental SGD (M5 training glue)
 # --------------------------------------------------------------------------
 @register(

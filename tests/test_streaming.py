@@ -698,3 +698,120 @@ def test_session_state_survives_restart_from_rocksdb_checkpoint(spark, tmp_path)
         (7, "2024-03-01 12:00:00"): 3,  # a state reset would show (7, 12:20): 1
         (9, "2024-03-01 12:05:00"): 2,  # a state reset would show (9, 12:25): 1
     }
+
+
+# --------------------------------------------------------------------------
+# st22 — hot-key quarantine for the stream-stream interval join
+# --------------------------------------------------------------------------
+def _plain_pairs(ev):
+    """Brute-force reference: the st08 join condition with no bucketing."""
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("view_ts"),
+    )
+    j = c.join(
+        v,
+        (F.col("user_id") == F.col("vu"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") > F.col("click_ts") - F.expr("INTERVAL 3 HOURS")),
+    )
+    return {
+        (r["click_id"], r["view_id"])
+        for r in j.select("click_id", "view_id").collect()
+    }
+
+
+def _bucketed_pairs(ev):
+    return {
+        (r["click_id"], r["view_id"])
+        for r in P.bucketed_click_view_join(ev).select("click_id", "view_id").collect()
+    }
+
+
+def test_bucketed_join_block_boundaries(spark):
+    """The time-bucketed hot path must be EXACT at block edges: a view
+    exactly 3 h before a click is excluded (strict >), a view at the
+    click's own timestamp included (<=), and pairs that straddle a
+    block boundary met exactly once. Timestamps sit ON multiples of the
+    3 h block so a misfloored double division or an off-by-one block
+    explode would flip the answer."""
+    B = P._JOIN_INTERVAL_US
+    base = (1_700_000_000_000_000 // B) * B  # exact block boundary, µs
+    rows = [
+        # (event_id, type, µs): click exactly on a boundary
+        (1, "click", base),
+        (10, "view", base - B),          # exactly 3 h before → EXCLUDED
+        (11, "view", base - B + 1),      # 3 h − 1 µs → included (prev block)
+        (12, "view", base),              # same instant → included (same block)
+        (13, "view", base + 1),          # after the click → excluded
+        # click strictly inside a block
+        (2, "click", base + B // 2),
+        (14, "view", base - B // 2),     # exactly 3 h before → EXCLUDED
+        (15, "view", base - B // 2 + 1), # 3 h − 1 µs before click 2 → included
+    ]
+    ev = spark.createDataFrame(
+        [(eid, 7, ty, t) for eid, ty, t in rows],
+        "event_id long, user_id long, event_type string, us long",
+    ).select("event_id", "user_id", "event_type", F.timestamp_micros("us").alias("ts"))
+    got = _bucketed_pairs(ev)
+    assert got == _plain_pairs(ev)
+    # pin the exact expected set independently of the reference join
+    # (all events share user 7, so cross-pairs count too)
+    assert got == {
+        (1, 11), (1, 12), (1, 14), (1, 15),  # click on the boundary
+        (2, 12), (2, 13), (2, 15),           # click mid-block
+    }
+
+
+def test_bucketed_join_randomized_parity(spark):
+    """Seeded random events across 5 blocks, several users, duplicate
+    timestamps included: the bucketed pair set must equal the plain
+    interval join's exactly."""
+    import random
+
+    rng = random.Random(42)
+    B = P._JOIN_INTERVAL_US
+    base = (1_700_000_000_000_000 // B) * B
+    rows = []
+    for eid in range(400):
+        t = base + rng.randrange(-2 * B, 3 * B)
+        if rng.random() < 0.1:  # force boundary-exact timestamps
+            t = base + rng.randrange(-2, 3) * B
+        rows.append(
+            (eid, rng.choice([1, 2, 3]), rng.choice(["click", "view", "scroll"]), t)
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, us long"
+    ).select("event_id", "user_id", "event_type", F.timestamp_micros("us").alias("ts"))
+    assert _bucketed_pairs(ev) == _plain_pairs(ev)
+
+
+def test_st22_quarantine_union_matches_st08(spark):
+    """End-to-end: st22 (census + cold stream-stream join + hot batch
+    path) must return the exact row set of st08 at sf0.001, and a
+    forced-low-threshold census split must also reproduce the plain
+    join — so BOTH paths and their union seam are covered even though
+    the uniform fixture's default census is empty."""
+    from sketchmlflink_spark.sources.tables import load_table
+    from sketchmlflink_spark.streaming.queries import (
+        st08_stream_interval_join,
+        st22_stream_interval_join_quarantine,
+    )
+
+    a = {tuple(r) for r in st08_stream_interval_join(spark, SF_SMALL).collect()}
+    b = {tuple(r) for r in st22_stream_interval_join_quarantine(spark, SF_SMALL).collect()}
+    assert a == b and len(a) > 0
+
+    ev = load_table(spark, SF_SMALL, "events")
+    n_users = ev.select("user_id").distinct().count()
+    # threshold at half the average user's share → census non-empty
+    hot = P.hot_user_census(ev, fraction=0.5 / n_users)
+    assert hot, "expected a non-empty census at the forced threshold"
+    cold_pairs = _plain_pairs(ev.where(~F.col("user_id").isin(hot)))
+    hot_pairs = _bucketed_pairs(ev.where(F.col("user_id").isin(hot)))
+    assert cold_pairs.isdisjoint(hot_pairs)
+    assert (cold_pairs | hot_pairs) == _plain_pairs(ev)
