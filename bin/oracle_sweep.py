@@ -45,7 +45,12 @@ for _a in sys.argv[1:]:
 
 
 def main() -> None:
-    from sketchmlflink_spark.registry import all_queries, infer_sf, scale_guarded_names
+    from sketchmlflink_spark.registry import (
+        all_queries,
+        infer_sf,
+        scale_guarded_names,
+        skew_guarded,
+    )
     from sketchmlflink_spark.session import get_spark
     from tests.oracle_check import (
         compare_query,
@@ -70,6 +75,10 @@ def main() -> None:
         if auto:
             print(f"auto scale guard at sf={sf}: {sorted(auto)}", flush=True)
         SKIP.update(auto)
+        skew = skew_guarded(SF_DIR)
+        for name, reason in sorted(skew.items()):
+            print(f"skew guard: {name} — {reason}", flush=True)
+        SKIP.update(skew)
 
     import gc
 

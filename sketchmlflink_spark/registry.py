@@ -39,6 +39,14 @@ class EngineQuery:
     # banded+linear but its DuckDB oracle is a single-threaded
     # quadratic nested loop (~368 s at sf1, ~1 h at sf3 → guard >= 3).
     scale_guard_sf: Optional[float] = None
+    # Skew guard: non-None ⇒ the entry is KNOWN not to finish on a
+    # hot-key fixture (make_sf --skew), with the reason and the
+    # first-class fix named. Same in-registry philosophy as the scale
+    # guard: the r8 skew sweep burned its full 300 s timeout proving
+    # st08's single-task join state every run; the limitation is
+    # documented once (BASELINE.md) and the sweep skips it LOUDLY,
+    # while the fix (st22) runs green beside it.
+    skew_guard_reason: Optional[str] = None
 
 
 _REGISTRY: dict[str, EngineQuery] = {}
@@ -51,6 +59,7 @@ def register(
     tags: tuple[str, ...] = (),
     band: Optional[float] = None,
     scale_guard_sf: Optional[float] = None,
+    skew_guard_reason: Optional[str] = None,
 ):
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the catalog."""
 
@@ -60,6 +69,7 @@ def register(
         _REGISTRY[name] = EngineQuery(
             name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
             tags=tags, band=band, scale_guard_sf=scale_guard_sf,
+            skew_guard_reason=skew_guard_reason,
         )
         return fn
 
@@ -75,6 +85,28 @@ def scale_guarded_names(sf: Optional[float]) -> set[str]:
         name
         for name, q in all_queries().items()
         if q.scale_guard_sf is not None and sf >= q.scale_guard_sf
+    }
+
+
+def is_skew_fixture(sf_dir: str) -> bool:
+    """True when the fixture path names a make_sf --skew twin (its sf
+    token ends in 'skew', e.g. …/testdata_sf1skew). Same word-boundary
+    discipline as infer_sf: the token must start a path segment or
+    follow an underscore."""
+    import re
+
+    return bool(re.search(r"(?:^|[_/])sf\d+(?:\.\d+)?skew(?:[/_]|$)", sf_dir))
+
+
+def skew_guarded(sf_dir: str) -> dict[str, str]:
+    """name → reason for entries whose skew guard fires on ``sf_dir``
+    (empty unless the path is a --skew fixture)."""
+    if not is_skew_fixture(sf_dir):
+        return {}
+    return {
+        name: q.skew_guard_reason
+        for name, q in all_queries().items()
+        if q.skew_guard_reason is not None
     }
 
 
