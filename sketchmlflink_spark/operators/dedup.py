@@ -527,6 +527,42 @@ def _d07_planes(dim: int):
     return np.random.default_rng(D07_SEED).standard_normal((D07_BANDS * D07_BITS, dim))
 
 
+def _d07_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate-generation scan for d07/d18: each embedding row
+    signed against the 30 hyperplanes JVM-side, its 10 × 3-bit band
+    buckets packed into one ``sig`` int, then exploded to one row per
+    (band, bucket) — the single corpus-wide shuffle both operators pay."""
+    from sketchmlflink_spark.functions.vector import as_double_array, dot
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    planes = _d07_planes(64)
+    bit_cols = [
+        (dot(F.col("v"), F.array(*[F.lit(float(x)) for x in planes[i]])) >= 0).cast("int")
+        for i in range(D07_BANDS * D07_BITS)
+    ]
+    bucket_cols = [
+        sum(bit_cols[b * D07_BITS + j] * (1 << j) for j in range(D07_BITS))
+        for b in range(D07_BANDS)
+    ]
+    packed_sig = sum(bucket_cols[b] * (1 << (D07_BITS * b)) for b in range(D07_BANDS))
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), bucket_cols[b].alias("bucket"))
+            for b in range(D07_BANDS)
+        ]
+    )
+    return (
+        emb.withColumn("sig", packed_sig.cast("int"))
+        .withColumn("bk", F.explode(bands))
+        .select(
+            "vec_id", "v", "sig",
+            F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"),
+        )
+    )
+
+
 @register(
     "d07_embed_lsh_candidate_verify",
     oracle=None,  # probabilistic recall; bands vs exact d06 pinned in test_dedup.py
@@ -572,38 +608,11 @@ def d07_embed_lsh_candidate_verify(
     import numpy as np
     import pandas as pd
 
-    from sketchmlflink_spark.functions.vector import as_double_array, dot
-
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
-    planes = _d07_planes(64)
-
     # sign bits via Catalyst dots (JVM-side scan); each row carries its
     # FULL per-band signature (10 x 3-bit buckets packed into one int)
     # into every bucket so the first-matching-band rule is locally
     # decidable — no distinct needed
-    bit_cols = [
-        (dot(F.col("v"), F.array(*[F.lit(float(x)) for x in planes[i]])) >= 0).cast("int")
-        for i in range(D07_BANDS * D07_BITS)
-    ]
-    bucket_cols = [
-        sum(bit_cols[b * D07_BITS + j] * (1 << j) for j in range(D07_BITS))
-        for b in range(D07_BANDS)
-    ]
-    packed_sig = sum(bucket_cols[b] * (1 << (D07_BITS * b)) for b in range(D07_BANDS))
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), bucket_cols[b].alias("bucket"))
-            for b in range(D07_BANDS)
-        ]
-    )
-    exploded = (
-        emb.withColumn("sig", packed_sig.cast("int"))
-        .withColumn("bk", F.explode(bands))
-        .select(
-            "vec_id", "v", "sig",
-            F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"),
-        )
-    )
+    exploded = _d07_exploded(spark, sf_dir)
     mask = (1 << D07_BITS) - 1
 
     def verify_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -673,6 +682,146 @@ def d07_embed_lsh_candidate_verify(
     return exploded.groupBy("band", "bucket").applyInPandas(
         verify_bucket, "id_a long, id_b long, cosine double"
     )
+
+
+# --------------------------------------------------------------------------
+# d18 — d07's verify made cluster-parallel: tile self-join instead of
+# one task per (band, bucket).
+# --------------------------------------------------------------------------
+# Rows per tile. Group payload at dim 64 is ~tile × 64 × 8 B ≈ 1 MB;
+# a tile-pair task carries two of them and does tile² dots. Tests
+# shrink this to force multi-tile buckets on small fixtures.
+D18_TILE = 2048
+
+
+@register(
+    "d18_embed_lsh_tiled_pairs",
+    oracle=None,  # same non-expressibility as d07 (float-threshold dgemm
+    # emission over LSH buckets); EXACT pair-set parity with d07 is
+    # pytest-pinned instead (tests/test_dedup.py)
+    tags=("dedup", "embedding", "lsh", "tiled", "candidate-verify"),
+)
+def d18_embed_lsh_tiled_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    tile: int = D18_TILE,
+) -> DataFrame:
+    """d07's near-dup pairs with the in-bucket verify lifted to the
+    CLUSTER: identical output (pytest-pinned pair-set equality), but the
+    O(bucket²) cosine work is split into (tile_a, tile_b) block tasks
+    via a Spark-level self-join of tile groups.
+
+    Why it exists: d07's ``groupBy(band, bucket).applyInPandas`` has a
+    hard parallelism ceiling of D07_BANDS × 2^D07_BITS = 80 tasks — the
+    bucket count is a GEOMETRY constant, not a data-size function, so
+    buckets grow linearly with the corpus and each one is verified by
+    ONE Python worker. That saturates local[32] (which is why d07's
+    sf1→sf10 probe read linear) but caps a 1000-executor cluster at 8%
+    utilization, and a hot bucket (dense near-dup clump — the norm in
+    real corpora) concentrates its entire quadratic verify in a single
+    task, exactly the single-task-state failure st22 fixes for joins.
+
+    Mechanics: rows get a deterministic tile id (vec_id mod
+    ceil(bucket/tile)); tiles are packed once per (band, bucket, tile)
+    with ``sort_array(collect_list(struct(vec_id, sig, v)))``; a
+    self-join on (band, bucket) with tile_a ≤ tile_b yields every tile
+    pair exactly once; each pair row is one mapInPandas task doing the
+    same blocked dgemm + first-match band rule as d07 (same-tile pairs
+    upper-triangle, cross-tile pairs full block). Every qualifying
+    (lo, hi) pair is emitted by exactly one band (sig rule) and exactly
+    one tile pair (each vec_id lives in one tile), so no distinct is
+    needed — d07's invariant, preserved. The price is shuffle
+    amplification ∝ tiles-per-bucket (each tile meets m+1 partners);
+    ``tile`` is the knob trading replication bytes for parallelism —
+    at 100 TB pick tile so tile-pair tasks stay ~seconds, and the
+    verify spreads over Σ m_b(m_b+1)/2 tasks instead of 80."""
+    import numpy as np
+    import pandas as pd
+
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    exploded = _d07_exploded(spark, sf_dir)
+    mask = (1 << D07_BITS) - 1
+
+    sizes = exploded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    m = F.greatest(F.lit(1), F.ceil(F.col("n_b") / F.lit(tile))).cast("int")
+    tiled = (
+        exploded.join(F.broadcast(sizes), ["band", "bucket"])
+        .withColumn("t", F.pmod(F.col("vec_id"), m).cast("int"))
+    )
+    groups = tiled.groupBy("band", "bucket", "t").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "sig", "v"))).alias("rows")
+    )
+    a, b = groups.alias("a"), groups.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.t") <= F.col("b.t")),
+        )
+        .select(
+            F.col("a.band").alias("band"),
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+            (F.col("a.t") == F.col("b.t")).alias("same_tile"),
+            F.col("a.rows").alias("ra"),
+            F.col("b.rows").alias("rb"),
+        )
+        # the join itself shuffles on the 80 (band, bucket) keys; spread
+        # the heavy dgemm rows across the cluster on the full tile-pair
+        # key before the UDF — this shuffle IS the parallelism win
+        .repartition("band", "bucket", "ta", "tb")
+    )
+
+    def _unpack(rows):
+        ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64, count=len(rows))
+        sig = np.fromiter((r["sig"] for r in rows), dtype=np.int64, count=len(rows))
+        V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+        return ids, sig, V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def verify_pairs(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                ids_a, sig_a, Va = _unpack(row.ra)
+                if row.same_tile:
+                    ids_b, sig_b, Vb = ids_a, sig_a, Va
+                else:
+                    ids_b, sig_b, Vb = _unpack(row.rb)
+                cos = Va @ Vb.T
+                if row.same_tile:
+                    ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+                else:
+                    ii, jj = np.nonzero(cos >= threshold)
+                if not ii.size:
+                    continue
+                c = cos[ii, jj]
+                keep = ids_a[ii] != ids_b[jj]
+                ii, jj, c = ii[keep], jj[keep], c[keep]
+                band = int(row.band)
+                if band > 0 and ii.size:
+                    diff = sig_a[ii] ^ sig_b[jj]
+                    fresh = np.ones(ii.shape[0], dtype=bool)
+                    for bp in range(band):
+                        fresh &= ((diff >> (D07_BITS * bp)) & mask) != 0
+                    ii, jj, c = ii[fresh], jj[fresh], c[fresh]
+                if not ii.size:
+                    continue
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                frames.append(
+                    pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(c, 6)})
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True).drop_duplicates(
+                    subset=["id_a", "id_b"]
+                )
+
+    return pairs.mapInPandas(verify_pairs, "id_a long, id_b long, cosine double")
 
 
 # --------------------------------------------------------------------------

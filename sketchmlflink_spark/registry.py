@@ -196,9 +196,11 @@ _PRIORITY = (
     "s05_ivf_ann_cosine",
     # sketch aggs: HLL rollup (sk03 rotated out r8, driver-green r7)
     "sk01_hll_user_rollup",
-    # multimodal: features (mm06 holds a slot above; mm01 rotated out
-    # r8, mm03 r7 — driver-green r7/r6)
-    "mm02_media_features",
+    # dedup: d18 is NEW this round (the cluster-parallel tile verify —
+    # d07's 80-task parallelism ceiling lifted) and needs its first
+    # driver row; rotated out for it: mm02 (driver-green r7 AND r8; the
+    # multimodal family keeps mm06 in the window)
+    "d18_embed_lsh_tiled_pairs",
     # pipeline: bottom-k sampling (p13 rotated out r8, driver-green r7)
     "p14_bottomk_sample",
     # streaming: st22 is NEW this round (hot-key quarantine variant of

@@ -765,3 +765,36 @@ def test_d17_prefix_relation_is_transitive_and_consistent(spark):
         assert r["prefix_len"] < r["full_len"]
         assert lens[r["prefix_id"]] == r["prefix_len"]
         assert lens[r["full_id"]] == r["full_len"]
+
+
+def test_d18_tiled_pairs_match_d07(spark):
+    """d18 (cluster-parallel tile self-join verify) must emit EXACTLY
+    d07's pair set — same ids, cosines equal to the same 6-dp rounding.
+    tile=7 forces many ragged tiles per bucket on the sf0.001 fixture so
+    same-tile triangles, cross-tile blocks, and the first-match band
+    rule across tile boundaries are all exercised; tile=10**9 collapses
+    d18 to one tile per bucket (the d07 shape) as a degenerate check."""
+    from sketchmlflink_spark.operators import dedup as D
+
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in D.d07_embed_lsh_candidate_verify(spark, "/root/testdata/sf0.001").collect()
+    }
+    for tile in (7, 10**9):
+        got = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in D.d18_embed_lsh_tiled_pairs(
+                spark, "/root/testdata/sf0.001", tile=tile
+            ).collect()
+        }
+        assert got == want, f"tile={tile}: {len(got ^ want)} differing pairs"
+
+
+def test_d18_emits_each_pair_exactly_once(spark):
+    """Tile partitioning must preserve d07's no-distinct invariant: one
+    band (sig rule) x one tile pair (vec_id lives in one tile) per pair."""
+    from sketchmlflink_spark.operators import dedup as D
+
+    df = D.d18_embed_lsh_tiled_pairs(spark, "/root/testdata/sf0.001", tile=11)
+    rows = [(r["id_a"], r["id_b"]) for r in df.collect()]
+    assert len(rows) == len(set(rows)), "pair emitted more than once"
