@@ -42,6 +42,8 @@ for _a in sys.argv[1:]:
         SKIP = set(_a.split("=", 1)[1].split(",")) if "=" in _a else set(
             sys.argv[sys.argv.index(_a) + 1].split(",")
         )
+SKEW_SKIP: set[str] = set()  # skew-guarded names, tracked apart from SKIP
+# so the per-line and tally labels attribute each skip to its true guard
 
 
 def main() -> None:
@@ -78,15 +80,19 @@ def main() -> None:
         skew = skew_guarded(SF_DIR)
         for name, reason in sorted(skew.items()):
             print(f"skew guard: {name} — {reason}", flush=True)
-        SKIP.update(skew)
+        SKEW_SKIP.update(skew)
 
     import gc
 
     n_hash = n_rows_only = n_band = n_fail = 0
     for name, q in queries.items():
         gc.collect()  # release prior queries' checkpointed lineage (see bench.py)
-        if name in SKIP:
-            print(f"{name:40s} skip  (scale guard)", flush=True)
+        if name in SKIP or name in SKEW_SKIP:
+            # label the skip with its true source — SWEEP artifacts are
+            # committed evidence, and attributing a skew-guard skip to
+            # the scale guard misstates WHY a query did not run
+            why = "skew guard" if name in SKEW_SKIP else "scale guard"
+            print(f"{name:40s} skip  ({why})", flush=True)
             continue
         t0 = time.monotonic()
         try:
@@ -126,12 +132,14 @@ def main() -> None:
               + ("" if ok else "  " + "; ".join(problems[:3])), flush=True)
 
     skipped = SKIP & set(queries)
-    total = len(queries) - len(skipped)
+    skew_skipped = SKEW_SKIP & set(queries)
+    total = len(queries) - len(skipped) - len(skew_skipped)
     print(
         f"\nSWEEP {SF_DIR}: {n_hash} hash-matched + {n_band} band-matched + "
         f"{n_rows_only} rows-only OK "
         f"= {n_hash + n_band + n_rows_only}/{total} green, {n_fail} failed"
         + (f" ({len(skipped)} skipped by scale guard: {sorted(skipped)})" if skipped else "")
+        + (f" ({len(skew_skipped)} skipped by skew guard: {sorted(skew_skipped)})" if skew_skipped else "")
     )
     spark.stop()
     sys.exit(1 if n_fail else 0)

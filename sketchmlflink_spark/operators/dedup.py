@@ -742,7 +742,11 @@ def d18_embed_lsh_tiled_pairs(
     from sketchmlflink_spark.session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
-    exploded = _d07_exploded(spark, sf_dir)
+    # localCheckpoint: the signing scan (30 Catalyst dots per row + the
+    # 10-way explode) feeds TWO consumers — the bucket-size census and
+    # the tiled join — and would otherwise run twice (code review,
+    # round-8 continued session); same pattern as t12's vocab
+    exploded = _d07_exploded(spark, sf_dir).localCheckpoint()
     mask = (1 << D07_BITS) - 1
 
     sizes = exploded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_b"))

@@ -204,7 +204,7 @@ def click_view_interval_join(events: DataFrame) -> DataFrame:
         views,
         (F.col("user_id") == F.col("view_user"))
         & (F.col("view_ts") <= F.col("click_ts"))
-        & (F.col("view_ts") > F.col("click_ts") - F.expr("INTERVAL 3 HOURS")),
+        & (F.col("view_ts") > F.col("click_ts") - F.expr(_JOIN_INTERVAL_EXPR)),
     )
     return joined.select(
         "click_id",
@@ -230,7 +230,13 @@ def click_view_interval_join(events: DataFrame) -> DataFrame:
 # bucketed by join-interval-sized time blocks — the (user × 3h-block)
 # partitioning a window/stream state store cannot create.
 HOT_USER_FRACTION = 0.01  # census threshold; at most 1/f keys quarantine
-_JOIN_INTERVAL_US = 3 * 3600 * 1_000_000  # st08's 3 h interval, in µs
+# st08's join interval — the ONE constant both the block width and every
+# Spark INTERVAL expression derive from (a mismatch would silently make
+# st22's hot path emit a different pair set than its cold path/oracle;
+# st08's oracle SQL string spells the same 3 HOURS and must follow it).
+_JOIN_INTERVAL_HOURS = 3
+_JOIN_INTERVAL_US = _JOIN_INTERVAL_HOURS * 3600 * 1_000_000
+_JOIN_INTERVAL_EXPR = f"INTERVAL {_JOIN_INTERVAL_HOURS} HOURS"
 
 
 def hot_user_census(events: DataFrame, fraction: float = HOT_USER_FRACTION) -> list:
@@ -238,14 +244,21 @@ def hot_user_census(events: DataFrame, fraction: float = HOT_USER_FRACTION) -> l
     of the batch events. One scan + one tiny agg; the result is bounded
     by 1/fraction keys (a driver list by construction, never data-
     sized), and exact integer comparison keeps it deterministic."""
+    from fractions import Fraction
+
     counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).cache()
     try:
         total = counts.agg(F.sum("n").alias("t")).collect()[0]["t"] or 0
-        # integer-only threshold (n/total > fraction ⇔ n·k > total for
-        # k = 1/fraction): round() because int() truncates 1/0.01's
-        # float representation to 99
-        k = int(round(1 / fraction))
-        rows = counts.where(F.col("n") * F.lit(k) > F.lit(total)).collect()
+        # integer-only threshold, exact for ANY fraction (not just ones
+        # whose reciprocal is integral): n/total > p/q ⇔ n·q > total·p.
+        # An earlier k = round(1/fraction) form silently moved the bar
+        # (fraction=0.4 → k=2 → threshold 50%), letting a 45%-hot key
+        # stay in the streaming path — the exact blowup the census
+        # exists to prevent.
+        frac = Fraction(fraction).limit_denominator(1_000_000)
+        rows = counts.where(
+            F.col("n") * F.lit(frac.denominator) > F.lit(total * frac.numerator)
+        ).collect()
     finally:
         counts.unpersist()
     return sorted(int(r["user_id"]) for r in rows)
@@ -286,7 +299,7 @@ def bucketed_click_view_join(events: DataFrame) -> DataFrame:
         (F.col("user_id") == F.col("view_user"))
         & (F.col("blk") == F.col("vblk"))
         & (F.col("view_ts") <= F.col("click_ts"))
-        & (F.col("view_ts") > F.col("click_ts") - F.expr("INTERVAL 3 HOURS")),
+        & (F.col("view_ts") > F.col("click_ts") - F.expr(_JOIN_INTERVAL_EXPR)),
     )
     return joined.select(
         "click_id",
