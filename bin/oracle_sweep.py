@@ -133,7 +133,11 @@ def main() -> None:
 
     skipped = SKIP & set(queries)
     skew_skipped = SKEW_SKIP & set(queries)
-    total = len(queries) - len(skipped) - len(skew_skipped)
+    # a name carrying BOTH guards (or passed via --skip on a skew
+    # fixture) must be subtracted once, not twice — tally over the union
+    total = len(queries) - len(skipped | skew_skipped)
+    skipped = skipped - skew_skipped  # per-line loop attributes dual-
+    # guarded names to the skew guard; keep the label sets disjoint too
     print(
         f"\nSWEEP {SF_DIR}: {n_hash} hash-matched + {n_band} band-matched + "
         f"{n_rows_only} rows-only OK "

@@ -751,9 +751,13 @@ def d18_embed_lsh_tiled_pairs(
 
     sizes = exploded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_b"))
     m = F.greatest(F.lit(1), F.ceil(F.col("n_b") / F.lit(tile))).cast("int")
+    # hash before bucketing (ADVICE r8): raw vec_id mod m collapses
+    # strided/clustered id ranges into few tiles, recreating the hot-task
+    # imbalance this operator removes; xxhash64 is deterministic so the
+    # tiling — and the pytest-pinned pair set — stays replayable
     tiled = (
         exploded.join(F.broadcast(sizes), ["band", "bucket"])
-        .withColumn("t", F.pmod(F.col("vec_id"), m).cast("int"))
+        .withColumn("t", F.pmod(F.xxhash64("vec_id"), m).cast("int"))
     )
     groups = tiled.groupBy("band", "bucket", "t").agg(
         F.sort_array(F.collect_list(F.struct("vec_id", "sig", "v"))).alias("rows")

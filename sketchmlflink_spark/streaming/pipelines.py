@@ -246,11 +246,21 @@ def hot_user_census(events: DataFrame, fraction: float = HOT_USER_FRACTION) -> l
     sized), and exact integer comparison keeps it deterministic."""
     from fractions import Fraction
 
-    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).cache()
+    # NULL keys never match the equi-join, so they can neither blow up
+    # join state nor belong in the quarantine list; dropping them here
+    # also keeps int() below total (ADVICE r8: int(None) crash)
+    counts = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
     try:
         total = counts.agg(F.sum("n").alias("t")).collect()[0]["t"] or 0
-        # integer-only threshold, exact for ANY fraction (not just ones
-        # whose reciprocal is integral): n/total > p/q ⇔ n·q > total·p.
+        # integer-only threshold, exact up to denominator 1e6 (any float
+        # literal a user can write; a Fraction with a larger reduced
+        # denominator is approximated by limit_denominator and would
+        # move the bar by <1e-6): n/total > p/q ⇔ n·q > total·p.
         # An earlier k = round(1/fraction) form silently moved the bar
         # (fraction=0.4 → k=2 → threshold 50%), letting a 45%-hot key
         # stay in the streaming path — the exact blowup the census

@@ -815,3 +815,15 @@ def test_st22_quarantine_union_matches_st08(spark):
     hot_pairs = _bucketed_pairs(ev.where(F.col("user_id").isin(hot)))
     assert cold_pairs.isdisjoint(hot_pairs)
     assert (cold_pairs | hot_pairs) == _plain_pairs(ev)
+
+
+def test_hot_user_census_ignores_null_keys(spark):
+    """A NULL user_id group above the threshold must neither crash the
+    census (ADVICE r8: int(None)) nor appear in the quarantine list —
+    NULL keys never match the equi-join, so they cannot blow up join
+    state and do not belong in the hot set."""
+    rows = [(None,)] * 80 + [(7,)] * 15 + [(i,) for i in range(5)]
+    ev = spark.createDataFrame(rows, "user_id bigint")
+    hot = P.hot_user_census(ev, fraction=0.5)
+    # among the 20 non-null events, user 7 carries 75% > 50%
+    assert hot == [7]
