@@ -138,6 +138,37 @@ BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
 CALIB_QUERIES = ("q01_pricing_summary", "t01_token_stats_by_lang", "d01_dedup_exact")
 CALIB_SF_DIR = "/root/testdata/sf0.01"
 
+# IMMUTABLE v2 reference values (BASELINE.md "Calibration protocol v2",
+# VERDICT r5 item 7): best-of-3 at sf0.01 on the round-5 builder
+# container. Every round normalizes against THESE; never re-record
+# silently — a structurally different container gets a dated BASELINE.md
+# paragraph and the old values stay the cross-round denominator.
+CALIB_REFERENCE = {
+    "q01_pricing_summary": 0.185,
+    "t01_token_stats_by_lang": 0.139,
+    "d01_dedup_exact": 0.139,
+}
+
+
+def machine_factor(pre: dict | None, post: dict | None) -> tuple[float | None, bool]:
+    """(factor, noise_suspect) per the BASELINE.md v2 rule: median over
+    the pinned queries of min(pre, post)/reference; pre-vs-post drift
+    > 1.5x on any pinned query marks the run noise-suspect. Error-string
+    slots (fault-isolated calib) are ignored; with no usable slot the
+    factor is None and the artifact stays raw-only."""
+    import statistics
+
+    ratios, suspect = [], False
+    for name, ref in CALIB_REFERENCE.items():
+        vals = [d[name] for d in (pre, post)
+                if d is not None and isinstance(d.get(name), (int, float))]
+        if not vals:
+            continue
+        ratios.append(min(vals) / ref)
+        if len(vals) == 2 and max(vals) / min(vals) > 1.5:
+            suspect = True
+    return (round(statistics.median(ratios), 4) if ratios else None), suspect
+
 
 def pinned_calib(spark, queries: dict) -> dict:
     """Best-of-3 wall seconds for each pinned calib query at sf0.01.
@@ -207,6 +238,19 @@ def main() -> None:
             out["calib_pinned_pre"] = state["calib_pre"]
         if state["calib_post"] is not None:
             out["calib_pinned_post"] = state["calib_post"]
+        # self-normalization (VERDICT r8 item 1): the artifact carries
+        # its own machine factor and calib-normalized per-query column,
+        # so round-over-round readers never reverse-engineer the
+        # container speed from BASELINE.md by hand
+        factor, suspect = machine_factor(state["calib_pre"], state["calib_post"])
+        if factor is not None:
+            out["calib_reference"] = CALIB_REFERENCE
+            out["machine_factor"] = factor
+            out["calib_noise_suspect"] = suspect
+            out["value_per_calib"] = round(state["total"] / factor, 3)
+            out["queries_per_calib"] = {
+                n: round(t / factor, 3) for n, t in state["timings"].items()
+            }
         if skipped:
             out["skipped_budget"] = skipped
         return out
