@@ -833,6 +833,253 @@ def d18_embed_lsh_tiled_pairs(
 
 
 # --------------------------------------------------------------------------
+# d19 — d18's tiled verify made hash-checkable: the audit twin.
+# --------------------------------------------------------------------------
+# d07/d18 stay rows-only because their verify emits by FLOAT threshold
+# over a dgemm whose summation order differs from any SQL engine's fold,
+# and their tiles come from Spark-only xxhash64. d19 re-runs the SAME
+# tiled machinery (d07 banding, first-match band rule, tile-pair
+# self-join, blocked verify) with every engine-divergent step replaced
+# by an exactly-replayable one, so the entire pipeline — including WHICH
+# (band, bucket, tile_a, tile_b) task emits each pair — is a DuckDB hash
+# oracle (the d14 template applied to round 8's structural fix):
+#   * banding: the identical 30 hyperplanes as repr literals; s03 proved
+#     DuckDB's sequential list_dot_product reproduces Spark's `dot` fold
+#     byte-exactly, so signs/buckets/sig can never differ;
+#   * tiles: round-robin over row_number() ordered by md5(vec_id) within
+#     each (band, bucket) — perfectly balanced AND engine-portable,
+#     where production d18 uses xxhash64;
+#   * verify: embeddings quantized to a 1e-3 int grid (the s05/s06
+#     int-grid precedent); cos >= 2/5 becomes the pure-integer predicate
+#     qdot > 0 AND 25*qdot^2 >= 4*na2*nb2. With |x| <= 0.6 every product
+#     and partial sum stays < 2^53, so the kernel's float64 dgemm IS
+#     exact integer arithmetic regardless of summation order.
+D19_TILE = 64  # small enough that sf0.01's ~60-row buckets still tile
+D19_QSCALE = 1000.0  # 1e-3 verify grid (int components <= 600)
+D19_NUM, D19_DEN = 2, 5  # COSINE_DUP_THRESHOLD 0.4 as an exact rational
+
+
+def _d19_plane_lit(p) -> str:
+    # repr round-trips the exact double, so DuckDB parses the
+    # bit-identical hyperplane (s03's _duck_plane pattern)
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+
+def _d19_bucket_expr(g: int) -> str:
+    planes = _d07_planes(64)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_d19_plane_lit(planes[g * D07_BITS + j])})"
+        f" >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(D07_BITS)
+    )
+
+
+def _d19_cand(g: int) -> str:
+    # first-match band rule as join residuals: band g emits a pair only
+    # if every earlier band's 3-bit bucket differs (== the kernel's
+    # sig-xor check); min-band dedup without a global GROUP BY
+    earlier = " AND ".join(f"a.b{k} != b.b{k}" for k in range(g))
+    cond = f" AND {earlier}" if earlier else ""
+    return f"""
+  SELECT {g} AS band, a.b{g} AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_dot_product(a.q, b.q) AS BIGINT) AS qdot, a.na2 AS na2, b.na2 AS nb2
+  FROM sigx a JOIN sigx b ON a.b{g} = b.b{g} AND a.vec_id < b.vec_id{cond}
+  WHERE a.na2 > 0 AND b.na2 > 0
+    AND CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
+    AND {D19_DEN ** 2} * CAST(list_dot_product(a.q, b.q) AS BIGINT)
+        * CAST(list_dot_product(a.q, b.q) AS BIGINT)
+        >= {D19_NUM ** 2} * a.na2 * b.na2"""
+
+
+def _d19_oracle() -> str:
+    sig_cols = ",\n       ".join(f"({_d19_bucket_expr(g)}) AS b{g}" for g in range(D07_BANDS))
+    cands = "\n  UNION ALL\n".join(_d19_cand(g) for g in range(D07_BANDS))
+    unnest = ", ".join(f"{{'band': {g}, 'bucket': b{g}}}" for g in range(D07_BANDS))
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {D19_QSCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+sigx AS MATERIALIZED (
+  SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS na2,
+       {sig_cols}
+  FROM e
+),
+tl AS MATERIALIZED (
+  SELECT vec_id, band, bucket,
+         CAST((row_number() OVER (PARTITION BY band, bucket
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1)
+              % CAST(ceil(count(*) OVER (PARTITION BY band, bucket) / {D19_TILE}) AS BIGINT)
+              AS INT) AS t
+  FROM (
+    SELECT vec_id, u.band AS band, u.bucket AS bucket
+    FROM sigx, UNNEST([{unnest}]) AS s(u)
+  )
+),
+ver AS MATERIALIZED (
+{cands}
+)
+SELECT v.band, v.bucket,
+       CAST(least(ta.t, tb.t) AS INT) AS ta, CAST(greatest(ta.t, tb.t) AS INT) AS tb,
+       v.id_a, v.id_b, v.qdot,
+       round(v.qdot / sqrt(CAST(v.na2 * v.nb2 AS DOUBLE)), 6) AS cosine
+FROM ver v
+JOIN tl ta ON ta.band = v.band AND ta.vec_id = v.id_a
+JOIN tl tb ON tb.band = v.band AND tb.vec_id = v.id_b
+"""
+
+
+@register(
+    "d19_embed_lsh_tiled_audit",
+    oracle=_d19_oracle(),
+    tags=("dedup", "embedding", "lsh", "tiled", "audit"),
+    scale_guard_sf=3.0,  # engine is banded+tiled; the ORACLE's per-band
+    # self-joins verify every candidate pair quadratically-in-bucket
+    # (27 s at sf1, measured) — guard the cross-engine replay, not the op
+)
+def d19_embed_lsh_tiled_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    tile: int = D19_TILE,
+) -> DataFrame:
+    """Hash-checked audit twin of d18 (see module comment above): the
+    same tile-pair self-join machinery, with md5-ordered round-robin
+    tiles and an exact int-grid verify so DuckDB replays the WHOLE
+    pipeline — each output row pins (band, bucket, ta, tb) task
+    assignment plus the integer dot — byte-for-byte. Production traffic
+    runs d18 (float threshold, xxhash64 tiles); this entry exists so the
+    tiling math itself sits in the hash-oracle set instead of rows-only
+    (VERDICT r8 item 2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    exploded = _d07_exploded(spark, sf_dir)
+    mask = (1 << D07_BITS) - 1
+
+    w_ord = Window.partitionBy("band", "bucket").orderBy("h")
+    w_all = Window.partitionBy("band", "bucket")
+    tiled = (
+        exploded.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .withColumn(
+            "m",
+            F.ceil(F.count(F.lit(1)).over(w_all) / F.lit(tile)).cast("bigint"),
+        )
+        .withColumn("t", ((F.row_number().over(w_ord) - F.lit(1)) % F.col("m")).cast("int"))
+    )
+    # localCheckpoint: the packed groups feed BOTH sides of the tile-pair
+    # self-join; without it the 30-dot signing scan + window run twice
+    # (the d18 lesson, one frame later in the plan)
+    groups = tiled.groupBy("band", "bucket", "t").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "sig", "v"))).alias("rows")
+    ).localCheckpoint()
+    a, b = groups.alias("a"), groups.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.t") <= F.col("b.t")),
+        )
+        .select(
+            F.col("a.band").alias("band"),
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+            (F.col("a.t") == F.col("b.t")).alias("same_tile"),
+            F.col("a.rows").alias("ra"),
+            F.col("b.rows").alias("rb"),
+        )
+        .repartition("band", "bucket", "ta", "tb")
+    )
+
+    def _unpack(rows):
+        ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64, count=len(rows))
+        sig = np.fromiter((r["sig"] for r in rows), dtype=np.int64, count=len(rows))
+        V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+        # 1e-3 int grid as float64: every entry is an exact integer
+        # <= 600, so the dgemm below is EXACT integer arithmetic
+        Q = np.floor(V * D19_QSCALE + 0.5)
+        na2 = (Q * Q).sum(axis=1).astype(np.int64)
+        return ids, sig, Q, na2
+
+    num2, den2 = D19_NUM ** 2, D19_DEN ** 2
+
+    def verify_pairs(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                ids_a, sig_a, Qa, na2 = _unpack(row.ra)
+                if row.same_tile:
+                    ids_b, sig_b, Qb, nb2 = ids_a, sig_a, Qa, na2
+                else:
+                    ids_b, sig_b, Qb, nb2 = _unpack(row.rb)
+                qd = (Qa @ Qb.T).astype(np.int64)
+                ok = (
+                    (qd > 0)
+                    & (den2 * qd * qd >= num2 * na2[:, None] * nb2[None, :])
+                    & (na2[:, None] > 0)
+                    & (nb2[None, :] > 0)
+                )
+                if row.same_tile:
+                    ok = np.triu(ok, k=1)
+                ii, jj = np.nonzero(ok)
+                if not ii.size:
+                    continue
+                keep = ids_a[ii] != ids_b[jj]
+                ii, jj = ii[keep], jj[keep]
+                band = int(row.band)
+                if band > 0 and ii.size:
+                    diff = sig_a[ii] ^ sig_b[jj]
+                    fresh = np.ones(ii.shape[0], dtype=bool)
+                    for bp in range(band):
+                        fresh &= ((diff >> (D07_BITS * bp)) & mask) != 0
+                    ii, jj = ii[fresh], jj[fresh]
+                if not ii.size:
+                    continue
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "band": np.full(ii.shape[0], band, dtype=np.int32),
+                            "bucket": np.full(ii.shape[0], int(row.bucket), dtype=np.int32),
+                            "ta": np.full(ii.shape[0], int(row.ta), dtype=np.int32),
+                            "tb": np.full(ii.shape[0], int(row.tb), dtype=np.int32),
+                            "id_a": lo,
+                            "id_b": hi,
+                            "qdot": qd[ii, jj],
+                            "nn": na2[ii] * nb2[jj],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True).drop_duplicates(
+                    subset=["id_a", "id_b"]
+                )
+
+    out = pairs.mapInPandas(
+        verify_pairs,
+        "band int, bucket int, ta int, tb int, id_a long, id_b long, qdot long, nn long",
+    )
+    return out.select(
+        "band",
+        "bucket",
+        "ta",
+        "tb",
+        "id_a",
+        "id_b",
+        "qdot",
+        F.round(F.col("qdot") / F.sqrt(F.col("nn").cast("double")), 6).alias("cosine"),
+    )
+
+
+# --------------------------------------------------------------------------
 # d08 — incremental dedup: a new batch against the existing corpus.
 # --------------------------------------------------------------------------
 INC_MOD = 10

@@ -798,3 +798,46 @@ def test_d18_emits_each_pair_exactly_once(spark):
     df = D.d18_embed_lsh_tiled_pairs(spark, "/root/testdata/sf0.001", tile=11)
     rows = [(r["id_a"], r["id_b"]) for r in df.collect()]
     assert len(rows) == len(set(rows)), "pair emitted more than once"
+
+
+def test_d19_output_invariant_under_tile_size(spark):
+    """d19's qualifying pair set — and each pair's emitting (band,
+    bucket) plus exact integer dot — must not depend on the tile knob;
+    only the (ta, tb) task-assignment columns may move. tile=7 forces
+    ragged multi-tile buckets, tile=10**9 collapses to one tile."""
+    from sketchmlflink_spark.operators import dedup as D
+
+    def core(tile):
+        return {
+            (r["band"], r["bucket"], r["id_a"], r["id_b"], r["qdot"], r["cosine"])
+            for r in D.d19_embed_lsh_tiled_audit(
+                spark, "/root/testdata/sf0.001", tile=tile
+            ).collect()
+        }
+
+    a, b = core(7), core(10**9)
+    assert a == b and len(a) > 0
+
+
+def test_d19_pairs_track_d07_up_to_grid_boundary(spark):
+    """The audit twin may only disagree with production d07 on pairs
+    whose cosine sits within the 1e-3 quantization grid of the 0.4
+    threshold — anywhere else the int-grid predicate and the float
+    threshold must agree (same bands, same first-match rule)."""
+    from sketchmlflink_spark.operators import dedup as D
+
+    d07 = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.d07_embed_lsh_candidate_verify(spark, "/root/testdata/sf0.001").collect()
+    }
+    d19 = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.d19_embed_lsh_tiled_audit(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert d07 and d19
+    for pair in set(d07) ^ set(d19):
+        cos = d07.get(pair, d19.get(pair))
+        assert abs(cos - D.COSINE_DUP_THRESHOLD) < 2e-3, (pair, cos)
+    # agreeing pairs: quantized cosine within one grid step of the float one
+    for pair in set(d07) & set(d19):
+        assert abs(d07[pair] - d19[pair]) < 2e-3, (pair, d07[pair], d19[pair])
