@@ -274,7 +274,12 @@ def hot_user_census(events: DataFrame, fraction: float = HOT_USER_FRACTION) -> l
     return sorted(int(r["user_id"]) for r in rows)
 
 
-def bucketed_click_view_join(events: DataFrame) -> DataFrame:
+def bucketed_click_view_join(
+    events: DataFrame,
+    click_lo_us: int | None = None,
+    click_hi_us: int | None = None,
+    view_lt_us: int | None = None,
+) -> DataFrame:
     """Batch interval join emitting EXACTLY the pair set of
     click_view_interval_join, but shuffle-partitioned by
     (user_id, 3h time block) instead of by user alone.
@@ -289,16 +294,25 @@ def bucketed_click_view_join(events: DataFrame) -> DataFrame:
     Zipf-head user's lifetime into per-3h tasks, which is what makes
     the quarantine path scale where single-task join state cannot."""
     blk = F.expr(f"unix_micros(ts) div {_JOIN_INTERVAL_US}")
-    clicks = (
-        events.where(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            "user_id",
-            F.col("ts").alias("click_ts"),
-            F.explode(F.array(blk - 1, blk)).alias("blk"),
-        )
+    # optional µs bounds (epoch-census mode): restrict which CLICKS this
+    # pass owns ([click_lo_us, click_hi_us)) and, for the seam pass at an
+    # assignment boundary, which VIEWS (strictly before view_lt_us) — the
+    # complementary pairs belong to a neighboring pass or the cold stream
+    clicks_src = events.where(F.col("event_type") == "click")
+    if click_lo_us is not None:
+        clicks_src = clicks_src.where(F.unix_micros("ts") >= click_lo_us)
+    if click_hi_us is not None:
+        clicks_src = clicks_src.where(F.unix_micros("ts") < click_hi_us)
+    clicks = clicks_src.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.explode(F.array(blk - 1, blk)).alias("blk"),
     )
-    views = events.where(F.col("event_type") == "view").select(
+    views_src = events.where(F.col("event_type") == "view")
+    if view_lt_us is not None:
+        views_src = views_src.where(F.unix_micros("ts") < view_lt_us)
+    views = views_src.select(
         F.col("event_id").alias("view_id"),
         F.col("user_id").alias("view_user"),
         F.col("ts").alias("view_ts"),
@@ -317,6 +331,115 @@ def bucketed_click_view_join(events: DataFrame) -> DataFrame:
         "user_id",
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
+
+
+def epoch_hot_assignments(
+    events: DataFrame, n_epochs: int, fraction: float = HOT_USER_FRACTION
+) -> tuple[list, list]:
+    """PRODUCTION census mode: the hot set applied to epoch N is the
+    census of epoch N-1 (epoch 0 gets an empty set) — st22's per-replay
+    full-batch census needs the whole batch before any streaming starts,
+    which a truly continuous deployment does not have; a prior-epoch
+    census is what it actually runs. Returns (epoch boundaries in unix µs,
+    n_epochs+1 entries; per-epoch hot-user lists). Epochs are equal
+    fixed-width time slices of the batch's ts range — integer ceil so
+    the last boundary strictly exceeds max ts."""
+    lo, hi = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    width = -(-(int(hi) - int(lo) + 1) // n_epochs)
+    bounds = [int(lo) + i * width for i in range(n_epochs + 1)]
+    us = F.unix_micros("ts")
+    census = [
+        hot_user_census(
+            events.where((us >= bounds[e]) & (us < bounds[e + 1])), fraction
+        )
+        for e in range(n_epochs - 1)  # the last epoch's census is never applied
+    ]
+    return bounds, [[]] + census
+
+
+def epoch_quarantine_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    n_epochs: int = 3,
+    fraction: float = HOT_USER_FRACTION,
+) -> DataFrame:
+    """st22's quarantine join under the prior-epoch census (the mode the
+    st22 docstring promises for 100 TB): a key's hot/cold assignment can
+    CHANGE at an epoch boundary, and the transition — not the steady
+    state — is where exactness could break. Three pair families, by the
+    epoch e of the CLICK and the user's assignment in e:
+
+      * cold-in-e users: the normal watermarked stream-stream join. The
+        stream carries an event only while its user is cold in the
+        event's OWN epoch (a stateless time+key filter), so a user going
+        hot never double-feeds join state.
+      * hot-in-e users: the (user × 3h block) batch pass over that
+        epoch's clicks, with a one-interval VIEW lookback into e-1 —
+        covers the cold→hot seam (the e-1 views sat in stream state, but
+        the e clicks never enter the stream, so no pair is doubled).
+      * hot→cold transitions (in assignment e-1, not in e): the user's
+        e-1 events never entered the stream, so its first-3h-of-e clicks
+        cannot see their e-1 views in join state — a dedicated seam pass
+        emits exactly (click in [start_e, start_e+3h), view < start_e);
+        later clicks only need views ≥ start_e, which the stream has.
+
+    Union = exactly st08's pair set (pytest: a synthetic fixture with a
+    key crossing the threshold each way; registry: st23 shares st08's
+    hash oracle). Cost at 100 TB: per epoch, one census agg on the
+    previous epoch plus bounded batch passes over quarantined keys —
+    never a second full-stream scan."""
+    from sketchmlflink_spark.sources.tables import load_table
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    bounds, hots = epoch_hot_assignments(ev_batch, n_epochs, fraction)
+    us = F.unix_micros("ts")
+
+    hot_pred = F.lit(False)
+    for e, hot in enumerate(hots):
+        if hot:
+            hot_pred = hot_pred | (
+                (us >= bounds[e]) & (us < bounds[e + 1]) & F.col("user_id").isin(hot)
+            )
+    # NULL user_id makes isin NULL; coalesce keeps those events streaming
+    # (they can never match the equi-join, but dropping them would change
+    # other consumers' view of the stream)
+    cold = events_stream(spark, sf_dir).where(~F.coalesce(hot_pred, F.lit(False)))
+    outs = [run_to_batch(click_view_interval_join(cold), output_mode="append")]
+
+    for e, hot in enumerate(hots):
+        if hot:
+            sub = ev_batch.where(
+                F.col("user_id").isin(hot)
+                & (us >= bounds[e] - _JOIN_INTERVAL_US)
+                & (us < bounds[e + 1])
+            )
+            outs.append(
+                bucketed_click_view_join(
+                    sub, click_lo_us=bounds[e], click_hi_us=bounds[e + 1]
+                )
+            )
+        seam = sorted(set(hots[e - 1]) - set(hot)) if e > 0 else []
+        if seam:
+            hi_us = min(bounds[e] + _JOIN_INTERVAL_US, bounds[e + 1])
+            sub = ev_batch.where(
+                F.col("user_id").isin(seam)
+                & (us >= bounds[e] - _JOIN_INTERVAL_US)
+                & (us < hi_us)
+            )
+            outs.append(
+                bucketed_click_view_join(
+                    sub,
+                    click_lo_us=bounds[e],
+                    click_hi_us=hi_us,
+                    view_lt_us=bounds[e],
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def sketch_profile(events: DataFrame) -> DataFrame:

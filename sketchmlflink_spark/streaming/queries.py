@@ -283,6 +283,39 @@ def st22_stream_interval_join_quarantine(spark: SparkSession, sf_dir: str) -> Da
 
 
 # --------------------------------------------------------------------------
+# st23 — st22 under the PRIOR-EPOCH census (the production census mode)
+# --------------------------------------------------------------------------
+@register(
+    "st23_epoch_census_quarantine_join",
+    oracle="""
+SELECT c.event_id AS click_id,
+       v.event_id AS view_id,
+       c.user_id  AS user_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events c
+JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click'
+ AND v.event_type = 'view'
+ AND v.ts <= c.ts
+ AND v.ts > c.ts - INTERVAL 3 HOUR
+""",
+    tags=("streaming", "stream-stream-join", "skew", "quarantine", "epoch-census"),
+)
+def st23_epoch_census_quarantine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st22 with the census a continuous deployment actually runs: each
+    epoch's hot set is the PREVIOUS epoch's census, so a key can cross
+    the threshold mid-stream and change assignment at an epoch boundary.
+    The two seams that transition opens (a newly-hot key's lookback
+    views, a newly-cold key's missing stream state) are closed by
+    bounded batch passes — see pipelines.epoch_quarantine_interval_join.
+    Exactness is the point: the output is st08's pair set regardless of
+    which keys each epoch quarantines, so the identical hash oracle
+    applies (VERDICT r8 item 3)."""
+    return P.epoch_quarantine_interval_join(spark, sf_dir, n_epochs=3)
+
+
+# --------------------------------------------------------------------------
 # st06 — foreachBatch incremental SGD (M5 training glue)
 # --------------------------------------------------------------------------
 @register(

@@ -827,3 +827,85 @@ def test_hot_user_census_ignores_null_keys(spark):
     hot = P.hot_user_census(ev, fraction=0.5)
     # among the 20 non-null events, user 7 carries 75% > 50%
     assert hot == [7]
+
+
+def test_epoch_census_transitions_preserve_exactness(spark, tmp_path):
+    """A key crossing the census threshold MID-STREAM changes hot/cold
+    assignment at an epoch boundary — the untested transition VERDICT r8
+    item 3 names. Synthetic fixture, fraction=0.3, three 6h epochs:
+    user 1 is hot in epoch 0 and cools (hot→cold at boundary 2: its
+    epoch-1 views never entered the stream, so the seam pass must feed
+    its early-epoch-2 clicks); user 2 goes hot (cold→hot at boundary 2:
+    its epoch-2 clicks leave the stream, so the hot pass's lookback must
+    see its epoch-1 views). Both boundary-straddling pairs would be LOST
+    without the seam handling; the full pair set must equal the plain
+    batch interval join."""
+    import pyspark.sql.functions as SF
+
+    H = 3_600 * 1_000_000  # one hour in µs
+    base = 1_767_225_600_000_000  # 2026-01-01 00:00:00 UTC
+    rows = []  # (event_id, user_id, type, µs offset from base)
+
+    def ev(eid, uid, ty, us):
+        rows.append((eid, uid, ty, base + us))
+
+    # --- epoch 0 [0h, 6h): u1 hot (10/17 > 30%), u2+u3 cold -----------
+    for i in range(9):
+        ev(100 + i, 1, "view", i * 30 * 60 * 1_000_000)  # every 30 min
+    ev(109, 1, "click", 5 * H)              # pairs with recent u1 views
+    ev(110, 2, "view", 4 * H)
+    ev(111, 2, "click", 5 * H)              # in-epoch cold pair
+    for i in range(5):
+        ev(120 + i, 3, "view", i * H)
+    # --- epoch 1 [6h, 12h): u2 hot (10/17 > 30%), u1 cools to 2/17 ----
+    for i in range(9):
+        ev(200 + i, 2, "view", 6 * H + i * 30 * 60 * 1_000_000)
+    ev(209, 2, "click", 11 * H)
+    ev(210, 1, "view", 11 * H + 30 * 60 * 1_000_000)  # 11h30 — the hot→cold seam view
+    ev(211, 1, "view", 7 * H)               # stale: > 3h before any e2 click
+    for i in range(5):
+        ev(220 + i, 3, "click", 6 * H + i * H)  # u3 clicks pair with its e0 views? (>3h, no)
+    # u2's view late in epoch 1 for the cold→hot lookback pair
+    ev(230, 2, "view", 11 * H + 45 * 60 * 1_000_000)  # 11h45
+    # --- epoch 2 [12h, 18h): u1 cold again, u2 hot by census(epoch 1) -
+    ev(300, 1, "click", 12 * H + 30 * 60 * 1_000_000)  # 12h30 ← must meet view 210
+    ev(301, 2, "click", 12 * H + 15 * 60 * 1_000_000)  # 12h15 ← must meet views 230, 209-era
+    ev(302, 2, "view", 13 * H)
+    ev(303, 2, "click", 14 * H)             # in-epoch hot pair
+    for i in range(4):
+        ev(310 + i, 3, "view", 13 * H + i * H)
+    ev(320, 3, "click", 17 * H)
+    ev(999, None, "view", 18 * H - 1)       # NULL user pins max ts; 3 exact epochs
+
+    ev_df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, us long"
+    ).select("event_id", "user_id", "event_type", SF.timestamp_micros("us").alias("ts"))
+    # the real fixtures are single parquet FILES (events_stream symlinks
+    # the file into its source dir); write one via a staging dir
+    import shutil
+
+    fx = tmp_path / "fixture"
+    fx.mkdir()
+    staging = tmp_path / "staging"
+    ev_df.coalesce(1).write.parquet(str(staging))
+    part = next(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(part, fx / "events.parquet")
+
+    # the transitions must actually occur, or the test proves nothing
+    bounds, hots = P.epoch_hot_assignments(
+        spark.read.parquet(str(fx / "events.parquet")), 3, fraction=0.3
+    )
+    assert hots[0] == [] and 1 in hots[1] and 1 not in hots[2], hots
+    assert 2 not in hots[1] and 2 in hots[2], hots
+    assert bounds[1] - bounds[0] == 6 * H
+
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in P.epoch_quarantine_interval_join(
+            spark, str(fx), n_epochs=3, fraction=0.3
+        ).collect()
+    }
+    want = _plain_pairs(spark.read.parquet(str(fx / "events.parquet")))
+    assert got == want, (sorted(want - got), sorted(got - want))
+    # the two seam pairs are present and were genuinely at risk
+    assert (300, 210) in got and (301, 230) in got
