@@ -128,87 +128,58 @@ def infer_sf(sf_dir: str) -> Optional[float]:
 # so the check window always contains the SURVEY §2-core ML surface
 # (m01-m07) and at least one representative of every family; the tail
 # stays covered by the local oracle harness (tests/oracle_check.py).
+#
+# ROTATION POLICY (VERDICT r8 item 4, oldest-first): the window is
+# rebuilt each round from the driver-row AGE LEDGER — for every entry,
+# the last round it held a CORRECTNESS_r*.json row (computed straight
+# from those committed artifacts). Slots go to, in order:
+#   1. the §2-core m01-m08 (pinned — never rotate out),
+#   2. entries with NO driver row yet (new this round),
+#   3. entries whose CODE changed this round (fresh row where changed),
+#   4. everything else oldest-evidence-first (ties alphabetical).
+# Round-9 ledger (from CORRECTNESS_r01..r08): never={d19, st23};
+# r1={s02 st02 st03 st05 st06}; r2={d02 d03 d05 d07 d09 d10 d11 q04
+# q06 q09 q10 q11 q30 t04}; r3={q07 q17 q18 q19 q23 q25 q27};
+# r4={d08 d12 mm04 p01 p03 q12 q22 q31 q35 s09 s12 sk02 st07 st17
+# st18 st19 t02}; r5=32 entries; r6={d15 mm03}; r7=22; r8=50.
+# The r9 window = m-core(8) + never(2) + r9-changed{d18 st22}(2) +
+# all of r1+r2+r3 (26) + the first 12 of r4 alphabetically; the five
+# r4 leftovers {st07 st17 st18 st19 t02} lead the r10 queue.
 _PRIORITY = (
-    # §2-core ML (the reference's own surface — never skip these)
+    # 1. §2-core ML (pinned)
     "m01_linear_predict", "m02_dimension_inference", "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics", "m05_sgd_sparse_metrics", "m06_libsvm_cli_e2e",
     "m07_lr_schedule_sweep", "m08_csvline_report",
-    # Round-8 rotation (VERDICT r7 items 1-3): every query whose
-    # aggregation arithmetic changed in rounds 7-8 gets a driver row.
-    # q02/q03/q05 were converted to exact DECIMAL money sums in r7 but
-    # never rotated in (VERDICT r7 "rotation slip"); the rest had their
-    # round(sum(double),2) money sums converted to the same order-free
-    # DECIMAL recipe in r8 (q21 and p08, also converted, already hold
-    # window slots below); s14 gained a hash oracle in r8.
-    # Rotated out (all with prior green driver rows, families still
-    # represented): t12 (r5-r7), q39 q33 p02 m09 s11 (r6-r7),
-    # p15 s07 s13 sk04 (r6), q01 (r7, with its new DECIMAL arithmetic).
-    "q02_revenue_forecast", "q03_shipping_priority",
-    "q05_revenue_by_nation", "q08_rollup_sales",
-    "q13_events_json_bucket", "q24_revenue_moving_avg",
-    "q26_grouping_sets_orders", "q28_order_value_deciles",
-    "q29_top_value_nations", "q37_unpivot_part_profile",
-    "s14_ann_recall_report",
-    "p08_incremental_rollup",
-    # Round-8 second wave: the avg(double)/sum-ratio sibling class
-    # converted to exact order-free forms (q14 q15 q16 q20 t07 s04 s07
-    # mm06 — t01/t10 also converted but already hold slots below), and
-    # s03/s06 whose engine arms moved to the int-grid build (s05/s14
-    # hold slots above). Rotated out for them (all driver-green r7,
-    # families still represented): q34 q36 d06 d13 t03 t14 s01 sk03
-    # mm01 p13.
-    "q14_user_event_gaps", "q15_promo_revenue_share",
-    "q16_supplier_stats_by_nation", "q20_above_customer_avg",
-    "t07_bm25_keyword_search", "s04_embedding_norms",
-    "s07_embedding_dim_stats", "mm06_pair_curation",
-    "s03_ann_lsh_cosine", "s06_ivfpq_ann_cosine",
-    # NEW this round (continued session) — no driver row yet, so they
-    # take window slots from spread entries whose families keep other
-    # representatives (the rotated-out entries all have prior driver
-    # rows and stay green in every SWEEP artifact); st15 re-enters
-    # because its write-parallelism fix deserves a fresh driver row.
-    "st20_stream_late_data_audit", "st21_stream_redelivery_dedup",
-    "p16_overlap_chunking", "p17_orc_interchange_roundtrip",
-    "d17_prefix_containment", "t15_bigram_xent", "s15_mips_topk",
-    "st15_stream_partitioned_sink",
-    # Round-7 rotation: q40 is NEW (two-phase sessionize, the skew
-    # fix); st04's ORACLE changed (tie-ordering bug found by the skew
-    # fixture) — both need fresh driver rows. Rotated out: mm03 and
-    # d15 (driver-green in r6; their families keep mm01/mm02 and
-    # d01/d04/d06/d13 in the window).
-    "q40_sessionize_twophase", "st04_stream_sessions",
-    # Representative spread: headliners whose last driver row is the
-    # oldest, one-plus per family — every rotated-out entry stays green
-    # in the SWEEP artifacts and the perturbation hash test.
-    # relational: salted skew agg (q01/q34/q36 rotated out r8 —
-    # driver-green r7; fourteen other relational entries hold r8
-    # window slots above)
-    "q21_event_type_stats_salted",
-    # dedup: exact, MinHash-LSH (d06/d13 rotated out r8, d15 r7 —
-    # all driver-green r6/r7)
-    "d01_dedup_exact", "d04_minhash_lsh_neardup",
-    # text: token stats + unigram xent (both avg-converted r8; t03/t14
-    # rotated out r8, driver-green r7; t07/t15 hold slots above)
-    "t01_token_stats_by_lang",
-    "t10_unigram_xent",
-    # similarity: IVF ANN (int-grid build r8; s03/s06/s14/s15 hold
-    # slots above; s01 rotated out r8, driver-green r7)
-    "s05_ivf_ann_cosine",
-    # sketch aggs: HLL rollup (sk03 rotated out r8, driver-green r7)
-    "sk01_hll_user_rollup",
-    # dedup: d18 is NEW this round (the cluster-parallel tile verify —
-    # d07's 80-task parallelism ceiling lifted) and needs its first
-    # driver row; rotated out for it: mm02 (driver-green r7 AND r8; the
-    # multimodal family keeps mm06 in the window)
-    "d18_embed_lsh_tiled_pairs",
-    # pipeline: bottom-k sampling (p13 rotated out r8, driver-green r7)
-    "p14_bottomk_sample",
-    # streaming: st22 is NEW this round (hot-key quarantine variant of
-    # st08 — the first-class fix for the stream-stream skew limitation
-    # the r8 skew sweep measured) and needs its first driver row;
-    # rotated out for it: st01 (driver-green every round since r2; the
-    # family keeps st04/st15/st20/st21 plus st22 itself in the window)
-    "st22_stream_interval_join_quarantine",
+    # 2. NEW this round — first driver rows: the hash-checked audit twin
+    # of the tiled LSH verify, and the prior-epoch census quarantine join
+    "d19_embed_lsh_tiled_audit", "st23_epoch_census_quarantine_join",
+    # 3. code changed this round: d18's tile assignment now hashes
+    # vec_id (ADVICE r8), st22's census is NULL-safe
+    "d18_embed_lsh_tiled_pairs", "st22_stream_interval_join_quarantine",
+    # 4. oldest evidence first — last driver row r1:
+    "s02_top_similar_pairs", "st02_stream_sliding_stats",
+    "st03_stream_dedup_counts", "st05_stream_value_profile",
+    "st06_stream_incremental_sgd",
+    # last driver row r2:
+    "d02_dedup_normalized", "d03_jaccard_adjacent", "d05_simhash_neardup",
+    "d07_embed_lsh_candidate_verify", "d09_bloom_incremental_dedup",
+    "d10_span_exact_dedup", "d11_semantic_cluster_dedup",
+    "q04_order_priority", "q06_customer_distribution",
+    "q09_distinct_segments", "q10_nation_intersect",
+    "q11_customers_without_orders", "q30_full_priority_customers",
+    "t04_fingerprints",
+    # last driver row r3:
+    "q07_top_order_per_customer", "q17_big_orders", "q18_price_percentiles",
+    "q19_cube_parts", "q23_pivot_daily_events", "q25_batch_sessionize",
+    "q27_sole_supplier_orders",
+    # last driver row r4 (first 12 alphabetically; st07 st17 st18 st19
+    # t02 lead the r10 queue):
+    "d08_incremental_dedup", "d12_decontaminate_eval_overlap",
+    "mm04_frame_exact_dedup", "p01_corpus_pipeline",
+    "p03_language_mix_sample", "q12_events_hourly",
+    "q22_asof_click_to_view", "q31_bucketed_segment_revenue",
+    "q35_copurchase_pairs", "s09_knn_blocked_exact",
+    "s12_hybrid_rrf_retrieval", "sk02_cms_event_type_freq",
 )
 
 
