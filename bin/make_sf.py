@@ -22,7 +22,7 @@ sf0.1 data.  Used for the VERDICT r3 item 1 "prove it at sf1" runs.
 
 Usage: python bin/make_sf.py [--src /root/testdata/sf0.1] \
                              [--dst testdata_sf1] [--factor 10] [--seed 42] \
-                             [--skew 0.3]
+                             [--skew 0.3] [--clump 0.3]
 
 --skew FRAC builds a HOT-KEY variant (VERDICT r6 item 2: at 100 TB
 corpora are Zipf-skewed by construction; make_sf otherwise replicates
@@ -159,7 +159,9 @@ def scale_sql_tables(
         print(f"  {table}: x{reps}", flush=True)
 
 
-def scale_embeddings(src: str, dst: str, factor: int, seed: int, d: dict[str, int]) -> None:
+def scale_embeddings(
+    src: str, dst: str, factor: int, seed: int, d: dict[str, int], clump: float = 0.0
+) -> None:
     t = pq.read_table(f"{src}/embeddings.parquet")
     vec_id = t.column("vec_id").to_numpy()
     emb = np.stack(t.column("embedding").to_pylist()).astype(np.float32)
@@ -173,6 +175,25 @@ def scale_embeddings(src: str, dst: str, factor: int, seed: int, d: dict[str, in
         vecs.append(emb + jitter)
         labels.append(label)
     all_vecs = np.concatenate(vecs)
+    if clump:
+        # --clump FRAC: plant a dense near-duplicate CLUMP — ~FRAC of all
+        # vectors become tiny jitters of ONE base vector, so they share
+        # LSH buckets in (almost) every band and the in-bucket verify
+        # work concentrates quadratically in those buckets. This is the
+        # hot-bucket shape real corpora have (boilerplate/mirror pages)
+        # and the fixture d07's one-task-per-bucket ceiling vs d18's
+        # tiling is measured on (VERDICT r8 item 5). Deterministic on
+        # the OUTPUT vec_id, like the --skew remaps.
+        all_ids = np.concatenate(ids)
+        members = (all_ids % 100) < int(round(clump * 100))
+        crng = np.random.default_rng(seed + 7_777)
+        base = emb[0]
+        all_vecs = all_vecs.copy()
+        all_vecs[members] = base + crng.normal(
+            0.0, 0.001, size=(int(members.sum()), dim)
+        ).astype(np.float32)
+        print(f"  clump: {int(members.sum())} vectors onto one base (sigma=0.001)",
+              flush=True)
     out = pa.table(
         {
             "vec_id": pa.array(np.concatenate(ids), type=pa.int64()),
@@ -194,6 +215,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--skew", type=float, default=0.0,
                     help="hot-key fraction (e.g. 0.3); 0 = uniform replication")
+    ap.add_argument("--clump", type=float, default=0.0,
+                    help="near-dup embedding clump fraction (hot LSH bucket)")
     args = ap.parse_args()
 
     os.makedirs(args.dst, exist_ok=True)
@@ -201,7 +224,7 @@ def main() -> None:
     d = domain_sizes(con, args.src)
     print(f"domain sizes: {d}" + (f", skew={args.skew}" if args.skew else ""), flush=True)
     scale_sql_tables(con, args.src, args.dst, args.factor, d, skew=args.skew)
-    scale_embeddings(args.src, args.dst, args.factor, args.seed, d)
+    scale_embeddings(args.src, args.dst, args.factor, args.seed, d, clump=args.clump)
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
