@@ -103,3 +103,25 @@ def test_float_sensitive_hashes_config_invariant_sf001(tmp_path):
     b = _run(CONFIG_B, SF_MID, str(tmp_path / "b.json"), only=only)
     assert len(a) >= 20
     _assert_same(a, b)
+
+
+# Hot-key fixture (VERDICT r8 item 7): the two passes above run on
+# uniform fixtures, but a 30%-of-rows hot key changes the partial-agg
+# combine-tree shape — exactly where order-dependence would resurface
+# after surviving the uniform gate. Regenerate the fixture with
+#   python bin/make_sf.py --src /root/testdata/sf0.01 \
+#       --dst testdata_sf001skew --factor 1 --skew 0.3
+SKEW_FIXTURE = os.path.join(REPO_ROOT, "testdata_sf001skew")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir(SKEW_FIXTURE),
+    reason="skew fixture not built (bin/make_sf.py --skew 0.3)",
+)
+def test_float_sensitive_hashes_config_invariant_on_skew(tmp_path):
+    only = ",".join(_sensitive_names())
+    a = _run(CONFIG_A, SKEW_FIXTURE, str(tmp_path / "a.json"), only=only)
+    b = _run(CONFIG_B, SKEW_FIXTURE, str(tmp_path / "b.json"), only=only)
+    assert len(a) >= 20
+    _assert_same(a, b)
