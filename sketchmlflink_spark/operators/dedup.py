@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -283,44 +283,57 @@ def d04_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # d05 — SimHash near-duplicate detection.
 # --------------------------------------------------------------------------
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, sim: 64-bit SimHash).
+def simhash_signatures(
+    docs: DataFrame, hash_col: Column | None = None, n_bits: int = 64
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, sim: n_bits-bit SimHash).
 
-    Explode token hashes + ONE hash aggregate with 64 conditional sums
-    (same pattern/rationale as minhash_signatures: per-bit majority vote
-    stays in codegen + map-side partial agg instead of 64 array
-    traversals per row)."""
+    Explode token hashes + ONE hash aggregate with n_bits conditional
+    sums (same pattern/rationale as minhash_signatures: per-bit majority
+    vote stays in codegen + map-side partial agg instead of n_bits array
+    traversals per row). ``hash_col`` is the per-token hash expression
+    over column ``tok`` (default: production xxhash64; d20 passes the
+    engine-portable md5 family so the vote is DuckDB-replayable)."""
+    h = F.xxhash64("tok") if hash_col is None else hash_col
     hs = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok")).select(
-        "doc_id", F.xxhash64("tok").alias("h")
+        "doc_id", h.alias("h")
     )
     bit_votes = [
         F.sum((F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = hs.groupBy("doc_id").agg(*bit_votes)
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         bit_i = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long")
         sim = sim + F.when(F.col(f"b{i}") > 0, bit_i).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", sim.alias("sim"))
 
 
-def simhash_near_duplicates(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    """Pigeonhole banding: 4×16-bit chunks — any pair within hamming≤3
-    agrees on ≥1 chunk; verify with bit_count(xor).
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    hash_col: Column | None = None,
+    n_bits: int = 64,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Pigeonhole banding: n_chunks equal-width chunks — any pair within
+    hamming ≤ n_chunks−1 agrees on ≥1 chunk; verify with bit_count(xor).
 
     The signature table (doc_id + one long) is localCheckpoint'ed
     before the banded self-join — Catalyst duplicates unshared join
     subtrees, so without it the corpus is tokenized and bit-voted once
     per side (same discipline as minhash_near_duplicates / sk06)."""
-    sh = simhash_signatures(docs).localCheckpoint()
+    width = n_bits // n_chunks
+    mask = (1 << width) - 1
+    sh = simhash_signatures(docs, hash_col=hash_col, n_bits=n_bits).localCheckpoint()
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk"),
-                F.shiftrightunsigned("sim", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+                F.shiftrightunsigned("sim", width * i).bitwiseAND(F.lit(mask)).alias("ch"),
             )
-            for i in range(4)
+            for i in range(n_chunks)
         ]
     )
     e = sh.select("doc_id", "sim", F.explode(chunks).alias("c")).select(
@@ -353,8 +366,92 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMM
 )
 def d05_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dups with hamming ≤ 3 via 16-bit pigeonhole
-    bands. Fixture-tested in tests/test_dedup.py."""
+    bands. Fixture-tested in tests/test_dedup.py; d20 is the md5 audit
+    twin that replays the identical vote/banding math hash-checked."""
     return simhash_near_duplicates(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# d20 — md5 audit twin of d05 (the d14/d19 template applied to SimHash):
+# identical bit-majority vote + pigeonhole banding + bit_count verify,
+# but the per-token hash is the engine-portable md5 family, so the WHOLE
+# operator — signature, banding, hamming — is DuckDB-replayable and sits
+# in the hash-checked oracle set. 60 bits (15 md5 hex chars) because
+# Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT only below 2^63;
+# 4×15-bit chunks keep the same hamming≤3 pigeonhole guarantee as d05's
+# 4×16-bit geometry.
+# --------------------------------------------------------------------------
+D20_BITS = 60
+D20_CHUNKS = 4
+
+
+def _d20_votes() -> str:
+    return ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(D20_BITS)
+    )
+
+
+def _d20_sim() -> str:
+    return "\n           + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i in range(D20_BITS)
+    )
+
+
+_D20_WIDTH = D20_BITS // D20_CHUNKS
+_D20_MASK = (1 << _D20_WIDTH) - 1
+
+D20_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+),
+v AS (
+  SELECT doc_id,
+         {_d20_votes()}
+  FROM hx GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id,
+         {_d20_sim()} AS sim
+  FROM v
+),
+c AS (
+  SELECT doc_id, sim, i AS chunk, (sim >> ({_D20_WIDTH} * i)) & {_D20_MASK} AS ch
+  FROM s, unnest(range(0, {D20_CHUNKS})) AS u(i)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM c a JOIN c b
+  ON a.chunk = b.chunk AND a.ch = b.ch AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register(
+    "d20_simhash_md5_audit",
+    oracle=D20_ORACLE,
+    tags=("dedup", "simhash", "sketch-accuracy"),
+)
+def d20_simhash_md5_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked audit twin of d05: 60-bit SimHash near-dups
+    (hamming ≤ 3, 15-bit pigeonhole bands) with the md5 hash family, so
+    DuckDB replays signature construction, banding, and the hamming
+    verify byte-exact. d05's production arm keeps xxhash64 (faster,
+    Spark-only — rows-only by contract); this twin pins the shared
+    vote/banding/bit_count math cross-engine, the same discipline as
+    d14 (minhash) and d19 (tiled LSH verify)."""
+    hash_col = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    return simhash_near_duplicates(
+        t(spark, sf_dir, "documents"),
+        hash_col=hash_col,
+        n_bits=D20_BITS,
+        n_chunks=D20_CHUNKS,
+    )
 
 
 # --------------------------------------------------------------------------

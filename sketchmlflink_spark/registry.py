@@ -9,6 +9,8 @@ sides — the driver's comparator sorts columns by name before hashing.
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -66,8 +68,27 @@ def register(
     def wrap(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+
+        @functools.wraps(fn)
+        def build(spark, sf_dir):
+            # Ship the package to Python workers BEFORE any builder
+            # runs: mapInPandas/applyInPandas closures that reference
+            # module-level helpers (the IVF int-grid kernels, the
+            # sketch codec) are pickled by REFERENCE and need the
+            # package importable on executors. Individual builders used
+            # to opt in, which worked only while the driver process ran
+            # with the repo on its own sys.path/cwd — a fresh driver
+            # process running from another directory hit
+            # ModuleNotFoundError on exactly the opted-out entries
+            # (found by the r9 contract drive of s05 from /tmp).
+            # Idempotent per SparkContext, ~ms after the first call.
+            from sketchmlflink_spark.session import ensure_workers_can_import
+
+            ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
         _REGISTRY[name] = EngineQuery(
-            name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
+            name=name, build=build, oracle=oracle, doc=doc or (fn.__doc__ or ""),
             tags=tags, band=band, scale_guard_sf=scale_guard_sf,
             skew_guard_reason=skew_guard_reason,
         )
@@ -137,22 +158,24 @@ def infer_sf(sf_dir: str) -> Optional[float]:
 #   2. entries with NO driver row yet (new this round),
 #   3. entries whose CODE changed this round (fresh row where changed),
 #   4. everything else oldest-evidence-first (ties alphabetical).
-# Round-9 ledger (from CORRECTNESS_r01..r08): never={d19, st23};
+# Round-9 ledger (from CORRECTNESS_r01..r08): never={d19, st23, d20};
 # r1={s02 st02 st03 st05 st06}; r2={d02 d03 d05 d07 d09 d10 d11 q04
 # q06 q09 q10 q11 q30 t04}; r3={q07 q17 q18 q19 q23 q25 q27};
 # r4={d08 d12 mm04 p01 p03 q12 q22 q31 q35 s09 s12 sk02 st07 st17
 # st18 st19 t02}; r5=32 entries; r6={d15 mm03}; r7=22; r8=50.
-# The r9 window = m-core(8) + never(2) + r9-changed{d18 st22}(2) +
-# all of r1+r2+r3 (26) + the first 12 of r4 alphabetically; the five
-# r4 leftovers {st07 st17 st18 st19 t02} lead the r10 queue.
+# The r9 window = m-core(8) + never(3) + r9-changed{d18 st22}(2) +
+# all of r1+r2+r3 (26) + 11 of r4 (alphabetical, sk02 kept over s12
+# for family coverage); {s12 st07 st17 st18 st19 t02} lead r10.
 _PRIORITY = (
     # 1. §2-core ML (pinned)
     "m01_linear_predict", "m02_dimension_inference", "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics", "m05_sgd_sparse_metrics", "m06_libsvm_cli_e2e",
     "m07_lr_schedule_sweep", "m08_csvline_report",
-    # 2. NEW this round — first driver rows: the hash-checked audit twin
-    # of the tiled LSH verify, and the prior-epoch census quarantine join
+    # 2. NEW this round — first driver rows: the hash-checked audit
+    # twins of the tiled LSH verify and of d05's SimHash, and the
+    # prior-epoch census quarantine join
     "d19_embed_lsh_tiled_audit", "st23_epoch_census_quarantine_join",
+    "d20_simhash_md5_audit",
     # 3. code changed this round: d18's tile assignment now hashes
     # vec_id (ADVICE r8), st22's census is NULL-safe
     "d18_embed_lsh_tiled_pairs", "st22_stream_interval_join_quarantine",
@@ -172,14 +195,16 @@ _PRIORITY = (
     "q07_top_order_per_customer", "q17_big_orders", "q18_price_percentiles",
     "q19_cube_parts", "q23_pivot_daily_events", "q25_batch_sessionize",
     "q27_sole_supplier_orders",
-    # last driver row r4 (first 12 alphabetically; st07 st17 st18 st19
-    # t02 lead the r10 queue):
+    # last driver row r4 (first 11 alphabetically, except sk02 replaces
+    # s12 — the window invariant requires every family and sk02 is the
+    # only sk entry here; s12 st07 st17 st18 st19 t02 lead the r10
+    # queue):
     "d08_incremental_dedup", "d12_decontaminate_eval_overlap",
     "mm04_frame_exact_dedup", "p01_corpus_pipeline",
     "p03_language_mix_sample", "q12_events_hourly",
     "q22_asof_click_to_view", "q31_bucketed_segment_revenue",
     "q35_copurchase_pairs", "s09_knn_blocked_exact",
-    "s12_hybrid_rrf_retrieval", "sk02_cms_event_type_freq",
+    "sk02_cms_event_type_freq",
 )
 
 

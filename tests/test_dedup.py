@@ -54,6 +54,22 @@ def test_simhash_finds_planted_neardups(docs_with_dups):
     assert (1, 101) in pairs and pairs[(1, 101)] == 0  # identical → hamming 0
 
 
+def test_simhash_md5_twin_finds_planted_neardups(docs_with_dups):
+    """d20's 60-bit md5 arm runs the same vote/banding math as d05 —
+    the planted verbatim copy must band together at hamming 0 under the
+    portable hash family too."""
+    from pyspark.sql import functions as F
+
+    hash_col = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(
+            docs_with_dups, max_hamming=6, hash_col=hash_col, n_bits=60, n_chunks=4
+        ).collect()
+    }
+    assert (1, 101) in pairs and pairs[(1, 101)] == 0
+
+
 def test_ann_lsh_recall_vs_brute(spark):
     """LSH ANN must recover a decent fraction of true top-1 neighbors
     (same-bucket probability for similar vectors is high by design)."""
