@@ -401,6 +401,13 @@ def _d20_sim() -> str:
 
 _D20_WIDTH = D20_BITS // D20_CHUNKS
 _D20_MASK = (1 << _D20_WIDTH) - 1
+# Per-pair fingerprint folded into the audit sums. The modulus is small
+# (< 2^20) ON PURPOSE: a Zipf-head corpus makes the qualifying PAIR SET
+# quadratic in the hot clump (112.5M pairs at sf1skew, ~1e10 at
+# sf10skew), and sum(per-pair fp) must stay inside BIGINT on both
+# engines at any such count (1e10 × 1e6 ≈ 1e16 ≪ 2^63).
+D20_FP_MULT = 1_000_003
+D20_FP_MOD = 999_983
 
 D20_ORACLE = f"""
 WITH tok AS (
@@ -423,12 +430,20 @@ s AS (
 c AS (
   SELECT doc_id, sim, i AS chunk, (sim >> ({_D20_WIDTH} * i)) & {_D20_MASK} AS ch
   FROM s, unnest(range(0, {D20_CHUNKS})) AS u(i)
+),
+pr AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sim, b.sim)) AS hamming
+  FROM c a JOIN c b
+    ON a.chunk = b.chunk AND a.ch = b.ch AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_HAMMING}
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-FROM c a JOIN c b
-  ON a.chunk = b.chunk AND a.ch = b.ch AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_HAMMING}
+SELECT CAST(hamming AS INT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(doc_a) AS BIGINT) AS sum_a,
+       CAST(sum(doc_b) AS BIGINT) AS sum_b,
+       CAST(sum((doc_a * {D20_FP_MULT} + doc_b) % {D20_FP_MOD}) AS BIGINT) AS fp_sum
+FROM pr GROUP BY hamming
 """
 
 
@@ -444,13 +459,32 @@ def d20_simhash_md5_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify byte-exact. d05's production arm keeps xxhash64 (faster,
     Spark-only — rows-only by contract); this twin pins the shared
     vote/banding/bit_count math cross-engine, the same discipline as
-    d14 (minhash) and d19 (tiled LSH verify)."""
+    d14 (minhash) and d19 (tiled LSH verify).
+
+    The audited pair set is emitted AGGREGATED — per hamming value, the
+    exact pair count plus order-free integer sums of doc_a, doc_b, and a
+    modular per-pair fingerprint — not as raw pair rows: a Zipf-head
+    corpus (make_sf --skew appends a shared token block to 30% of docs)
+    legitimately qualifies the whole hot clump pairwise (112.5M pairs at
+    sf1skew), and an audit whose output is quadratic in the clump cannot
+    be driver-collected for the cross-engine compare exactly where the
+    skew pressure makes auditing most valuable. Any single differing /
+    missing / extra pair moves n_pairs and the three sums; output stays
+    ≤ hamming+1 rows at every fixture. d05 keeps the row-level pair
+    emission (distributed, never collected)."""
     hash_col = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    return simhash_near_duplicates(
+    pairs = simhash_near_duplicates(
         t(spark, sf_dir, "documents"),
         hash_col=hash_col,
         n_bits=D20_BITS,
         n_chunks=D20_CHUNKS,
+    )
+    fp = (F.col("doc_a") * F.lit(D20_FP_MULT) + F.col("doc_b")) % F.lit(D20_FP_MOD)
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("doc_a").alias("sum_a"),
+        F.sum("doc_b").alias("sum_b"),
+        F.sum(fp).alias("fp_sum"),
     )
 
 

@@ -337,10 +337,17 @@ def epoch_hot_assignments(
     events: DataFrame, n_epochs: int, fraction: float = HOT_USER_FRACTION
 ) -> tuple[list, list]:
     """PRODUCTION census mode: the hot set applied to epoch N is the
-    census of epoch N-1 (epoch 0 gets an empty set) — st22's per-replay
-    full-batch census needs the whole batch before any streaming starts,
-    which a truly continuous deployment does not have; a prior-epoch
-    census is what it actually runs. Returns (epoch boundaries in unix µs,
+    census of epoch N-1 — st22's per-replay full-batch census needs the
+    whole batch before any streaming starts, which a truly continuous
+    deployment does not have; a prior-epoch census is what it actually
+    runs. Epoch 0 has no prior epoch and is BOOTSTRAPPED with its own
+    census (a batch pass, the same thing a deployment does before
+    enabling the stream against a corpus it has never profiled): the
+    r9 skew sweep showed that an empty cold-start census feeds the
+    whole Zipf head into stream-join state for the entire first epoch —
+    st08's blow-up, reproduced at the seam the mode exists to manage.
+    Exactness is census-invariant (pytest-pinned), so the bootstrap is
+    semantically neutral. Returns (epoch boundaries in unix µs,
     n_epochs+1 entries; per-epoch hot-user lists). Epochs are equal
     fixed-width time slices of the batch's ts range — integer ceil so
     the last boundary strictly exceeds max ts."""
@@ -354,9 +361,11 @@ def epoch_hot_assignments(
         hot_user_census(
             events.where((us >= bounds[e]) & (us < bounds[e + 1])), fraction
         )
-        for e in range(n_epochs - 1)  # the last epoch's census is never applied
+        # the last epoch's census is never applied; epoch 0's is applied
+        # twice (bootstrap for epoch 0 itself, prior-epoch for epoch 1)
+        for e in range(max(1, n_epochs - 1))
     ]
-    return bounds, [[]] + census
+    return bounds, [census[0]] + census[: n_epochs - 1]
 
 
 def epoch_quarantine_interval_join(

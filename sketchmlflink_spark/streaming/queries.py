@@ -304,8 +304,9 @@ JOIN events v
 )
 def st23_epoch_census_quarantine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st22 with the census a continuous deployment actually runs: each
-    epoch's hot set is the PREVIOUS epoch's census, so a key can cross
-    the threshold mid-stream and change assignment at an epoch boundary.
+    epoch's hot set is the PREVIOUS epoch's census (epoch 0 bootstraps
+    with its own — see epoch_hot_assignments), so a key can cross the
+    threshold mid-stream and change assignment at an epoch boundary.
     The two seams that transition opens (a newly-hot key's lookback
     views, a newly-cold key's missing stream state) are closed by
     bounded batch passes — see pipelines.epoch_quarantine_interval_join.

@@ -895,7 +895,9 @@ def test_epoch_census_transitions_preserve_exactness(spark, tmp_path):
     bounds, hots = P.epoch_hot_assignments(
         spark.read.parquet(str(fx / "events.parquet")), 3, fraction=0.3
     )
-    assert hots[0] == [] and 1 in hots[1] and 1 not in hots[2], hots
+    # epoch 0 bootstraps with its OWN census (u1 is hot there already);
+    # epochs 1/2 use the true prior-epoch assignments
+    assert hots[0] == [1] and 1 in hots[1] and 1 not in hots[2], hots
     assert 2 not in hots[1] and 2 in hots[2], hots
     assert bounds[1] - bounds[0] == 6 * H
 
