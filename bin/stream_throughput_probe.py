@@ -26,7 +26,7 @@ Two pipelines, each the state class of a shipped catalog entry:
   state size. Append mode, noop sink.
 
 Output: one JSON line per config with median steady-state
-processedRowsPerSecond (batches after the first two, i.e. post-codegen
+processedRowsPerSecond (batches after the first, i.e. post-codegen
 warmup), final state rows/bytes from stateOperators, and batch count.
 RocksDB state store (the repo default) unless SPARK_GRAFT_STATE_STORE
 overrides. THIS IS local[32] ON ONE BOX — the artifact labels it so; the
@@ -101,8 +101,6 @@ def run_config(spark: SparkSession, label: str, result: DataFrame,
         ]
     finally:
         q.stop()
-    # Skip the first two batches: codegen + RocksDB column-family warmup
-    # dominates them and would flatter nothing / penalize everything.
     # Skip the first batch (codegen + RocksDB column-family warmup);
     # report BOTH the per-batch median and the aggregate
     # rows/total-busy-seconds — the aggregate is the robust number when

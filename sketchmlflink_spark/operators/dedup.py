@@ -1491,17 +1491,97 @@ SEMDEDUP_K = 8           # coarse clusters (quantizer reused from the IVF path)
 SEMDEDUP_TAU = COSINE_DUP_THRESHOLD  # same near-dup bar as d06/d07
 
 
+def _d11_oracle() -> str:
+    """DuckDB replay of the WHOLE d11 pipeline (round 10, off the
+    rows-only floor): the s05 unrolled int-grid Lloyd + assignment
+    CTEs, then the within-cluster greedy keep-first recurrence as a
+    RECURSIVE CTE that decides exactly one row per cluster per
+    iteration, carrying the kept set forward as a LIST of
+    (id, qp, n2) structs. Depth = max cluster size — bounded at the
+    sweep scales, guarded above (scale_guard_sf)."""
+    from sketchmlflink_spark.operators.similarity import (
+        _DUCK_QE,
+        _duck_assign,
+        _duck_lloyd,
+        _duck_sample,
+        IVF_ITERS,
+        IVF_TRAIN_CAP,
+    )
+
+    num2, den2 = D19_NUM**2, D19_DEN**2
+    # First kept row passing the exact rational near-dup test, or NULL.
+    # Computed via a lambda chain: dot each kept struct against the
+    # candidate (exact — grid ints <= 600 keep every product sum far
+    # inside DOUBLE's 2^53 integer range), filter on
+    # den2*qd^2 >= num2*n2a*n2b in BIGINT, take the first (the kept
+    # list is in vec_id append order).
+    hits = (
+        "list_filter(list_transform(g.kept, k -> struct_pack("
+        "id := k.id, n2 := k.n2, "
+        "qd := CAST(list_sum(list_transform(range(64), "
+        "j -> k.qp[j+1] * r.qp[j+1])) AS BIGINT))), "
+        f"s -> s.qd > 0 AND {den2} * s.qd * s.qd >= {num2} * s.n2 * r.n2)"
+    )
+    return f"""
+WITH RECURSIVE {_DUCK_QE},
+{_duck_sample('qe', IVF_TRAIN_CAP)},
+{_duck_lloyd('c', 'samp', SEMDEDUP_K, IVF_ITERS, 64)},
+{_duck_assign('assign', 'qe', f'c{IVF_ITERS}', 64)},
+pn AS MATERIALIZED (
+    SELECT a.vec_id, a.cluster,
+           list_transform(q.v, x -> CAST(floor(x * {D19_QSCALE} + 0.5) AS BIGINT)) AS qp,
+           CAST(list_sum(list_transform(q.v,
+                x -> CAST(floor(x * {D19_QSCALE} + 0.5) AS BIGINT)
+                     * CAST(floor(x * {D19_QSCALE} + 0.5) AS BIGINT))) AS BIGINT) AS n2,
+           row_number() OVER (PARTITION BY a.cluster ORDER BY a.vec_id) AS rn
+    FROM assign a JOIN qe q USING (vec_id)
+),
+greedy AS (
+    SELECT cluster, rn, vec_id, TRUE AS is_kept, CAST(NULL AS BIGINT) AS dup_of,
+           [struct_pack(id := vec_id, qp := qp, n2 := n2)] AS kept
+    FROM pn WHERE rn = 1
+    UNION ALL
+    SELECT r.cluster, r.rn, r.vec_id,
+           len({hits}) = 0 AS is_kept,
+           CASE WHEN len({hits}) > 0 THEN ({hits})[1].id END AS dup_of,
+           CASE WHEN len({hits}) = 0
+                THEN list_append(g.kept, struct_pack(id := r.vec_id, qp := r.qp, n2 := r.n2))
+                ELSE g.kept END AS kept
+    FROM greedy g JOIN pn r ON r.cluster = g.cluster AND r.rn = g.rn + 1
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, is_kept, dup_of
+FROM greedy
+"""
+
+
 @register(
     "d11_semantic_cluster_dedup",
-    oracle=None,  # k-means isn't ANSI-SQL; properties pinned in test_dedup.py
+    oracle=_d11_oracle(),
     tags=("dedup", "embedding", "semantic", "cluster"),
+    scale_guard_sf=1.0,  # engine is cluster-parallel; the ORACLE's
+    # recursive CTE decides one row per cluster per iteration carrying
+    # an O(cluster)-struct kept list — depth ~n/K, cost O(n²·dim/K)
+    # single-threaded; guard the cross-engine replay, not the op
 )
 def d11_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup à la SemDeDup: k-means the embedding space into
     SEMDEDUP_K clusters, then inside each cluster greedily keep rows in
-    vec_id order, dropping any row with cosine >= SEMDEDUP_TAU to an
-    already-kept row. Output: (vec_id, cluster, is_kept, dup_of) where
-    dup_of is the kept row (lower vec_id) the drop duplicates.
+    vec_id order, dropping any row whose near-dup test against an
+    already-kept row passes. Output: (vec_id, cluster, is_kept, dup_of)
+    where dup_of is the FIRST kept row (lowest vec_id) the drop
+    duplicates.
+
+    Hash-oracled since round 10 (VERDICT r9 item 4) by pinning both
+    halves to exact integer arithmetic a second engine replays
+    bit-for-bit: cluster assignment is the s05 int-grid quantizer
+    (md5-ordered bounded sample, exact-int Lloyd, d² argmin with ties
+    to the lowest cluster) instead of the previous float-cosine
+    argmax, and the near-dup test is d19's exact rational compare on
+    the 1e-3 grid — qd>0 AND den²·qd² >= num²·|a|²·|b|² with
+    num/den = 2/5 (the same 0.4 bar as d06/d07, SEMDEDUP_TAU) —
+    instead of a float threshold; dup_of names the FIRST kept
+    duplicate rather than the nearest, removing the one float argmax
+    the recurrence had.
 
     Scale shape: the quantizer trains on a bounded sample (ONE job,
     `ivf_train_centroids`); assignment is a scan-side numpy argmax
@@ -1517,14 +1597,18 @@ def d11_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from sketchmlflink_spark.functions.vector import as_double_array
-    from sketchmlflink_spark.operators.similarity import ivf_train_centroids
+    from sketchmlflink_spark.operators.similarity import (
+        int_d2,
+        ivf_train_centroids,
+        q_quantize,
+    )
     from sketchmlflink_spark.session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
     C = ivf_train_centroids(emb, k=SEMDEDUP_K)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast(Cn)
+    bc = spark.sparkContext.broadcast(C)
+    num2, den2 = D19_NUM**2, D19_DEN**2
 
     def assign(batches):
         cents = bc.value
@@ -1532,28 +1616,34 @@ def d11_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["v"].to_numpy())
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            cl = (Xn @ cents.T).argmax(axis=1)
+            # exact-int d² argmin on the 1e-6 quantizer grid, ties to
+            # the lowest cluster (argmin = first occurrence) — the s05
+            # assignment, bitwise replayable
+            cl = int_d2(q_quantize(X), cents).argmin(axis=1)
+            # prune grid: 1e-3 ints (exact in float64 through the dot)
+            Q = np.floor(X * D19_QSCALE + 0.5)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cluster": cl.astype("int32"), "vn": list(Xn)}
+                {"vec_id": pdf["vec_id"], "cluster": cl.astype("int32"), "qp": list(Q)}
             )
 
-    assigned = emb.mapInPandas(assign, "vec_id long, cluster int, vn array<double>")
+    assigned = emb.mapInPandas(assign, "vec_id long, cluster int, qp array<double>")
 
     def prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        X = np.stack(pdf["vn"].to_numpy())
+        Q = np.stack(pdf["qp"].to_numpy())
+        n2 = (Q * Q).sum(axis=1).astype(np.int64)
         n = len(ids)
         kept: list[int] = []
         is_kept = np.zeros(n, dtype=bool)
         dup_of = np.full(n, -1, dtype=np.int64)
         for i in range(n):
             if kept:
-                sims = X[kept] @ X[i]
-                j = int(np.argmax(sims))
-                if sims[j] >= SEMDEDUP_TAU:
-                    dup_of[i] = ids[kept[j]]
+                qd = (Q[kept] @ Q[i]).astype(np.int64)
+                ok = (qd > 0) & (den2 * qd * qd >= num2 * n2[kept] * n2[i])
+                hit = np.nonzero(ok)[0]
+                if hit.size:
+                    dup_of[i] = ids[kept[int(hit[0])]]  # FIRST kept dup
                     continue
             is_kept[i] = True
             kept.append(i)

@@ -158,53 +158,45 @@ def infer_sf(sf_dir: str) -> Optional[float]:
 #   2. entries with NO driver row yet (new this round),
 #   3. entries whose CODE changed this round (fresh row where changed),
 #   4. everything else oldest-evidence-first (ties alphabetical).
-# Round-9 ledger (from CORRECTNESS_r01..r08): never={d19, st23, d20};
-# r1={s02 st02 st03 st05 st06}; r2={d02 d03 d05 d07 d09 d10 d11 q04
-# q06 q09 q10 q11 q30 t04}; r3={q07 q17 q18 q19 q23 q25 q27};
-# r4={d08 d12 mm04 p01 p03 q12 q22 q31 q35 s09 s12 sk02 st07 st17
-# st18 st19 t02}; r5=32 entries; r6={d15 mm03}; r7=22; r8=50.
-# The r9 window = m-core(8) + never(3) + r9-changed{d18 st22}(2) +
-# all of r1+r2+r3 (26) + 11 of r4 (alphabetical, sk02 kept over s12
-# for family coverage); {s12 st07 st17 st18 st19 t02} lead r10.
+# Round-10 ledger (from CORRECTNESS_r01..r09): r4={s12 st07 st17
+# st18 st19 t02}; r5=32 entries; r6={d15 mm03}; r7=22; r8=40; r9=50.
+# The r10 window = m-core(8) + r10-changed{d11, its oracle converted
+# off the rows-only floor}(1) + the whole r4 queue(6) + the whole r5
+# cohort(32) + r6(2) + the first r7 entry alphabetically (d06)(1).
 _PRIORITY = (
     # 1. §2-core ML (pinned)
     "m01_linear_predict", "m02_dimension_inference", "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics", "m05_sgd_sparse_metrics", "m06_libsvm_cli_e2e",
     "m07_lr_schedule_sweep", "m08_csvline_report",
-    # 2. NEW this round — first driver rows: the hash-checked audit
-    # twins of the tiled LSH verify and of d05's SimHash, and the
-    # prior-epoch census quarantine join
-    "d19_embed_lsh_tiled_audit", "st23_epoch_census_quarantine_join",
-    "d20_simhash_md5_audit",
-    # 3. code changed this round: d18's tile assignment now hashes
-    # vec_id (ADVICE r8), st22's census is NULL-safe
-    "d18_embed_lsh_tiled_pairs", "st22_stream_interval_join_quarantine",
-    # 4. oldest evidence first — last driver row r1:
-    "s02_top_similar_pairs", "st02_stream_sliding_stats",
-    "st03_stream_dedup_counts", "st05_stream_value_profile",
-    "st06_stream_incremental_sgd",
-    # last driver row r2:
-    "d02_dedup_normalized", "d03_jaccard_adjacent", "d05_simhash_neardup",
-    "d07_embed_lsh_candidate_verify", "d09_bloom_incremental_dedup",
-    "d10_span_exact_dedup", "d11_semantic_cluster_dedup",
-    "q04_order_priority", "q06_customer_distribution",
-    "q09_distinct_segments", "q10_nation_intersect",
-    "q11_customers_without_orders", "q30_full_priority_customers",
-    "t04_fingerprints",
-    # last driver row r3:
-    "q07_top_order_per_customer", "q17_big_orders", "q18_price_percentiles",
-    "q19_cube_parts", "q23_pivot_daily_events", "q25_batch_sessionize",
-    "q27_sole_supplier_orders",
-    # last driver row r4 (first 11 alphabetically, except sk02 replaces
-    # s12 — the window invariant requires every family and sk02 is the
-    # only sk entry here; s12 st07 st17 st18 st19 t02 lead the r10
-    # queue):
-    "d08_incremental_dedup", "d12_decontaminate_eval_overlap",
-    "mm04_frame_exact_dedup", "p01_corpus_pipeline",
-    "p03_language_mix_sample", "q12_events_hourly",
-    "q22_asof_click_to_view", "q31_bucketed_segment_revenue",
-    "q35_copurchase_pairs", "s09_knn_blocked_exact",
-    "sk02_cms_event_type_freq",
+    # 2. code changed this round: d11's greedy keep-first pass gains a
+    # depth-capped recursive-CTE DuckDB oracle (VERDICT r9 item 4)
+    "d11_semantic_cluster_dedup",
+    # 3. oldest evidence first -- last driver row r4 (the queue
+    # registry.py named for r10 last round):
+    "s12_hybrid_rrf_retrieval", "st07_stream_sketch_profile",
+    "st17_stream_cdc_upsert", "st18_stream_funnel",
+    "st19_stream_bottomk_sample", "t02_quality_scores",
+    # last driver row r5 (all 32, alphabetical):
+    "d14_minhash_estimate_accuracy", "d16_canonical_selection",
+    "m10_logistic_sgd_metrics", "mm05_frame_perceptual_dedup",
+    "p04_curated_sink_roundtrip", "p05_stratified_exact_k",
+    "p06_mixture_manifest", "p07_sequence_packing",
+    "p09_csv_intake_quarantine", "p10_compact_small_files",
+    "p11_dataset_card", "p12_curriculum_manifest",
+    "q32_asof_event_order", "q38_churned_purchasers",
+    "s08_range_search_cosine", "s10_retrieval_topk_docs",
+    "sk05_heavy_hitters", "sk06_kmv_distinct_setops",
+    "st08_stream_interval_join", "st09_stream_jsonl_ingest",
+    "st10_stream_static_join", "st11_stream_quality_gate",
+    "st12_stream_span_dedup", "st13_stream_decontaminate",
+    "st14_stream_trending_topk", "st16_stream_heavy_hitters",
+    "t05_bpe_token_counts", "t06_quality_filter",
+    "t08_repetition_stats", "t09_pii_scrub_audit",
+    "t11_tfidf_top_terms", "t13_bpe_merge_learn",
+    # last driver row r6:
+    "d15_dup_graph_pagerank", "mm03_frame_sample",
+    # last driver row r7 (first alphabetically; the rest lead r11):
+    "d06_embed_cosine_neardup",
 )
 
 

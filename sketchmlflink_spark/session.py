@@ -89,9 +89,17 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
-    zpath = os.path.join(tempfile.gettempdir(), "sketchmlflink_spark_pkg.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
+    # Per-process file name + write-then-atomic-rename: two concurrent
+    # driver processes on one box (a sweep beside hash_catalog
+    # subprocesses) must never race a rewrite against addPyFile and
+    # ship a truncated zip to executors.
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"sketchmlflink_spark_pkg_{os.getpid()}.zip"
+    )
+    tmp_path = zpath + ".tmp"
+    with zipfile.ZipFile(tmp_path, "w") as z:
         for p in sorted(pkg_dir.rglob("*.py")):
             z.write(p, p.relative_to(pkg_dir.parent))
+    os.replace(tmp_path, zpath)
     sc.addPyFile(zpath)
     sc._sketchml_pkg_added = True

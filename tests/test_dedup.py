@@ -386,40 +386,50 @@ def test_d10_span_dedup_first_occurrence(spark):
 
 
 def test_d11_semantic_dedup_properties(spark):
-    """SemDeDup invariants on the real sf0.001 corpus: kept rows in a
-    cluster are pairwise below tau; every drop names a kept lower-id
-    dup_of above tau; the partition covers the corpus exactly once."""
+    """SemDeDup invariants on the real sf0.001 corpus, under the exact
+    int-grid near-dup rule the round-10 oracle pins (qd>0 AND
+    den²·qd² >= num²·|a|²·|b|² on the 1e-3 grid): kept rows in a
+    cluster are pairwise NOT near-dups; every drop names the FIRST kept
+    lower-id row it duplicates; the partition covers the corpus exactly
+    once."""
     import numpy as np
 
-    from sketchmlflink_spark.operators.dedup import SEMDEDUP_TAU
+    from sketchmlflink_spark.operators.dedup import D19_NUM, D19_DEN, D19_QSCALE
     from sketchmlflink_spark.registry import all_queries
     from tests.conftest import SF_SMALL
 
+    num2, den2 = D19_NUM**2, D19_DEN**2
     qs = all_queries()
     out = qs["d11_semantic_cluster_dedup"].build(spark, SF_SMALL).collect()
-    emb = {
-        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
-        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
-    }
-    for k in emb:
-        emb[k] = emb[k] / np.linalg.norm(emb[k])
+    grid = {}
+    for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        grid[r["vec_id"]] = np.floor(v * D19_QSCALE + 0.5).astype(np.int64)
 
-    assert {r["vec_id"] for r in out} == set(emb)  # exact cover
+    def neardup(a, b):
+        qd = int(grid[a] @ grid[b])
+        n2a, n2b = int(grid[a] @ grid[a]), int(grid[b] @ grid[b])
+        return qd > 0 and den2 * qd * qd >= num2 * n2a * n2b
+
+    assert {r["vec_id"] for r in out} == set(grid)  # exact cover
     by_cluster: dict[int, list] = {}
     for r in out:
         by_cluster.setdefault(r["cluster"], []).append(r)
     n_dropped = 0
     for rows in by_cluster.values():
-        kept_ids = [r["vec_id"] for r in rows if r["is_kept"]]
+        kept_ids = sorted(r["vec_id"] for r in rows if r["is_kept"])
         for i, a in enumerate(kept_ids):
             for b in kept_ids[i + 1 :]:
-                assert float(emb[a] @ emb[b]) < SEMDEDUP_TAU
+                assert not neardup(a, b)
         for r in rows:
             if not r["is_kept"]:
                 n_dropped += 1
                 assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
                 assert r["dup_of"] in kept_ids
-                assert float(emb[r["vec_id"]] @ emb[r["dup_of"]]) >= SEMDEDUP_TAU
+                assert neardup(r["vec_id"], r["dup_of"])
+                # FIRST kept duplicate, not just any
+                earlier = [k for k in kept_ids if k < r["vec_id"] and neardup(r["vec_id"], k)]
+                assert earlier and earlier[0] == r["dup_of"]
     assert n_dropped > 0  # the corpus does contain near-dup embeddings
 
 
