@@ -333,8 +333,34 @@ def bucketed_click_view_join(
     )
 
 
+def _census_ledger_load(path: str):
+    import json
+    import os
+
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def _census_ledger_write(path: str, value) -> None:
+    """Atomic write-then-rename: a crash mid-write must leave either
+    the previous ledger entry or none — a truncated JSON would turn a
+    restart into a crash loop."""
+    import json
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(value, f)
+    os.replace(tmp, path)
+
+
 def epoch_hot_assignments(
-    events: DataFrame, n_epochs: int, fraction: float = HOT_USER_FRACTION
+    events: DataFrame,
+    n_epochs: int,
+    fraction: float = HOT_USER_FRACTION,
+    census_dir: str | None = None,
 ) -> tuple[list, list]:
     """PRODUCTION census mode: the hot set applied to epoch N is the
     census of epoch N-1 — st22's per-replay full-batch census needs the
@@ -350,21 +376,50 @@ def epoch_hot_assignments(
     semantically neutral. Returns (epoch boundaries in unix µs,
     n_epochs+1 entries; per-epoch hot-user lists). Epochs are equal
     fixed-width time slices of the batch's ts range — integer ceil so
-    the last boundary strictly exceeds max ts."""
-    lo, hi = events.agg(
-        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-    ).first()
-    width = -(-(int(hi) - int(lo) + 1) // n_epochs)
-    bounds = [int(lo) + i * width for i in range(n_epochs + 1)]
+    the last boundary strictly exceeds max ts.
+
+    ``census_dir`` is the RESTART ledger (VERDICT r9 item 6): when set,
+    epoch boundaries and each completed epoch's census are persisted as
+    tiny JSON files (atomic write-then-rename) and RELOADED in
+    preference to recomputation. A driver restarted between the census
+    epoch and the join epoch therefore applies the census the crashed
+    run took — never a silent recompute over whatever partial batch the
+    restarted process happens to see (which would re-derive DIFFERENT
+    hot sets and different bounds, exactly the wrong-answer mode the
+    chaos test pins)."""
+    import os
+
+    bounds = None
+    if census_dir is not None:
+        os.makedirs(census_dir, exist_ok=True)
+        bounds = _census_ledger_load(os.path.join(census_dir, "bounds.json"))
+    if bounds is None:
+        lo, hi = events.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        width = -(-(int(hi) - int(lo) + 1) // n_epochs)
+        bounds = [int(lo) + i * width for i in range(n_epochs + 1)]
+        if census_dir is not None:
+            _census_ledger_write(os.path.join(census_dir, "bounds.json"), bounds)
     us = F.unix_micros("ts")
-    census = [
-        hot_user_census(
-            events.where((us >= bounds[e]) & (us < bounds[e + 1])), fraction
+    census = []
+    # the last epoch's census is never applied; epoch 0's is applied
+    # twice (bootstrap for epoch 0 itself, prior-epoch for epoch 1)
+    for e in range(max(1, n_epochs - 1)):
+        hot = (
+            _census_ledger_load(os.path.join(census_dir, f"census_epoch_{e}.json"))
+            if census_dir is not None
+            else None
         )
-        # the last epoch's census is never applied; epoch 0's is applied
-        # twice (bootstrap for epoch 0 itself, prior-epoch for epoch 1)
-        for e in range(max(1, n_epochs - 1))
-    ]
+        if hot is None:
+            hot = hot_user_census(
+                events.where((us >= bounds[e]) & (us < bounds[e + 1])), fraction
+            )
+            if census_dir is not None:
+                _census_ledger_write(
+                    os.path.join(census_dir, f"census_epoch_{e}.json"), hot
+                )
+        census.append(hot)
     return bounds, [census[0]] + census[: n_epochs - 1]
 
 
@@ -373,6 +428,7 @@ def epoch_quarantine_interval_join(
     sf_dir: str,
     n_epochs: int = 3,
     fraction: float = HOT_USER_FRACTION,
+    census_dir: str | None = None,
 ) -> DataFrame:
     """st22's quarantine join under the prior-epoch census (the mode the
     st22 docstring promises for 100 TB): a key's hot/cold assignment can
@@ -402,7 +458,9 @@ def epoch_quarantine_interval_join(
     from sketchmlflink_spark.sources.tables import load_table
 
     ev_batch = load_table(spark, sf_dir, "events")
-    bounds, hots = epoch_hot_assignments(ev_batch, n_epochs, fraction)
+    bounds, hots = epoch_hot_assignments(
+        ev_batch, n_epochs, fraction, census_dir=census_dir
+    )
     us = F.unix_micros("ts")
 
     hot_pred = F.lit(False)

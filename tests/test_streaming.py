@@ -840,6 +840,34 @@ def test_epoch_census_transitions_preserve_exactness(spark, tmp_path):
     see its epoch-1 views). Both boundary-straddling pairs would be LOST
     without the seam handling; the full pair set must equal the plain
     batch interval join."""
+    fx, H = _epoch_fixture(spark, tmp_path)
+
+    # the transitions must actually occur, or the test proves nothing
+    bounds, hots = P.epoch_hot_assignments(
+        spark.read.parquet(str(fx / "events.parquet")), 3, fraction=0.3
+    )
+    # epoch 0 bootstraps with its OWN census (u1 is hot there already);
+    # epochs 1/2 use the true prior-epoch assignments
+    assert hots[0] == [1] and 1 in hots[1] and 1 not in hots[2], hots
+    assert 2 not in hots[1] and 2 in hots[2], hots
+    assert bounds[1] - bounds[0] == 6 * H
+
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in P.epoch_quarantine_interval_join(
+            spark, str(fx), n_epochs=3, fraction=0.3
+        ).collect()
+    }
+    want = _plain_pairs(spark.read.parquet(str(fx / "events.parquet")))
+    assert got == want, (sorted(want - got), sorted(got - want))
+    # the two seam pairs are present and were genuinely at risk
+    assert (300, 210) in got and (301, 230) in got
+
+
+def _epoch_fixture(spark, tmp_path):
+    """The three-epoch census-transition fixture (u1 hot→cold, u2
+    cold→hot at boundary 2, u3 always cold, a NULL-user row pinning max
+    ts so the epochs are exact). Returns (fixture dir, one hour in µs)."""
     import pyspark.sql.functions as SF
 
     H = 3_600 * 1_000_000  # one hour in µs
@@ -890,24 +918,53 @@ def test_epoch_census_transitions_preserve_exactness(spark, tmp_path):
     ev_df.coalesce(1).write.parquet(str(staging))
     part = next(p for p in staging.iterdir() if p.name.endswith(".parquet"))
     shutil.copy(part, fx / "events.parquet")
+    return fx, H
 
-    # the transitions must actually occur, or the test proves nothing
-    bounds, hots = P.epoch_hot_assignments(
-        spark.read.parquet(str(fx / "events.parquet")), 3, fraction=0.3
+
+def test_st23_census_ledger_survives_restart(spark, tmp_path):
+    """Chaos the epoch seam across a RESTART (VERDICT r9 item 6): run 1
+    takes the epoch censuses and persists them to the ledger, then
+    'crashes' between the census epoch and the join epoch. Run 2
+    restarts against the same ledger but a PARTIAL view of epoch 0 —
+    the hot user's rows gone, as after retention/compaction of the old
+    epoch's files. The restarted assignments must RELOAD run 1's (and
+    its bounds), never silently recompute on the partial batch; the
+    control run proves a recompute demonstrably yields a different hot
+    set, so the reload path is doing real work. Finally the full
+    quarantine join runs FROM the ledger and must still equal the
+    plain batch pair set."""
+    fx, H = _epoch_fixture(spark, tmp_path)
+    full = spark.read.parquet(str(fx / "events.parquet"))
+    ledger = str(tmp_path / "census_ledger")
+
+    # run 1: censuses taken and persisted, then the driver "dies"
+    bounds1, hots1 = P.epoch_hot_assignments(full, 3, fraction=0.3, census_dir=ledger)
+    assert hots1[0] == [1] and 2 in hots1[2], hots1
+    import os
+
+    assert os.path.exists(os.path.join(ledger, "bounds.json"))
+    assert os.path.exists(os.path.join(ledger, "census_epoch_0.json"))
+    assert os.path.exists(os.path.join(ledger, "census_epoch_1.json"))
+
+    # what the restarted driver sees: epoch 0's hot user's rows are gone
+    us = F.unix_micros("ts")
+    partial = full.where(
+        ~((F.coalesce(F.col("user_id"), F.lit(-1)) == 1) & (us < F.lit(bounds1[1])))
     )
-    # epoch 0 bootstraps with its OWN census (u1 is hot there already);
-    # epochs 1/2 use the true prior-epoch assignments
-    assert hots[0] == [1] and 1 in hots[1] and 1 not in hots[2], hots
-    assert 2 not in hots[1] and 2 in hots[2], hots
-    assert bounds[1] - bounds[0] == 6 * H
 
+    # control — a recompute on the partial batch derives the WRONG sets
+    _, hots_recomputed = P.epoch_hot_assignments(partial, 3, fraction=0.3)
+    assert hots_recomputed != hots1, "control fixture no longer distinguishes reload from recompute"
+
+    # run 2 — same ledger: bounds and every assignment reload exactly
+    bounds2, hots2 = P.epoch_hot_assignments(partial, 3, fraction=0.3, census_dir=ledger)
+    assert bounds2 == bounds1 and hots2 == hots1
+
+    # and the join driven from the ledger still produces the exact pair set
     got = {
         (r["click_id"], r["view_id"])
         for r in P.epoch_quarantine_interval_join(
-            spark, str(fx), n_epochs=3, fraction=0.3
+            spark, str(fx), n_epochs=3, fraction=0.3, census_dir=ledger
         ).collect()
     }
-    want = _plain_pairs(spark.read.parquet(str(fx / "events.parquet")))
-    assert got == want, (sorted(want - got), sorted(got - want))
-    # the two seam pairs are present and were genuinely at risk
-    assert (300, 210) in got and (301, 230) in got
+    assert got == _plain_pairs(full)
