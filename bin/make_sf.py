@@ -77,9 +77,18 @@ def domain_sizes(con: duckdb.DuckDBPyConnection, src: str) -> dict[str, int]:
 
 
 def scale_sql_tables(
-    con, src: str, dst: str, factor: int, d: dict[str, int], skew: float = 0.0
+    con, src: str, dst: str, factor: int, d: dict[str, int], skew: float = 0.0,
+    clump: float = 0.0,
 ) -> None:
-    """Relational tables via one DuckDB COPY each (cross join with range(factor))."""
+    """Relational tables via one DuckDB COPY each (cross join with range(factor)).
+
+    ``clump`` additionally plants a near-duplicate DOCUMENT clump (the
+    text twin of scale_embeddings' vector clump, round 10 for the d04
+    probe): ~clump of all docs become the FIRST source doc's text plus
+    one unique trailing token (' u<doc_id>'), so pairwise Jaccard stays
+    ≈1 and their MinHash bands collide in (almost) every band — the hot
+    (band, band_hash) bucket shape mirror/boilerplate pages create.
+    Deterministic on the OUTPUT doc_id, like the --skew remaps."""
     # Deterministic hot-key remaps (see module docstring). Modulo on the
     # ALREADY-OFFSET id so every replica contributes to the same hot key.
     pct = int(round(skew * 100))
@@ -147,6 +156,22 @@ def scale_sql_tables(
             )
         ),
     }
+    if clump:
+        pct_clump = int(round(clump * 100))
+        base_text = (
+            f"(SELECT text FROM read_parquet('{src}/documents.parquet') "
+            "ORDER BY doc_id LIMIT 1)"
+        )
+        clump_text = (
+            f"CASE WHEN (doc_id + i*{d['doc_id']}) % 100 < {pct_clump} "
+            f"THEN {base_text} || ' u' || (doc_id + i*{d['doc_id']})::VARCHAR "
+            "ELSE CASE WHEN i = 0 THEN text ELSE text || ' v' || i::VARCHAR END END"
+        )
+        plans["documents"] = (
+            f"doc_id + i*{d['doc_id']} AS doc_id, "
+            f"{clump_text} AS text, lang, source, "
+            f"length({clump_text})::BIGINT AS n_chars"
+        )
     for table, cols in plans.items():
         reps = 1 if table in ("region", "nation") else factor
         con.execute(
@@ -216,14 +241,15 @@ def main() -> None:
     ap.add_argument("--skew", type=float, default=0.0,
                     help="hot-key fraction (e.g. 0.3); 0 = uniform replication")
     ap.add_argument("--clump", type=float, default=0.0,
-                    help="near-dup embedding clump fraction (hot LSH bucket)")
+                    help="near-dup embedding + document clump fraction (hot LSH bucket)")
     args = ap.parse_args()
 
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
     d = domain_sizes(con, args.src)
     print(f"domain sizes: {d}" + (f", skew={args.skew}" if args.skew else ""), flush=True)
-    scale_sql_tables(con, args.src, args.dst, args.factor, d, skew=args.skew)
+    scale_sql_tables(con, args.src, args.dst, args.factor, d, skew=args.skew,
+                     clump=args.clump)
     scale_embeddings(args.src, args.dst, args.factor, args.seed, d, clump=args.clump)
     for t in (
         "region nation customer supplier part orders lineitem events "

@@ -193,9 +193,17 @@ def minhash_signatures(sh_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return exploded.groupBy(id_col).agg(*mins)
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", distinct: bool = True
+) -> DataFrame:
     """Band the signature columns, explode, self-join per bucket →
-    candidate pairs. The only shuffle is on (band, band_hash)."""
+    candidate pairs. The only shuffle is on (band, band_hash).
+    ``distinct=False`` exposes the raw per-band join output (one row
+    per band collision, pre-dedup) — the stage whose task distribution
+    the clump probe measures: a (band, band_hash) join KEY cannot split
+    across tasks, so a near-dup clump's quadratic pair production lands
+    on one task per band (share capped at 1/MINHASH_BANDS by banding
+    itself, per-bucket work uncapped — see bin/d04_clump_probe.py)."""
     bands = F.array(
         *[
             F.struct(
@@ -218,19 +226,126 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     x = exploded.alias("x")
     y = exploded.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    raw = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.band_hash") == F.col("y.band_hash"))
+        & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    ).select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+    return raw.distinct() if distinct else raw
+
+
+# Rows per candidate-generation tile (d21). A tile-pair task emits at
+# most tile² id pairs (~16 B each ⇒ ≤ ~64 MB) regardless of how hot the
+# (band, band_hash) bucket is. Tests shrink this to force multi-tile
+# buckets on small fixtures.
+D21_TILE = 2048
+
+
+def lsh_candidate_pairs_tiled(
+    sig_df: DataFrame, id_col: str = "doc_id", tile: int = D21_TILE,
+    distinct: bool = True,
+) -> DataFrame:
+    """lsh_candidate_pairs' EXACT pair set with the per-bucket quadratic
+    expansion made cluster-parallel — d18's tiling recipe applied to the
+    minhash family (VERDICT r9 item 5; bin/d04_clump_probe.py measured a
+    30%-near-dup doc clump putting 24% of the plain shuffle join's output
+    in ONE task, two indivisible band-keys on one reducer, per-key work
+    growing quadratically with clump size).
+
+    Shape: members of each (band, band_hash) bucket get deterministic
+    tile ids (pmod(xxhash64(id), ceil(m/tile)) — hash, not row order, so
+    sequential-id clumps spread; the d18/ADVICE-r8 lesson); tiles pack
+    into single rows (ids only, ≤ tile×8 B); the tile-pair self-join
+    (ta ≤ tb) produces FEW, CHEAP rows per bucket key — the quadratic
+    pair emission happens AFTER the repartition on (band, band_hash,
+    ta, tb), where every tile-pair task is output-capped at tile². Each
+    bucket pair is emitted exactly once per band (same-tile pairs
+    triangularly, cross-tile pairs by the one (ta, tb) combination), so
+    the pre-distinct multiset equals lsh_candidate_pairs'."""
+    import numpy as np
+    import pandas as pd
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"s{j * MINHASH_ROWS_PER_BAND + r}").cast("string")
+                            for r in range(MINHASH_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    exploded = sig_df.select(id_col, F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+    w_all = Window.partitionBy("band", "band_hash")
+    tiled = exploded.withColumn(
+        "m", F.ceil(F.count(F.lit(1)).over(w_all) / F.lit(tile)).cast("bigint")
+    ).withColumn("t", F.pmod(F.xxhash64(F.col(id_col)), F.col("m")).cast("int"))
+    # localCheckpoint: the packed groups feed BOTH sides of the tile-pair
+    # self-join (the d18 discipline — otherwise the signature banding +
+    # window run twice)
+    groups = (
+        tiled.groupBy("band", "band_hash", "t")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .localCheckpoint()
+    )
+    a, b = groups.alias("a"), groups.alias("b")
+    tp = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.t") <= F.col("b.t")),
         )
-        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.band").alias("band"),
+            F.col("a.band_hash").alias("band_hash"),
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+            (F.col("a.t") == F.col("b.t")).alias("same_tile"),
+            F.col("a.ids").alias("ia"),
+            F.col("b.ids").alias("ib"),
+        )
+        .repartition("band", "band_hash", "ta", "tb")
     )
 
+    def expand(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                A = np.asarray(row.ia, dtype=np.int64)
+                if row.same_tile:
+                    if len(A) < 2:
+                        continue
+                    ii, jj = np.triu_indices(len(A), k=1)
+                    lo, hi = A[ii], A[jj]  # ids sorted ⇒ already lo < hi
+                else:
+                    B = np.asarray(row.ib, dtype=np.int64)
+                    la = np.repeat(A, len(B))
+                    lb = np.tile(B, len(A))
+                    sw = la > lb
+                    lo = np.where(sw, lb, la)
+                    hi = np.where(sw, la, lb)
+                frames.append(pd.DataFrame({"id_a": lo, "id_b": hi}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
-def minhash_near_duplicates(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    raw = tp.mapInPandas(expand, "id_a long, id_b long")
+    return raw.distinct() if distinct else raw
+
+
+def minhash_near_duplicates(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, cand_fn=None
+) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs verified with exact Jaccard.
 
     Materialization discipline (the shingle frame feeds FOUR plan
@@ -251,7 +366,7 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = JACCARD_THRESHOL
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = minhash_signatures(sh).localCheckpoint()
-    cands = lsh_candidate_pairs(sigs)
+    cands = (cand_fn or lsh_candidate_pairs)(sigs)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -278,6 +393,28 @@ def d04_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups by construction) — behavior is fixture-tested in
     tests/test_dedup.py."""
     return minhash_near_duplicates(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "d21_minhash_tiled_neardup",
+    oracle=None,  # same non-expressibility as d04 (xxhash64 minhash
+    # perms + band hashes no second engine evaluates); EXACT pair-set
+    # parity with d04 is pytest-pinned across tile sizes instead
+    tags=("dedup", "minhash", "lsh", "tiled"),
+)
+def d21_minhash_tiled_neardup(
+    spark: SparkSession, sf_dir: str, tile: int = D21_TILE
+) -> DataFrame:
+    """d04's exact output with tiled candidate generation (see
+    lsh_candidate_pairs_tiled): the per-(band, band_hash) pair
+    explosion is spread across tile-pair tasks with a tile² output cap
+    instead of one indivisible join key per band — the 100-TB shape for
+    clumped corpora, mirroring d18 beside d07. bin/d04_clump_probe.py
+    carries the measured before/after task shares."""
+    return minhash_near_duplicates(
+        t(spark, sf_dir, "documents"),
+        cand_fn=lambda s: lsh_candidate_pairs_tiled(s, tile=tile),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1998,14 +2135,17 @@ def d14_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
         *[_slot_min(g, j) for g in range(D14_GROUPS) for j in range(D14_SLOTS_PER_MD5)],
     )
 
+    # |A∩B| via an equi-join on (doc_b, digest) — digest IN the join key.
+    # The r9 form joined on doc_b alone with digest equality as a
+    # post-join filter, materializing the per-pair digest CARTESIAN
+    # (~|A|·|B| rows per adjacent pair) through the join; at sf10 that
+    # killed the JVM (the first full-catalog sf10 sweep's one OOM).
+    # Shingle arrays are distinct (shingles() dedups), so the match
+    # count IS the intersection size.
     dig = ex.select("doc_id", F.md5("shingle").alias("digest"))
     inter = (
         dig.select((F.col("doc_id") + 1).alias("doc_b"), "digest")
-        .join(
-            dig.select(F.col("doc_id").alias("doc_b"), F.col("digest").alias("digest_b")),
-            ["doc_b"],
-        )
-        .where(F.col("digest") == F.col("digest_b"))
+        .join(dig.select(F.col("doc_id").alias("doc_b"), "digest"), ["doc_b", "digest"])
         .groupBy("doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -160,18 +160,24 @@ def infer_sf(sf_dir: str) -> Optional[float]:
 #   4. everything else oldest-evidence-first (ties alphabetical).
 # Round-10 ledger (from CORRECTNESS_r01..r09): r4={s12 st07 st17
 # st18 st19 t02}; r5=32 entries; r6={d15 mm03}; r7=22; r8=40; r9=50.
-# The r10 window = m-core(8) + r10-changed{d11, its oracle converted
-# off the rows-only floor}(1) + the whole r4 queue(6) + the whole r5
-# cohort(32) + r6(2) + the first r7 entry alphabetically (d06)(1).
+# The r10 window = m-core(8) + new{d21}(1) + r10-changed{d11 (oracle
+# converted off the rows-only floor), d04 (candidate join refactor
+# under the tiling work)}(2) + the whole r4 queue(6) + the whole r5
+# cohort(32) + the older r6 entry (d15)(1).
 _PRIORITY = (
     # 1. §2-core ML (pinned)
     "m01_linear_predict", "m02_dimension_inference", "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics", "m05_sgd_sparse_metrics", "m06_libsvm_cli_e2e",
     "m07_lr_schedule_sweep", "m08_csvline_report",
-    # 2. code changed this round: d11's greedy keep-first pass gains a
-    # depth-capped recursive-CTE DuckDB oracle (VERDICT r9 item 4)
-    "d11_semantic_cluster_dedup",
-    # 3. oldest evidence first -- last driver row r4 (the queue
+    # 2. NEW this round -- first driver row: the tiled minhash
+    # candidate generation (d18's recipe applied to d04's family)
+    "d21_minhash_tiled_neardup",
+    # 3. code changed this round: d11's greedy keep-first pass gains a
+    # depth-capped recursive-CTE DuckDB oracle (VERDICT r9 item 4);
+    # d04's candidate join gained the distinct/raw split the clump
+    # probe measures
+    "d11_semantic_cluster_dedup", "d04_minhash_lsh_neardup",
+    # 4. oldest evidence first -- last driver row r4 (the queue
     # registry.py named for r10 last round):
     "s12_hybrid_rrf_retrieval", "st07_stream_sketch_profile",
     "st17_stream_cdc_upsert", "st18_stream_funnel",
@@ -193,10 +199,8 @@ _PRIORITY = (
     "t05_bpe_token_counts", "t06_quality_filter",
     "t08_repetition_stats", "t09_pii_scrub_audit",
     "t11_tfidf_top_terms", "t13_bpe_merge_learn",
-    # last driver row r6:
-    "d15_dup_graph_pagerank", "mm03_frame_sample",
-    # last driver row r7 (first alphabetically; the rest lead r11):
-    "d06_embed_cosine_neardup",
+    # last driver row r6 (mm03 + the whole r7 cohort lead r11):
+    "d15_dup_graph_pagerank",
 )
 
 

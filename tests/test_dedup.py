@@ -49,6 +49,77 @@ def test_minhash_lsh_finds_planted_neardups(docs_with_dups):
     assert all(a in (0, 1) for a, b in pairs)
 
 
+def test_d21_tiled_pairs_match_d04(spark, docs_with_dups):
+    """d21's tiled candidate generation must reproduce d04's verified
+    pair set EXACTLY at every tile geometry: tile=1 (every bucket member
+    its own tile — maximal tiling), a ragged tile=3, and a degenerate
+    huge tile (one tile per bucket — the d04 shape). A clump of verbatim
+    copies forces multi-member buckets that span tiles."""
+    from sketchmlflink_spark.operators.dedup import (
+        lsh_candidate_pairs_tiled,
+    )
+
+    base_rows = docs_with_dups.collect()
+    clump_src = next(r["text"] for r in base_rows if r["doc_id"] == 2)
+    extra = [(200 + i, clump_src + f" u{i}") for i in range(12)]
+    docs = docs_with_dups.unionByName(
+        spark.createDataFrame(extra, "doc_id long, text string")
+    )
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_near_duplicates(docs, threshold=0.3).collect()
+    }
+    # the clump must actually create multi-member buckets
+    assert sum(1 for a, b, j in want if a >= 2) >= 66  # C(13,2) clump pairs
+    for tile in (1, 3, 10**9):
+        got = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in minhash_near_duplicates(
+                docs,
+                threshold=0.3,
+                cand_fn=lambda s, tl=tile: lsh_candidate_pairs_tiled(s, tile=tl),
+            ).collect()
+        }
+        assert got == want, f"tile={tile}: {sorted(want ^ got)[:5]}"
+
+
+def test_d21_raw_emission_matches_d04_multiset(spark, docs_with_dups):
+    """Pre-distinct parity, per band: the tiled expansion must emit each
+    colliding bucket pair exactly once per band — the same MULTISET the
+    plain per-band join produces, so no pair is double-emitted (same
+    tile + cross tile) or lost at a tile boundary."""
+    from collections import Counter
+
+    from pyspark import StorageLevel
+
+    from sketchmlflink_spark.functions import text as T
+    from sketchmlflink_spark.operators.dedup import (
+        SHINGLE_SIZE,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_tiled,
+        minhash_signatures,
+        shingles,
+    )
+
+    tok = docs_with_dups.select("doc_id", T.tokens("text").alias("tk")).where(
+        F.size("tk") >= SHINGLE_SIZE
+    )
+    sh = tok.select("doc_id", shingles(F.col("tk")).alias("sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(sh).localCheckpoint()
+    want = Counter(
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, distinct=False).collect()
+    )
+    for tile in (1, 2):
+        got = Counter(
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs_tiled(sigs, tile=tile, distinct=False).collect()
+        )
+        assert got == want, f"tile={tile}"
+    sh.unpersist()
+
+
 def test_simhash_finds_planted_neardups(docs_with_dups):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_duplicates(docs_with_dups, max_hamming=6).collect()}
     assert (1, 101) in pairs and pairs[(1, 101)] == 0  # identical → hamming 0
