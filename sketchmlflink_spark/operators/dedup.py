@@ -1907,6 +1907,10 @@ r(v, lbl) AS (
 SELECT v AS doc_id, min(lbl) AS comp_id FROM r GROUP BY v
 """,
     tags=("dedup", "graph", "connected-components"),
+    scale_guard_sf=10.0,  # same transitive-closure oracle as d16 —
+    # |cluster|² (v, lbl) rows; the sf10 fixture's 100-replica span
+    # clusters spill DuckDB temp to disk death (measured on d16's
+    # superset oracle, first sf10 sweep). Guard the replay, not the op.
 )
 def d13_dup_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup graph clustering: docs sharing a D13_SPAN_WORDS-word
@@ -2303,6 +2307,12 @@ FROM ranked
 GROUP BY comp_id
 """,
     tags=("dedup", "graph", "canonical", "pagerank"),
+    scale_guard_sf=10.0,  # engine is checkpointed log-round pointer
+    # jumping; the ORACLE's recursive component CTE is a TRANSITIVE
+    # CLOSURE — |cluster|² (v, lbl) rows before the min — and the sf10
+    # fixture's 100-replica span clusters made DuckDB spill >70 GB of
+    # temp and die on disk (first sf10 sweep, 637 s). Guard the
+    # cross-engine replay, not the op.
 )
 def d16_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep/drop manifest per duplicate cluster: join d13's connected
