@@ -435,11 +435,31 @@ def kmv_setops(ev: DataFrame, k: int) -> DataFrame:
     # alias re-derives its input and events is scanned twice.
     kmv = kmv_sketches(ev, k).localCheckpoint()
     a, b = kmv.alias("a"), kmv.alias("b")
-    pair = a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+    # The heavy array subtrees are PROJECTED ONCE per pair row before
+    # any estimator math references them. The first cut inlined
+    # `theta_raw` — an array_sort(array_union(...)) over two k-long
+    # arrays — inside the est_inter FILTER LAMBDA; interpreted
+    # higher-order functions re-evaluate the captured subtree PER
+    # ELEMENT, turning one O(k log k) union into O(k² log k) per pair.
+    # Invisible below sf10 because the exact arm's WHEN short-circuits
+    # the estimator branch; on sf10's full sketches the first sweep sat
+    # in ArrayUnion.evalUnion for 45+ minutes (jstack) with no exit.
+    pair = (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .withColumn("inter_sk", F.array_intersect("a.sk", "b.sk"))
+        .withColumn(
+            # try_element_at: the projection is EAGER (unlike the old
+            # in-branch element_at, which the exact arm's WHEN never
+            # evaluated), and exact-arm unions have < k elements — NULL
+            # there is fine because theta is only consumed in the
+            # estimator arm, where both sketches are full
+            "theta_long",
+            F.try_element_at(F.array_sort(F.array_union("a.sk", "b.sk")), F.lit(k)),
+        )
+    )
     exact = (F.col("a.sk_n") < k) & (F.col("b.sk_n") < k)
-    inter_sk = F.array_intersect("a.sk", "b.sk")
-    union_sk = F.array_sort(F.array_union("a.sk", "b.sk"))
-    theta_raw = F.element_at(union_sk, k).cast("double")
+    inter_sk = F.col("inter_sk")
+    theta_raw = F.col("theta_long").cast("double")
     theta = theta_raw / F.lit(float(2 ** _SK06_HASH_BITS))
     est_a = F.when(exact, F.col("a.sk_n")).otherwise(
         F.round((k - 1) / (F.element_at("a.sk", k) / F.lit(float(2 ** _SK06_HASH_BITS))))
@@ -452,7 +472,7 @@ def kmv_setops(ev: DataFrame, k: int) -> DataFrame:
     ).otherwise(F.round((k - 1) / theta)).cast("long")
     est_inter = F.when(exact, F.size(inter_sk)).otherwise(
         F.round(
-            F.size(F.filter(inter_sk, lambda x: x < theta_raw.cast("long"))) / theta
+            F.size(F.filter(inter_sk, lambda x: x < F.col("theta_long"))) / theta
         )
     ).cast("long")
     return pair.select(
