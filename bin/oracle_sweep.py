@@ -76,7 +76,6 @@ def main() -> None:
         auto = scale_guarded_names(sf)
         if auto:
             print(f"auto scale guard at sf={sf}: {sorted(auto)}", flush=True)
-        SKIP.update(auto)
         skew = skew_guarded(SF_DIR)
         for name, reason in sorted(skew.items()):
             print(f"skew guard: {name} — {reason}", flush=True)
@@ -87,11 +86,15 @@ def main() -> None:
     n_hash = n_rows_only = n_band = n_fail = 0
     for name, q in queries.items():
         gc.collect()  # release prior queries' checkpointed lineage (see bench.py)
-        if name in SKIP or name in SKEW_SKIP:
+        if name in SKIP or name in SKEW_SKIP or name in auto:
             # label the skip with its true source — SWEEP artifacts are
-            # committed evidence, and attributing a skew-guard skip to
-            # the scale guard misstates WHY a query did not run
-            why = "skew guard" if name in SKEW_SKIP else "scale guard"
+            # committed evidence, and attributing a manual --skip or a
+            # skew-guard skip to the scale guard misstates WHY a query
+            # did not run (the r10 sf10 artifact listed a --skip'd d06
+            # among "skipped by scale guard")
+            why = ("skew guard" if name in SKEW_SKIP
+                   else "scale guard" if name in auto
+                   else "--skip")
             print(f"{name:40s} skip  ({why})", flush=True)
             continue
         t0 = time.monotonic()
@@ -131,19 +134,19 @@ def main() -> None:
         print(f"{name:40s} {kind:5s} {status:4s} {dt:6.2f}s"
               + ("" if ok else "  " + "; ".join(problems[:3])), flush=True)
 
-    skipped = SKIP & set(queries)
-    skew_skipped = SKEW_SKIP & set(queries)
-    # a name carrying BOTH guards (or passed via --skip on a skew
-    # fixture) must be subtracted once, not twice — tally over the union
-    total = len(queries) - len(skipped | skew_skipped)
-    skipped = skipped - skew_skipped  # per-line loop attributes dual-
-    # guarded names to the skew guard; keep the label sets disjoint too
+    manual = SKIP & set(queries)
+    guard_skipped = (auto & set(queries)) - manual
+    skew_skipped = SKEW_SKIP & set(queries) - manual - guard_skipped
+    # a name carrying several skip sources is subtracted once, not
+    # twice — tally over the union; per-line labels keep them disjoint
+    total = len(queries) - len(manual | guard_skipped | skew_skipped)
     print(
         f"\nSWEEP {SF_DIR}: {n_hash} hash-matched + {n_band} band-matched + "
         f"{n_rows_only} rows-only OK "
         f"= {n_hash + n_band + n_rows_only}/{total} green, {n_fail} failed"
-        + (f" ({len(skipped)} skipped by scale guard: {sorted(skipped)})" if skipped else "")
+        + (f" ({len(guard_skipped)} skipped by scale guard: {sorted(guard_skipped)})" if guard_skipped else "")
         + (f" ({len(skew_skipped)} skipped by skew guard: {sorted(skew_skipped)})" if skew_skipped else "")
+        + (f" ({len(manual)} skipped by --skip: {sorted(manual)})" if manual else "")
     )
     spark.stop()
     sys.exit(1 if n_fail else 0)

@@ -2209,6 +2209,12 @@ SELECT r{D15_ITERS}.v AS doc_id,
 FROM r{D15_ITERS} JOIN deg d ON r{D15_ITERS}.v = d.v
 """,
     tags=("dedup", "graph", "pagerank", "iterative"),
+    scale_guard_sf=10.0,  # the shared _d13_chunks_sql oracle prefix is
+    # the spiller, not the closure: DuckDB's chunk self-join expands
+    # |cluster|² pair rows PRE-distinct, and the sf10 fixture's
+    # 100-replica clusters spilled temp to disk death here too (429 s,
+    # measured in the r10 sf10 sweep after d16's identical failure).
+    # The engine's checkpointed driver-loop iteration is unaffected.
 )
 def d15_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D15_ITERS-round damped PageRank (d=0.85) over the same
