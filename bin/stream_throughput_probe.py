@@ -188,6 +188,17 @@ def run_quarantine_flip(spark: SparkSession, rate: int, secs: int,
         q2.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
     s1, s2 = _steady_stats(p1), _steady_stats(p2)
+    s1["batches_committed"] = len(p1)
+    s2["batches_committed"] = len(p2)
+    if not p1 or s1["batches_measured"] == 0:
+        # the finding, stated instead of nulls: the un-quarantined
+        # hot-key join cannot even COMMIT a steady batch in the window —
+        # output grows quadratically in the hot key's per-interval rows
+        s1["note"] = (
+            f"{len(p1)} batch(es) committed in {secs} s at the offered "
+            "rate — the un-quarantined hot-key join cannot keep up; "
+            "this is st08's blow-up mode, the reason the census exists"
+        )
     return {
         "config": f"st22-class census flip (K={n_keys:,}, hot key ~{hot_pct}% of rows)",
         "epoch1_unquarantined": s1,
