@@ -162,10 +162,17 @@ def scale_sql_tables(
             f"(SELECT text FROM read_parquet('{src}/documents.parquet') "
             "ORDER BY doc_id LIMIT 1)"
         )
+        # --skew composes with --clump: non-clumped docs keep the skew
+        # hot_text zipfhead injection instead of silently reverting to
+        # the plain ' v<i>' perturbation (ADVICE r10 item 2).
+        non_clump_text = (
+            hot_text if skew
+            else "CASE WHEN i = 0 THEN text ELSE text || ' v' || i::VARCHAR END"
+        )
         clump_text = (
             f"CASE WHEN (doc_id + i*{d['doc_id']}) % 100 < {pct_clump} "
             f"THEN {base_text} || ' u' || (doc_id + i*{d['doc_id']})::VARCHAR "
-            "ELSE CASE WHEN i = 0 THEN text ELSE text || ' v' || i::VARCHAR END END"
+            f"ELSE {non_clump_text} END"
         )
         plans["documents"] = (
             f"doc_id + i*{d['doc_id']} AS doc_id, "

@@ -65,6 +65,9 @@ def main() -> None:
     con = duck_connection(SF_DIR)
     queries = all_queries()
 
+    # always defined — --no-default-guard must not NameError the skip
+    # check below (ADVICE r10 item 1); it just leaves the set empty
+    auto: set[str] = set()
     if "--no-default-guard" not in sys.argv[1:]:
         sf = infer_sf(SF_DIR)
         if sf is None:
@@ -83,19 +86,23 @@ def main() -> None:
 
     import gc
 
+    # one disjoint attribution, computed once, driving BOTH the per-line
+    # labels and the tally (ADVICE r10 item 5: the two previously used
+    # opposite precedence orders, so a name in several skip sets could be
+    # labeled "skew guard" per-line but counted under --skip in the
+    # summary). Precedence: explicit --skip > skew guard > scale guard.
+    manual = SKIP & set(queries)
+    skew_skipped = (SKEW_SKIP & set(queries)) - manual
+    guard_skipped = (auto & set(queries)) - manual - skew_skipped
+    skip_label = {n: "--skip" for n in manual}
+    skip_label.update({n: "skew guard" for n in skew_skipped})
+    skip_label.update({n: "scale guard" for n in guard_skipped})
+
     n_hash = n_rows_only = n_band = n_fail = 0
     for name, q in queries.items():
         gc.collect()  # release prior queries' checkpointed lineage (see bench.py)
-        if name in SKIP or name in SKEW_SKIP or name in auto:
-            # label the skip with its true source — SWEEP artifacts are
-            # committed evidence, and attributing a manual --skip or a
-            # skew-guard skip to the scale guard misstates WHY a query
-            # did not run (the r10 sf10 artifact listed a --skip'd d06
-            # among "skipped by scale guard")
-            why = ("skew guard" if name in SKEW_SKIP
-                   else "scale guard" if name in auto
-                   else "--skip")
-            print(f"{name:40s} skip  ({why})", flush=True)
+        if name in skip_label:
+            print(f"{name:40s} skip  ({skip_label[name]})", flush=True)
             continue
         t0 = time.monotonic()
         try:
@@ -134,12 +141,7 @@ def main() -> None:
         print(f"{name:40s} {kind:5s} {status:4s} {dt:6.2f}s"
               + ("" if ok else "  " + "; ".join(problems[:3])), flush=True)
 
-    manual = SKIP & set(queries)
-    guard_skipped = (auto & set(queries)) - manual
-    skew_skipped = SKEW_SKIP & set(queries) - manual - guard_skipped
-    # a name carrying several skip sources is subtracted once, not
-    # twice — tally over the union; per-line labels keep them disjoint
-    total = len(queries) - len(manual | guard_skipped | skew_skipped)
+    total = len(queries) - len(skip_label)
     print(
         f"\nSWEEP {SF_DIR}: {n_hash} hash-matched + {n_band} band-matched + "
         f"{n_rows_only} rows-only OK "

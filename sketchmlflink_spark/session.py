@@ -84,22 +84,31 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_sketchml_pkg_added", False):
         return
+    import hashlib
     import pathlib
     import tempfile
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
-    # Per-process file name + write-then-atomic-rename: two concurrent
+    # Content-hash file name + write-then-atomic-rename: concurrent
     # driver processes on one box (a sweep beside hash_catalog
-    # subprocesses) must never race a rewrite against addPyFile and
-    # ship a truncated zip to executors.
+    # subprocesses) share one zip per package version instead of leaking
+    # a per-PID file each (ADVICE r10 item 4), and a process racing a
+    # rewrite against addPyFile still never ships a truncated zip —
+    # os.replace is atomic and same-content writes are byte-identical.
+    sources = sorted(pkg_dir.rglob("*.py"))
+    h = hashlib.sha256()
+    for p in sources:
+        h.update(str(p.relative_to(pkg_dir.parent)).encode())
+        h.update(p.read_bytes())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"sketchmlflink_spark_pkg_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"sketchmlflink_spark_pkg_{h.hexdigest()[:16]}.zip"
     )
-    tmp_path = zpath + ".tmp"
-    with zipfile.ZipFile(tmp_path, "w") as z:
-        for p in sorted(pkg_dir.rglob("*.py")):
-            z.write(p, p.relative_to(pkg_dir.parent))
-    os.replace(tmp_path, zpath)
+    if not os.path.exists(zpath):
+        tmp_path = f"{zpath}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp_path, "w") as z:
+            for p in sources:
+                z.write(p, p.relative_to(pkg_dir.parent))
+        os.replace(tmp_path, zpath)
     sc.addPyFile(zpath)
     sc._sketchml_pkg_added = True

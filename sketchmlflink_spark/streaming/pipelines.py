@@ -392,7 +392,41 @@ def epoch_hot_assignments(
     bounds = None
     if census_dir is not None:
         os.makedirs(census_dir, exist_ok=True)
-        bounds = _census_ledger_load(os.path.join(census_dir, "bounds.json"))
+        ledger = _census_ledger_load(os.path.join(census_dir, "bounds.json"))
+        if ledger is not None:
+            # The ledger records the run parameters it was written under
+            # (ADVICE r10 item 3): reusing a census_dir with a different
+            # n_epochs previously IndexError'd deep in the census loop,
+            # and a different fraction silently reloaded stale hot sets
+            # as if they were this run's. Fail loudly on any mismatch —
+            # a restart must resume the SAME run, not a lookalike.
+            # (Legacy ledgers were a bare bounds list; validate length.)
+            if isinstance(ledger, dict):
+                stale = []
+                if ledger.get("n_epochs") != n_epochs:
+                    stale.append(
+                        f"n_epochs {ledger.get('n_epochs')} != {n_epochs}"
+                    )
+                if ledger.get("fraction") != fraction:
+                    stale.append(
+                        f"fraction {ledger.get('fraction')} != {fraction}"
+                    )
+                if stale:
+                    raise ValueError(
+                        f"census ledger {census_dir!r} was written by a "
+                        f"different run ({'; '.join(stale)}); point this "
+                        "run at a fresh census_dir"
+                    )
+                bounds = ledger["bounds"]
+            else:
+                bounds = ledger
+            if bounds is not None and len(bounds) != n_epochs + 1:
+                raise ValueError(
+                    f"census ledger {census_dir!r} holds {len(bounds)} "
+                    f"epoch bounds but this run needs {n_epochs + 1} "
+                    f"(n_epochs={n_epochs}); point this run at a fresh "
+                    "census_dir"
+                )
     if bounds is None:
         lo, hi = events.agg(
             F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
@@ -400,7 +434,10 @@ def epoch_hot_assignments(
         width = -(-(int(hi) - int(lo) + 1) // n_epochs)
         bounds = [int(lo) + i * width for i in range(n_epochs + 1)]
         if census_dir is not None:
-            _census_ledger_write(os.path.join(census_dir, "bounds.json"), bounds)
+            _census_ledger_write(
+                os.path.join(census_dir, "bounds.json"),
+                {"n_epochs": n_epochs, "fraction": fraction, "bounds": bounds},
+            )
     us = F.unix_micros("ts")
     census = []
     # the last epoch's census is never applied; epoch 0's is applied

@@ -968,3 +968,111 @@ def test_st23_census_ledger_survives_restart(spark, tmp_path):
         ).collect()
     }
     assert got == _plain_pairs(full)
+
+
+def test_census_ledger_rejects_mismatched_run(spark, tmp_path):
+    """A census_dir written by one run must not be silently reused by a
+    DIFFERENT run (ADVICE r10): a larger n_epochs used to IndexError deep
+    in the census loop, and a different fraction reloaded stale hot sets
+    as this run's. Both must fail loudly at load, naming the mismatch."""
+    fx, _ = _epoch_fixture(spark, tmp_path)
+    full = spark.read.parquet(str(fx / "events.parquet"))
+    ledger = str(tmp_path / "census_ledger")
+    P.epoch_hot_assignments(full, 3, fraction=0.3, census_dir=ledger)
+
+    with pytest.raises(ValueError, match="n_epochs"):
+        P.epoch_hot_assignments(full, 4, fraction=0.3, census_dir=ledger)
+    with pytest.raises(ValueError, match="fraction"):
+        P.epoch_hot_assignments(full, 3, fraction=0.2, census_dir=ledger)
+
+    # legacy bare-list ledgers carry no params; the length check still
+    # catches the n_epochs mismatch that used to IndexError
+    import json
+
+    legacy = tmp_path / "legacy_ledger"
+    legacy.mkdir()
+    with open(legacy / "bounds.json", "w") as f:
+        json.dump([0, 10, 20, 30], f)  # 3-epoch bounds
+    with pytest.raises(ValueError, match="epoch bounds"):
+        P.epoch_hot_assignments(full, 5, fraction=0.3, census_dir=str(legacy))
+
+    # same params → clean reload, bare list still accepted
+    b, _ = P.epoch_hot_assignments(full, 3, fraction=0.3, census_dir=str(legacy))
+    assert b == [0, 10, 20, 30]
+
+
+def test_census_ledger_survives_two_concurrent_writers(spark, tmp_path):
+    """Two concurrent epoch writers against ONE ledger dir — the
+    production shape where yesterday's census job overlaps today's
+    (VERDICT r10 item 8). The atomic write-then-rename (per-PID/per-try
+    temp name + os.replace) must guarantee (a) no reader ever sees a
+    torn/partial JSON, (b) both writers land on the identical ledger
+    (the files are deterministic functions of the batch), and (c) both
+    runs return identical bounds + censuses."""
+    import json
+    import os as _os
+    import threading
+
+    fx, _ = _epoch_fixture(spark, tmp_path)
+    full = spark.read.parquet(str(fx / "events.parquet"))
+    ledger = str(tmp_path / "census_ledger")
+
+    results, errors = {}, []
+
+    def writer(tag):
+        try:
+            results[tag] = P.epoch_hot_assignments(
+                full, 3, fraction=0.3, census_dir=ledger
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append((tag, repr(e)))
+
+    # a reader hammering the ledger while both writers run: every load
+    # must either miss the file entirely or parse as complete JSON —
+    # a JSONDecodeError here is exactly the torn write the rename
+    # discipline exists to prevent
+    stop = threading.Event()
+    torn = []
+
+    def reader():
+        paths = [
+            _os.path.join(ledger, "bounds.json"),
+            _os.path.join(ledger, "census_epoch_0.json"),
+            _os.path.join(ledger, "census_epoch_1.json"),
+        ]
+        while not stop.is_set():
+            for p in paths:
+                if _os.path.exists(p):
+                    try:
+                        with open(p) as f:
+                            json.load(f)
+                    except json.JSONDecodeError as e:
+                        torn.append((p, repr(e)))
+                        return
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    rt = threading.Thread(target=reader)
+    rt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    rt.join()
+
+    assert not errors, errors
+    assert not torn, torn
+    assert results["a"] == results["b"]
+    bounds_a, hots_a = results["a"]
+
+    # the surviving ledger is complete, parseable, and matches both runs
+    with open(_os.path.join(ledger, "bounds.json")) as f:
+        ledger_bounds = json.load(f)
+    assert ledger_bounds["bounds"] == bounds_a
+    assert ledger_bounds["n_epochs"] == 3 and ledger_bounds["fraction"] == 0.3
+    # hots = [census0 (bootstrap), census0, census1] for n_epochs=3
+    for e, want in ((0, hots_a[0]), (1, hots_a[2])):
+        with open(_os.path.join(ledger, f"census_epoch_{e}.json")) as f:
+            assert json.load(f) == want
+    # and no stray temp files leak behind
+    assert not [p for p in _os.listdir(ledger) if ".tmp." in p]
