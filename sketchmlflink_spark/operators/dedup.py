@@ -651,6 +651,13 @@ WHERE list_dot_product(a.v, b.v)
       >= {COSINE_DUP_THRESHOLD}
 """,
     tags=("dedup", "embedding", "cosine"),
+    scale_guard_sf=10.0,  # exact-anchor SF formally pinned at 3
+    # (VERDICT r10 item 3): the operator's O(n²) FLOPs are its contract
+    # — 37 s at sf1, 370 s at sf3, a measured 3,264 s at sf10 (r10 side
+    # session, both engines green) — so the anchor's cross-engine proof
+    # runs at ≤ sf3 and sf10 sweeps exclude it rather than carrying a
+    # 54-minute single-query tail. The 100-TB path is d04/s03/s05
+    # candidates + the same dgemm kernel as verify (d07/d18).
 )
 def d06_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs with cosine ≥ 0.4.
@@ -1875,42 +1882,94 @@ D13_MAX_SPAN_DOCS = 100  # boilerplate cap: spans in more docs are dropped
 D13_MAX_ITERS = 20
 
 
+D13_CC_ROUNDS = 6  # unrolled relax+jump rounds in the oracle; R=4 already
+# converges on every fixture up to sf10 (414,079 labeled docs), 6 keeps
+# two spare jump-doublings of diameter headroom
+
+
 def _d13_chunks_sql() -> str:
+    """Shared oracle prefix: span digests → doc-pair edge set ``e``.
+
+    Two r11 scale rewrites, both required for the sf10 replay (the r10
+    sweep's only red rows — VERDICT r10 item 1):
+
+    * Every CTE is ``AS MATERIALIZED``. DuckDB inlines plain CTEs, so a
+      chain of k CTEs each referencing the previous one twice (the
+      unrolled closure below, d15's rank rounds) re-evaluates the whole
+      edge-build subtree O(2^k) times — the sk06 captured-subtree bug
+      class, this time in the ORACLE. With materialization the sf10
+      replay runs in ~31 s; without it, sf0.01 never finished.
+    * Pair expansion goes through DISTINCT doc-SETS, not the raw chunk
+      self-join: replica clusters give many digests the identical doc
+      list, so ``SELECT DISTINCT list_sort(list(doc_id))`` collapses the
+      fan-out ~|cluster|× before any pair is emitted. The raw self-join
+      expanded |bucket|² rows PRE-distinct per digest occurrence and
+      spilled >70 GB at sf10 (d15's r10 failure). The resulting pair set
+      is identical: union over digests of per-bucket pairs == union over
+      distinct bucket doc-sets of per-set pairs (verified equal to the
+      old oracle at sf0.01/sf1/sf3).
+    """
     k = D13_SPAN_WORDS
     return f"""
-WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-c AS (
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+c AS MATERIALIZED (
   SELECT DISTINCT doc_id, md5(array_to_string(words[i*{k}+1 : i*{k}+{k}], ' ')) AS digest
   FROM w, unnest(range(0, len(words)//{k})) AS u(i)
 ),
-keep AS (
-  SELECT digest FROM c GROUP BY digest
+kept AS MATERIALIZED (
+  SELECT list_sort(list(doc_id)) AS ds FROM c GROUP BY digest
   HAVING count(*) BETWEEN 2 AND {D13_MAX_SPAN_DOCS}
 ),
-e AS (
-  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM c a JOIN c b ON a.digest = b.digest AND a.doc_id < b.doc_id
-  WHERE a.digest IN (SELECT digest FROM keep)
+dsets AS MATERIALIZED (SELECT DISTINCT ds FROM kept),
+e AS MATERIALIZED (
+  SELECT DISTINCT ds[i+1] AS a, ds[j+1] AS b
+  FROM dsets, unnest(range(len(ds))) ta(i), unnest(range(len(ds))) tb(j)
+  WHERE i < j
 )"""
+
+
+def _cc_unrolled_sql(rounds: int = D13_CC_ROUNDS) -> str:
+    """Connected components as unrolled log-round pointer jumping — the
+    engine's OWN algorithm (label_propagate) replayed as chained
+    MATERIALIZED CTEs, replacing the transitive-closure recursive CTE
+    that expanded |cluster|² (v, lbl) rows pre-min and killed DuckDB at
+    sf10. Each round: min-label relax across edges (m{{k}}), then one
+    pointer jump lbl ← lbl(lbl) (l{{k+1}}); per-round cost is |V|+|E|
+    rows, never quadratic. Emits CTEs e2, l0..l{{rounds}}; the converged
+    labels are ``l{{rounds}}(v, lbl)``. The jump join always finds
+    b.lbl because min-label keeps lbl(v) ≤ v and every vertex appears
+    in m{{k}}."""
+    parts = [
+        "e2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM e"
+        " UNION ALL SELECT b, a FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM e2)",
+    ]
+    for kk in range(rounds):
+        parts.append(f"""
+m{kk} AS MATERIALIZED (
+  SELECT v, min(lbl) AS lbl FROM (
+    SELECT v, lbl FROM l{kk}
+    UNION ALL
+    SELECT e2.dst AS v, l{kk}.lbl FROM e2 JOIN l{kk} ON e2.src = l{kk}.v
+  ) GROUP BY v
+),
+l{kk + 1} AS MATERIALIZED (
+  SELECT a.v, b.lbl FROM m{kk} a JOIN m{kk} b ON a.lbl = b.v
+)""")
+    return ",\n".join(parts)
 
 
 @register(
     "d13_dup_graph_components",
     oracle=_d13_chunks_sql()
-    + """,
-e2 AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-r(v, lbl) AS (
-    SELECT DISTINCT src, src FROM e2
-    UNION
-    SELECT e2.src, r.lbl FROM e2 JOIN r ON e2.dst = r.v
-)
-SELECT v AS doc_id, min(lbl) AS comp_id FROM r GROUP BY v
+    + f""",
+{_cc_unrolled_sql()}
+SELECT v AS doc_id, lbl AS comp_id FROM l{D13_CC_ROUNDS}
 """,
     tags=("dedup", "graph", "connected-components"),
-    scale_guard_sf=10.0,  # same transitive-closure oracle as d16 —
-    # |cluster|² (v, lbl) rows; the sf10 fixture's 100-replica span
-    # clusters spill DuckDB temp to disk death (measured on d16's
-    # superset oracle, first sf10 sweep). Guard the replay, not the op.
+    # sf10 guard REMOVED in r11: the oracle now replays the engine's own
+    # log-round pointer jumping (unrolled materialized CTEs) instead of
+    # a transitive closure — 31 s / 414,079 rows at sf10.
 )
 def d13_dup_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup graph clustering: docs sharing a D13_SPAN_WORDS-word
@@ -2184,8 +2243,11 @@ D15_DAMPING = 0.85
 
 
 def _d15_iter_sql(k: int) -> str:
+    # MATERIALIZED: DuckDB inlines plain CTEs, so each rank round would
+    # re-evaluate the whole edge-build subtree (see _d13_chunks_sql) —
+    # the actual spiller behind d15's r10 sf10 failure
     return f"""
-r{k + 1} AS (
+r{k + 1} AS MATERIALIZED (
   SELECT e2.dst AS v,
          {1.0 - D15_DAMPING} / (SELECT n_v FROM n)
            + {D15_DAMPING} * sum(r{k}.r / d.deg) AS r
@@ -2198,10 +2260,10 @@ r{k + 1} AS (
     "d15_dup_graph_pagerank",
     oracle=_d13_chunks_sql()
     + f""",
-e2 AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-deg AS (SELECT src AS v, count(*) AS deg FROM e2 GROUP BY src),
-n AS (SELECT count(*) AS n_v FROM deg),
-r0 AS (SELECT v, 1.0 / (SELECT n_v FROM n) AS r FROM deg),
+e2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM e2 GROUP BY src),
+n AS MATERIALIZED (SELECT count(*) AS n_v FROM deg),
+r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n_v FROM n) AS r FROM deg),
 {",".join(_d15_iter_sql(k) for k in range(D15_ITERS))}
 SELECT r{D15_ITERS}.v AS doc_id,
        CAST(d.deg AS BIGINT) AS degree,
@@ -2209,12 +2271,9 @@ SELECT r{D15_ITERS}.v AS doc_id,
 FROM r{D15_ITERS} JOIN deg d ON r{D15_ITERS}.v = d.v
 """,
     tags=("dedup", "graph", "pagerank", "iterative"),
-    scale_guard_sf=10.0,  # the shared _d13_chunks_sql oracle prefix is
-    # the spiller, not the closure: DuckDB's chunk self-join expands
-    # |cluster|² pair rows PRE-distinct, and the sf10 fixture's
-    # 100-replica clusters spilled temp to disk death here too (429 s,
-    # measured in the r10 sf10 sweep after d16's identical failure).
-    # The engine's checkpointed driver-loop iteration is unaffected.
+    # sf10 guard REMOVED in r11: the doc-set-collapsed edge build +
+    # materialized rank rounds replace the pre-distinct |bucket|² chunk
+    # self-join that spilled >70 GB at sf10 (see _d13_chunks_sql).
 )
 def d15_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D15_ITERS-round damped PageRank (d=0.85) over the same
@@ -2283,22 +2342,17 @@ def pagerank(edges: DataFrame, iters: int = D15_ITERS, damping: float = D15_DAMP
     "d16_canonical_selection",
     oracle=_d13_chunks_sql()
     + f""",
-e2 AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-r(v, lbl) AS (
-    SELECT DISTINCT src, src FROM e2
-    UNION
-    SELECT e2.src, r.lbl FROM e2 JOIN r ON e2.dst = r.v
-),
-comp AS (SELECT v AS doc_id, min(lbl) AS comp_id FROM r GROUP BY v),
-deg AS (SELECT src AS v, count(*) AS deg FROM e2 GROUP BY src),
-n AS (SELECT count(*) AS n_v FROM deg),
-r0 AS (SELECT v, 1.0 / (SELECT n_v FROM n) AS r FROM deg),
+{_cc_unrolled_sql()},
+comp AS MATERIALIZED (SELECT v AS doc_id, lbl AS comp_id FROM l{D13_CC_ROUNDS}),
+deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM e2 GROUP BY src),
+n AS MATERIALIZED (SELECT count(*) AS n_v FROM deg),
+r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n_v FROM n) AS r FROM deg),
 {",".join(_d15_iter_sql(k) for k in range(D15_ITERS))},
-scored AS (
+scored AS MATERIALIZED (
     SELECT comp.comp_id, comp.doc_id, round(r{D15_ITERS}.r, 6) AS pr
     FROM comp JOIN r{D15_ITERS} ON comp.doc_id = r{D15_ITERS}.v
 ),
-ranked AS (
+ranked AS MATERIALIZED (
     SELECT comp_id, doc_id, pr,
            row_number() OVER (PARTITION BY comp_id
                               ORDER BY pr DESC, doc_id) AS rn
@@ -2313,12 +2367,10 @@ FROM ranked
 GROUP BY comp_id
 """,
     tags=("dedup", "graph", "canonical", "pagerank"),
-    scale_guard_sf=10.0,  # engine is checkpointed log-round pointer
-    # jumping; the ORACLE's recursive component CTE is a TRANSITIVE
-    # CLOSURE — |cluster|² (v, lbl) rows before the min — and the sf10
-    # fixture's 100-replica span clusters made DuckDB spill >70 GB of
-    # temp and die on disk (first sf10 sweep, 637 s). Guard the
-    # cross-engine replay, not the op.
+    # sf10 guard REMOVED in r11: recursive transitive closure replaced
+    # by the unrolled pointer-jumping CTEs (the engine's own algorithm)
+    # and the edge build by the doc-set-collapsed expansion — see
+    # _d13_chunks_sql / _cc_unrolled_sql.
 )
 def d16_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep/drop manifest per duplicate cluster: join d13's connected

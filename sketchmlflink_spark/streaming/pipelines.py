@@ -663,11 +663,16 @@ def run_to_batch(
     return spark.table(name)
 
 
+# η₀ for the st06/st06a incremental trainer — shared with st06a's SQL
+# oracle, which replays the single registry micro-batch's epoch closed-form
+INCREMENTAL_SGD_STEP = 0.5
+
+
 def incremental_sgd_driver(
     stream: DataFrame,
     training_df_for_batch,
     dim: int,
-    step_size: float = 0.5,
+    step_size: float = INCREMENTAL_SGD_STEP,
     timeout_s: int = 300,
 ) -> dict:
     """The st06 incremental-training loop: each micro-batch warm-starts

@@ -324,15 +324,11 @@ def st23_epoch_census_quarantine_join(spark: SparkSession, sf_dir: str) -> DataF
     oracle=None,  # iterative training is not ANSI-SQL-expressible; rows-only
     tags=("streaming", "ml", "foreachBatch"),
 )
-def st06_stream_incremental_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental model training: stream the embeddings-derived
-    training frame; each micro-batch warm-starts from the previous
-    model and runs one epoch (ml/sgd.train with init weights). Emits
-    one metrics row (final loss + weight norm) — convergence asserted
-    in tests/test_streaming.py."""
+def _incremental_sgd_state(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared st06/st06a trainer run: stream the embeddings file and
+    train incrementally (one epoch per micro-batch, warm-started).
+    Returns the driver-held final state dict."""
     import os
-
-    import numpy as np
 
     from sketchmlflink_spark.ml_queries import EMBED_DIM, _training_df
     from sketchmlflink_spark.session import ensure_workers_can_import, tune_for_session
@@ -346,9 +342,21 @@ def st06_stream_incremental_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .load(P.stream_dir_for(os.path.join(sf_dir, "embeddings.parquet")))
     )
-    state = P.incremental_sgd_driver(
+    return P.incremental_sgd_driver(
         stream, lambda bdf: _training_df(spark, sf_dir, emb=bdf), EMBED_DIM
     )
+
+
+def st06_stream_incremental_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental model training: stream the embeddings-derived
+    training frame; each micro-batch warm-starts from the previous
+    model and runs one epoch (ml/sgd.train with init weights). Emits
+    one metrics row (final loss + weight norm) — convergence asserted
+    in tests/test_streaming.py; the MODEL itself is hash-oracled by the
+    st06a twin below."""
+    import numpy as np
+
+    state = _incremental_sgd_state(spark, sf_dir)
     return spark.createDataFrame(
         [
             {
@@ -361,6 +369,71 @@ def st06_stream_incremental_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="batches long, rows_seen long, final_loss double, weight_norm double, intercept double",
     )
+
+
+# --------------------------------------------------------------------------
+# st06a — the incremental trainer's MODEL, hash-oracled (VERDICT r10
+# item 5: st06's metrics row stays rows-only, but the final weights are
+# deterministic and deserve a cross-engine proof). The registry stream
+# is one symlinked file → exactly one micro-batch → one warm-started
+# full-batch epoch from zeros with η = step/√1, whose closed form is
+# ANSI-SQL: w_j = η·Σ(y_i·x_ij)/n and b = η·ȳ (residual at w=0 is −y;
+# dim 64 < auto_fallback_nnz so the codec ships exact floats — no
+# quantization between the engine's epoch and the algebra). Weights are
+# emitted on the 1e-6 grid (s05/d11's int-grid discipline). Multi-batch
+# warm-start semantics stay pinned by tests/test_streaming.py, which
+# splits the file and asserts batch-arm parity on the raw model.
+# --------------------------------------------------------------------------
+def _st06a_oracle() -> str:
+    from sketchmlflink_spark.ml_queries import (
+        EMBED_DIM,
+        FIXED_INTERCEPT,
+        FIXED_WEIGHTS,
+    )
+
+    eta = P.INCREMENTAL_SGD_STEP  # schedule η₀/√t at t=1
+    return f"""
+WITH tr AS MATERIALIZED (
+  SELECT CAST(embedding AS DOUBLE[]) AS x,
+         list_dot_product(CAST(embedding AS DOUBLE[]), {FIXED_WEIGHTS}::DOUBLE[])
+           + {FIXED_INTERCEPT}
+           + ((vec_id * 2654435761) % 1000 - 500) / 50000.0 AS y
+  FROM embeddings
+),
+g AS MATERIALIZED (
+  SELECT i AS dim_idx, sum(y * x[i + 1]) AS s, count(*) AS n
+  FROM tr, unnest(range({EMBED_DIM})) u(i)
+  GROUP BY i
+)
+SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
+       CAST(floor({eta} * s / n * 1000000 + 0.5) AS BIGINT) AS weight_q
+FROM g
+UNION ALL
+SELECT CAST(-1 AS BIGINT),
+       CAST(floor({eta} * (SELECT avg(y) FROM tr) * 1000000 + 0.5) AS BIGINT)
+"""
+
+
+@register(
+    "st06a_stream_sgd_weights",
+    oracle=_st06a_oracle(),
+    tags=("streaming", "ml", "foreachBatch", "model-audit"),
+)
+def st06a_stream_sgd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The st06 incremental trainer's final model as (dim_idx, weight_q)
+    rows on the s05/d11 int grid — floor(w·1e6 + 0.5), deterministic
+    IEEE on both engines, no round()-semantics seam — intercept at
+    dim_idx = −1. Runs the identical streaming foreachBatch path as
+    st06; the hash check proves the actual trained weights, not a
+    norm."""
+    import math
+
+    state = _incremental_sgd_state(spark, sf_dir)
+    rows = [
+        {"dim_idx": j, "weight_q": int(math.floor(float(wj) * 1e6 + 0.5))}
+        for j, wj in enumerate(state["w"])
+    ] + [{"dim_idx": -1, "weight_q": int(math.floor(state["b"] * 1e6 + 0.5))}]
+    return spark.createDataFrame(rows, schema="dim_idx long, weight_q long")
 
 
 # --------------------------------------------------------------------------
