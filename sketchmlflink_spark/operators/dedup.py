@@ -240,6 +240,74 @@ def lsh_candidate_pairs(
 # (band, band_hash) bucket is. Tests shrink this to force multi-tile
 # buckets on small fixtures.
 D21_TILE = 2048
+# Adaptive per-bucket geometry (VERDICT r10 item 6): a clump SMALLER
+# than the output-cap tile used to land in ONE tile — the d04
+# single-task shape the tiling exists to remove (PROBE_r10_d04_clump:
+# tile=2048 read the same 25.3% one-task share as the plain join on a
+# ~1500-doc clump). The per-bucket size census is already computed (the
+# window count / sizes join), so derive each bucket's tile size from
+# its own size instead of a constant: hot buckets split into at least
+# D21_TILE_SPLIT tiles (≥ split·(split+1)/2 tile-pair tasks), while the
+# D21_TILE ceiling keeps the per-task output cap and D21_TILE_MIN stops
+# sub-65k-pair tasks whose scheduling costs more than their work.
+D21_TILE_SPLIT = 8
+D21_TILE_MIN = 256
+
+
+def _adaptive_tile(size_col, tile: int):
+    """Per-bucket tile size clamp(ceil(size/D21_TILE_SPLIT), min_tile,
+    tile) with min_tile = min(tile, D21_TILE_MIN) — so tests that shrink
+    ``tile`` below the floor keep their exact fixed geometry, and the
+    pair SET is invariant under any geometry (each bucket pair is
+    emitted exactly once per bucket key regardless of tiling)."""
+    min_tile = min(tile, D21_TILE_MIN)
+    return F.greatest(
+        F.lit(min_tile),
+        F.least(F.lit(tile), F.ceil(size_col / F.lit(D21_TILE_SPLIT))),
+    )
+
+
+def _minhash_tile_pairs(
+    exploded: DataFrame, id_col: str, tile: int
+) -> DataFrame:
+    """The tile-pair frame of lsh_candidate_pairs_tiled, pre-expansion:
+    one row per (band, band_hash, ta, tb) with the packed sorted id
+    lists of both tiles, repartitioned on the full tile-pair key.
+    Extracted so bin/d21_adaptive_probe.py can measure the per-task
+    emission geometry (|ia|·|ib| / triangular) without materializing
+    the quadratic expansion at probe scales."""
+    w_all = Window.partitionBy("band", "band_hash")
+    size = F.count(F.lit(1)).over(w_all)
+    tiled = exploded.withColumn(
+        "m", F.ceil(size / _adaptive_tile(size, tile)).cast("bigint")
+    ).withColumn("t", F.pmod(F.xxhash64(F.col(id_col)), F.col("m")).cast("int"))
+    # localCheckpoint: the packed groups feed BOTH sides of the tile-pair
+    # self-join (the d18 discipline — otherwise the signature banding +
+    # window run twice)
+    groups = (
+        tiled.groupBy("band", "band_hash", "t")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .localCheckpoint()
+    )
+    a, b = groups.alias("a"), groups.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.t") <= F.col("b.t")),
+        )
+        .select(
+            F.col("a.band").alias("band"),
+            F.col("a.band_hash").alias("band_hash"),
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+            (F.col("a.t") == F.col("b.t")).alias("same_tile"),
+            F.col("a.ids").alias("ia"),
+            F.col("b.ids").alias("ib"),
+        )
+        .repartition("band", "band_hash", "ta", "tb")
+    )
 
 
 def lsh_candidate_pairs_tiled(
@@ -286,37 +354,7 @@ def lsh_candidate_pairs_tiled(
     exploded = sig_df.select(id_col, F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
     )
-    w_all = Window.partitionBy("band", "band_hash")
-    tiled = exploded.withColumn(
-        "m", F.ceil(F.count(F.lit(1)).over(w_all) / F.lit(tile)).cast("bigint")
-    ).withColumn("t", F.pmod(F.xxhash64(F.col(id_col)), F.col("m")).cast("int"))
-    # localCheckpoint: the packed groups feed BOTH sides of the tile-pair
-    # self-join (the d18 discipline — otherwise the signature banding +
-    # window run twice)
-    groups = (
-        tiled.groupBy("band", "band_hash", "t")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .localCheckpoint()
-    )
-    a, b = groups.alias("a"), groups.alias("b")
-    tp = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.t") <= F.col("b.t")),
-        )
-        .select(
-            F.col("a.band").alias("band"),
-            F.col("a.band_hash").alias("band_hash"),
-            F.col("a.t").alias("ta"),
-            F.col("b.t").alias("tb"),
-            (F.col("a.t") == F.col("b.t")).alias("same_tile"),
-            F.col("a.ids").alias("ia"),
-            F.col("b.ids").alias("ib"),
-        )
-        .repartition("band", "band_hash", "ta", "tb")
-    )
+    tp = _minhash_tile_pairs(exploded, id_col, tile)
 
     def expand(batches):
         for pdf in batches:
@@ -1025,7 +1063,12 @@ def d18_embed_lsh_tiled_pairs(
     mask = (1 << D07_BITS) - 1
 
     sizes = exploded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_b"))
-    m = F.greatest(F.lit(1), F.ceil(F.col("n_b") / F.lit(tile))).cast("int")
+    # adaptive per-bucket tile (VERDICT r10 item 6 — see _adaptive_tile):
+    # a clump smaller than the fixed tile no longer degenerates to one
+    # tile-pair task; the census join below already carries n_b
+    m = F.greatest(
+        F.lit(1), F.ceil(F.col("n_b") / _adaptive_tile(F.col("n_b"), tile))
+    ).cast("int")
     # hash before bucketing (ADVICE r8): raw vec_id mod m collapses
     # strided/clustered id ranges into few tiles, recreating the hot-task
     # imbalance this operator removes; xxhash64 is deterministic so the
