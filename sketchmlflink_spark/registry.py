@@ -158,49 +158,48 @@ def infer_sf(sf_dir: str) -> Optional[float]:
 #   2. entries with NO driver row yet (new this round),
 #   3. entries whose CODE changed this round (fresh row where changed),
 #   4. everything else oldest-evidence-first (ties alphabetical).
-# Round-10 ledger (from CORRECTNESS_r01..r09): r4={s12 st07 st17
-# st18 st19 t02}; r5=32 entries; r6={d15 mm03}; r7=22; r8=40; r9=50.
-# The r10 window = m-core(8) + new{d21}(1) + r10-changed{d11 (oracle
-# converted off the rows-only floor), d04 (candidate join refactor
-# under the tiling work)}(2) + the whole r4 queue(6) + the whole r5
-# cohort(32) + the older r6 entry (d15)(1).
+# Round-11 ledger (from CORRECTNESS_r01..r10): r6={mm03}; r7=22
+# entries; r8=39; r9=41; r10=50; st06a is new (no row).
+# The r11 window = m-core(8) + new{st06a}(1) + r11-changed{the graph-
+# oracle rewrite d13/d15/d16, the d06 anchor pin, the adaptive-tile
+# d04/d21/d18, the st06 refactor}(8) + the r6 straggler mm03(1) + the
+# whole r7 cohort minus the two already seated (d06, d13)(20) + the
+# r8 queue oldest-first alphabetical to fill(12).
 _PRIORITY = (
     # 1. §2-core ML (pinned)
     "m01_linear_predict", "m02_dimension_inference", "m03_sgd_exact_metrics",
     "m04_sgd_sketch_metrics", "m05_sgd_sparse_metrics", "m06_libsvm_cli_e2e",
     "m07_lr_schedule_sweep", "m08_csvline_report",
-    # 2. NEW this round -- first driver row: the tiled minhash
-    # candidate generation (d18's recipe applied to d04's family)
-    "d21_minhash_tiled_neardup",
-    # 3. code changed this round: d11's greedy keep-first pass gains a
-    # depth-capped recursive-CTE DuckDB oracle (VERDICT r9 item 4);
-    # d04's candidate join gained the distinct/raw split the clump
-    # probe measures
-    "d11_semantic_cluster_dedup", "d04_minhash_lsh_neardup",
-    # 4. oldest evidence first -- last driver row r4 (the queue
-    # registry.py named for r10 last round):
-    "s12_hybrid_rrf_retrieval", "st07_stream_sketch_profile",
-    "st17_stream_cdc_upsert", "st18_stream_funnel",
-    "st19_stream_bottomk_sample", "t02_quality_scores",
-    # last driver row r5 (all 32, alphabetical):
-    "d14_minhash_estimate_accuracy", "d16_canonical_selection",
-    "m10_logistic_sgd_metrics", "mm05_frame_perceptual_dedup",
-    "p04_curated_sink_roundtrip", "p05_stratified_exact_k",
-    "p06_mixture_manifest", "p07_sequence_packing",
-    "p09_csv_intake_quarantine", "p10_compact_small_files",
-    "p11_dataset_card", "p12_curriculum_manifest",
-    "q32_asof_event_order", "q38_churned_purchasers",
-    "s08_range_search_cosine", "s10_retrieval_topk_docs",
-    "sk05_heavy_hitters", "sk06_kmv_distinct_setops",
-    "st08_stream_interval_join", "st09_stream_jsonl_ingest",
-    "st10_stream_static_join", "st11_stream_quality_gate",
-    "st12_stream_span_dedup", "st13_stream_decontaminate",
-    "st14_stream_trending_topk", "st16_stream_heavy_hitters",
-    "t05_bpe_token_counts", "t06_quality_filter",
-    "t08_repetition_stats", "t09_pii_scrub_audit",
-    "t11_tfidf_top_terms", "t13_bpe_merge_learn",
-    # last driver row r6 (mm03 + the whole r7 cohort lead r11):
-    "d15_dup_graph_pagerank",
+    # 2. NEW this round -- first driver row: the incremental trainer's
+    # hash-oracled model projection
+    "st06a_stream_sgd_weights",
+    # 3. code changed this round: the sf10 graph-oracle rewrite
+    # (doc-set-collapsed edges + unrolled pointer jumping), the d06
+    # in-registry anchor pin, the adaptive per-bucket tile geometry
+    # (d04/d21/d18), and the st06 shared-state refactor under st06a
+    "d13_dup_graph_components", "d15_dup_graph_pagerank",
+    "d16_canonical_selection", "d06_embed_cosine_neardup",
+    "d04_minhash_lsh_neardup", "d21_minhash_tiled_neardup",
+    "d18_embed_lsh_tiled_pairs", "st06_stream_incremental_sgd",
+    # 4. oldest evidence first -- last driver row r6:
+    "mm03_frame_sample",
+    # last driver row r7 (the cohort the r10 ledger named as r11
+    # leads; d06/d13 already seated above):
+    "m09_sgd_million_dim", "mm01_media_metadata", "mm02_media_features",
+    "p02_embedding_pipeline", "p13_hash_shard_manifest",
+    "p15_dsir_resample", "q01_pricing_summary", "q33_ohlc_bars",
+    "q34_funnel_conversion", "q36_cohort_retention",
+    "q39_price_band_join", "s01_knn_cosine_brute",
+    "s11_sq8_ann_cosine", "s13_mmr_diversified_topk",
+    "sk03_approx_percentiles", "sk04_histogram_percentile_rollup",
+    "st01_stream_hourly_counts", "t03_lang_id",
+    "t12_dsir_importance", "t14_zipf_rank_freq",
+    # last driver row r8, oldest-first alphabetical, to fill 50:
+    "d01_dedup_exact", "d17_prefix_containment", "mm06_pair_curation",
+    "p08_incremental_rollup", "p14_bottomk_sample",
+    "p16_overlap_chunking", "p17_orc_interchange_roundtrip",
+    "q02_revenue_forecast", "q03_shipping_priority",
+    "q05_revenue_by_nation", "q08_rollup_sales", "q13_events_json_bucket",
 )
 
 

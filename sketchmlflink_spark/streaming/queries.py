@@ -319,11 +319,6 @@ def st23_epoch_census_quarantine_join(spark: SparkSession, sf_dir: str) -> DataF
 # --------------------------------------------------------------------------
 # st06 — foreachBatch incremental SGD (M5 training glue)
 # --------------------------------------------------------------------------
-@register(
-    "st06_stream_incremental_sgd",
-    oracle=None,  # iterative training is not ANSI-SQL-expressible; rows-only
-    tags=("streaming", "ml", "foreachBatch"),
-)
 def _incremental_sgd_state(spark: SparkSession, sf_dir: str) -> dict:
     """Shared st06/st06a trainer run: stream the embeddings file and
     train incrementally (one epoch per micro-batch, warm-started).
@@ -347,6 +342,11 @@ def _incremental_sgd_state(spark: SparkSession, sf_dir: str) -> dict:
     )
 
 
+@register(
+    "st06_stream_incremental_sgd",
+    oracle=None,  # iterative training is not ANSI-SQL-expressible; rows-only
+    tags=("streaming", "ml", "foreachBatch"),
+)
 def st06_stream_incremental_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental model training: stream the embeddings-derived
     training frame; each micro-batch warm-starts from the previous
