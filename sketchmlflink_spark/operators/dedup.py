@@ -322,7 +322,8 @@ def lsh_candidate_pairs_tiled(
     growing quadratically with clump size).
 
     Shape: members of each (band, band_hash) bucket get deterministic
-    tile ids (pmod(xxhash64(id), ceil(m/tile)) — hash, not row order, so
+    tile ids (pmod(xxhash64(id), m) with m from the adaptive per-bucket
+    geometry, see _adaptive_tile — hash, not row order, so
     sequential-id clumps spread; the d18/ADVICE-r8 lesson); tiles pack
     into single rows (ids only, ≤ tile×8 B); the tile-pair self-join
     (ta ≤ tb) produces FEW, CHEAP rows per bucket key — the quadratic
