@@ -105,6 +105,15 @@ QUADRATIC_ANCHORS = {
     "s15_mips_topk",
 }
 
+# The d19 audit twin re-verifies every candidate pair with exact-rational
+# arithmetic so its whole pipeline hash-checks — Σ bucket² work by design,
+# sweep-guarded at sf3 for the same reason (dedup.py:1257). The first sf3
+# bench (BENCH_r11_sf3_builder.json) read it at 148.8 s = 18% of the whole
+# suite while saying nothing new about the production path (d18, the scale
+# shape, reads 25.6 s there); from r12 on the sf≥3 regression signal
+# excludes it, same policy as QUADRATIC_ANCHORS at sf≥1.
+AUDIT_ANCHORS_SF3 = {"d19_embed_lsh_tiled_audit"}
+
 
 def bench_names(queries: dict) -> list[str]:
     """The stable anchor list (order preserved — per-query times are
@@ -114,6 +123,8 @@ def bench_names(queries: dict) -> list[str]:
     names = BENCH_QUERIES + [n for n in queries if n not in BENCH_QUERIES]
     if _sf_of(SF_DIR) >= 1.0:
         names = [n for n in names if n not in QUADRATIC_ANCHORS]
+    if _sf_of(SF_DIR) >= 3.0:
+        names = [n for n in names if n not in AUDIT_ANCHORS_SF3]
     return names
 
 
