@@ -120,6 +120,38 @@ def test_d21_raw_emission_matches_d04_multiset(spark, docs_with_dups):
     sh.unpersist()
 
 
+def test_adaptive_tile_geometry(spark):
+    """The adaptive per-bucket tile rule (VERDICT r10 item 6) pinned on
+    exact values: a bucket smaller than 8×min splits to one tile, a
+    bucket equal to the production tile splits into D21_TILE_SPLIT
+    tiles (the fix — it used to be ONE), a huge bucket keeps the
+    output-cap ceiling, and a test-shrunk tile below the floor keeps
+    its exact fixed geometry."""
+    from sketchmlflink_spark.operators.dedup import (
+        D21_TILE,
+        D21_TILE_MIN,
+        D21_TILE_SPLIT,
+        _adaptive_tile,
+    )
+
+    def m_for(size, tile):
+        df = spark.range(1).select(
+            F.ceil(F.lit(size) / _adaptive_tile(F.lit(size), tile)).alias("m")
+        )
+        return df.first()["m"]
+
+    assert D21_TILE_SPLIT == 8 and D21_TILE_MIN == 256  # doc constants
+    # production tile
+    assert m_for(10, D21_TILE) == 1          # tiny bucket: one tile
+    assert m_for(D21_TILE_MIN, D21_TILE) == 1
+    assert m_for(2048, D21_TILE) == 8        # == tile: split (was 1)
+    assert m_for(1434, D21_TILE) == 6        # the r10 clump fixture size
+    assert m_for(20000, D21_TILE) == 10      # ceiling: ceil(20000/2048)
+    # shrunk test tile keeps the old fixed geometry exactly
+    assert m_for(10, 4) == 3                 # ceil(10/4)
+    assert m_for(2048, 4) == 512             # ceil(2048/4)
+
+
 def test_simhash_finds_planted_neardups(docs_with_dups):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_duplicates(docs_with_dups, max_hamming=6).collect()}
     assert (1, 101) in pairs and pairs[(1, 101)] == 0  # identical → hamming 0
