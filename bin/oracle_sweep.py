@@ -44,6 +44,12 @@ for _a in sys.argv[1:]:
         )
 SKEW_SKIP: set[str] = set()  # skew-guarded names, tracked apart from SKIP
 # so the per-line and tally labels attribute each skip to its true guard
+ONLY: set[str] = set()  # --only name1,name2 → sweep just these entries
+for _a in sys.argv[1:]:
+    if _a.startswith("--only"):
+        ONLY = set(_a.split("=", 1)[1].split(",")) if "=" in _a else set(
+            sys.argv[sys.argv.index(_a) + 1].split(",")
+        )
 
 
 def main() -> None:
@@ -64,6 +70,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(SF_DIR)
     queries = all_queries()
+    if ONLY:
+        unknown = ONLY - set(queries)
+        if unknown:
+            print(f"--only names not in registry: {sorted(unknown)}", flush=True)
+            sys.exit(2)
+        queries = {n: q for n, q in queries.items() if n in ONLY}
 
     # always defined — --no-default-guard must not NameError the skip
     # check below (ADVICE r10 item 1); it just leaves the set empty

@@ -68,7 +68,11 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
     from sketchmlflink_spark.sources.libsvm import read_libsvm, to_dense_features
 
     max_dim = args.maxDim if args.maxDim and args.maxDim > 0 else None
-    data = read_libsvm(spark, args.inputTrain, max_dim=max_dim)
+    # cache=True: the parsed COO frame is materialized during the dim
+    # agg and reused by the blockify + eval scans — one text parse for
+    # the whole experiment instead of three (guide §1.2); unpersisted
+    # before returning
+    data = read_libsvm(spark, args.inputTrain, max_dim=max_dim, cache=True)
     features = to_dense_features(data)
 
     # --parallelism governs actual training parallelism, like the
@@ -98,6 +102,7 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
         max_dim=args.maxDim,
     )
     row = report.first().asDict()
+    data.df.unpersist()
     row["sketch_or_flink"] = args.sketchOrFlink
     if args.parallelism and args.parallelism > 0:
         # report the requested parallelism like Test.scala's CSV does

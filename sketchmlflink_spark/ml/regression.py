@@ -63,8 +63,13 @@ class MultipleLinearRegression:
         self.result_: SGD.TrainResult | None = None
 
     # ----------------------------------------------------------------- fit
-    def fit(self, df: DataFrame, dim: int | None = None) -> "MultipleLinearRegression":
-        self.result_ = SGD.train(df, self.solver, self.sketch_cfg, dim=dim)
+    def fit(
+        self,
+        df: DataFrame,
+        dim: int | None = None,
+        prepared: "SGD.PreparedBlocks | None" = None,
+    ) -> "MultipleLinearRegression":
+        self.result_ = SGD.train(df, self.solver, self.sketch_cfg, dim=dim, prepared=prepared)
         self.weights_ = self.result_.weights
         self.intercept_ = self.result_.intercept
         return self
@@ -106,6 +111,7 @@ class MultipleLinearRegression:
         max_dim: int = -1,
         dim: int | None = None,
         split_key: str | None = None,
+        prepared_train: "SGD.PreparedBlocks | None" = None,
     ) -> DataFrame:
         """Split → fit → evaluate → one metrics row in the reference's
         CSV_Line schema (Test.scala:71-77) plus ``n_test``. ``dim`` must
@@ -131,7 +137,7 @@ class MultipleLinearRegression:
             train, test = df.randomSplit(
                 [train_fraction, 1 - train_fraction], seed=self.solver.seed
             )
-        self.fit(train, dim=dim)
+        self.fit(train, dim=dim, prepared=prepared_train)
         err = (
             self.evaluate(test)
             .agg(

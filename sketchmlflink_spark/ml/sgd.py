@@ -309,33 +309,31 @@ def infer_dim(df: DataFrame) -> int:
     return df.agg(F.max(F.size("features")).alias("d")).first()["d"]
 
 
-def train(
-    df: DataFrame,
-    solver: SolverConfig,
-    sketch_cfg: SketchConfig | None = None,
-    dim: int | None = None,
-    init_weights: np.ndarray | None = None,
-    init_intercept: float = 0.0,
-    epoch_offset: int = 0,
-) -> TrainResult:
-    """Run the SGD loop. ``df`` needs ``label double`` plus EITHER a
-    dense ``features array<double>`` column OR the sparse COO pair
-    ``indices array<int>`` + ``values array<double>`` (the LibSVM parse
-    output, FIXTURES.md §1) — the dual dense/sparse representation the
-    reference pattern-matches on (SGD:198-217). Returns
-    weights/intercept + per-epoch metrics.
-
-    ``init_weights``/``init_intercept`` warm-start the model and
-    ``epoch_offset`` shifts the eta0/sqrt(t) schedule — used by the
-    streaming foreachBatch incremental trainer, where each micro-batch
-    continues the previous batch's model.
+class PreparedBlocks:
+    """Blockified training input (one cached numpy block per partition)
+    plus the stats the epoch loop needs — factored out of ``train`` so
+    multi-arm queries (m07's five schedule arms, m08's exact-vs-sketch
+    A/B) blockify the corpus ONCE and share the cache instead of paying
+    a full scan + Arrow crossing + pickle per arm (optimization guide
+    §1.2: don't compute things twice). Content is deterministic for a
+    given input frame, so sharing is result-identical to re-preparing.
     """
-    sketch_cfg = sketch_cfg or SketchConfig()
-    spark = df.sparkSession
-    from sketchmlflink_spark.session import ensure_workers_can_import
 
-    ensure_workers_can_import(spark)
-    sc = spark.sparkContext
+    def __init__(self, blocks, n_total: int, inferred_dim: int, sparse: bool):
+        self.blocks = blocks
+        self.n_total = n_total
+        self.inferred_dim = inferred_dim
+        self.sparse = sparse
+
+    def unpersist(self) -> None:
+        self.blocks.unpersist()
+
+
+def prepare_blocks(df: DataFrame) -> PreparedBlocks:
+    """Blockify ``df`` (dense ``features`` or sparse COO schema — the
+    dual representation of SGD:198-217) into a persisted RDD of numpy
+    blocks; one job materializes the cache AND yields row count +
+    dimension (S3 dimension inference, Test.scala:157-160, fused)."""
     from pyspark import StorageLevel
 
     import pickle
@@ -360,15 +358,55 @@ def train(
             .rdd.map(lambda r: pickle.loads(r["blob"]))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # one job materializes the cache AND yields row count + dimension
-        # (S3 dimension inference, Test.scala:157-160, fused)
         stats = blocks.map(lambda blk: (len(blk[1]), blk[0].shape[1])).collect()
     n_total = sum(s[0] for s in stats)
+    inferred_dim = max(s[1] for s in stats) if stats else 0
+    return PreparedBlocks(blocks, n_total, inferred_dim, sparse)
+
+
+def train(
+    df: DataFrame,
+    solver: SolverConfig,
+    sketch_cfg: SketchConfig | None = None,
+    dim: int | None = None,
+    init_weights: np.ndarray | None = None,
+    init_intercept: float = 0.0,
+    epoch_offset: int = 0,
+    prepared: PreparedBlocks | None = None,
+) -> TrainResult:
+    """Run the SGD loop. ``df`` needs ``label double`` plus EITHER a
+    dense ``features array<double>`` column OR the sparse COO pair
+    ``indices array<int>`` + ``values array<double>`` (the LibSVM parse
+    output, FIXTURES.md §1) — the dual dense/sparse representation the
+    reference pattern-matches on (SGD:198-217). Returns
+    weights/intercept + per-epoch metrics.
+
+    ``init_weights``/``init_intercept`` warm-start the model and
+    ``epoch_offset`` shifts the eta0/sqrt(t) schedule — used by the
+    streaming foreachBatch incremental trainer, where each micro-batch
+    continues the previous batch's model.
+
+    ``prepared``: a ``prepare_blocks(df)`` result to reuse across arms
+    (the caller owns its lifetime; ``train`` only unpersists blocks it
+    prepared itself).
+    """
+    sketch_cfg = sketch_cfg or SketchConfig()
+    spark = df.sparkSession
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    sc = spark.sparkContext
+
+    owns_blocks = prepared is None
+    if prepared is None:
+        prepared = prepare_blocks(df)
+    blocks, n_total, sparse = prepared.blocks, prepared.n_total, prepared.sparse
     if n_total == 0:
-        blocks.unpersist()
+        if owns_blocks:
+            blocks.unpersist()
         raise ValueError("empty training set")
     if dim is None:
-        dim = max(s[1] for s in stats)
+        dim = prepared.inferred_dim
 
     if init_weights is not None:
         w = np.asarray(init_weights, dtype=np.float64).copy()
@@ -418,7 +456,8 @@ def train(
                 break
         prev_loss = result.losses[-1]
 
-    blocks.unpersist()
+    if owns_blocks:
+        blocks.unpersist()
     result.weights = w
     result.intercept = b
     return result

@@ -220,12 +220,21 @@ def m08_csvline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound itself is pytest-pinned against closed-form OLS."""
     from sketchmlflink_spark.ml.regression import MultipleLinearRegression
 
+    from sketchmlflink_spark.ml import sgd as SGD
+
     df = _training_df(spark, sf_dir)
     mlr = MultipleLinearRegression(iterations=5, step_size=0.5, compression="None")
-    report = mlr.fit_evaluate_report(spark, df, split_key="vec_id")
-    sk = MultipleLinearRegression(iterations=5, step_size=0.5, compression="Sketch")
+    # both arms train on the identical vec_id%4!=3 split — blockify it
+    # once and share the cache (guide §1.2); block content is
+    # deterministic, so sharing is byte-equal to two preparations
     is_test = F.pmod(F.col("vec_id"), F.lit(4)) == 3
-    sk.fit(df.filter(~is_test))
+    prepared = SGD.prepare_blocks(df.filter(~is_test))
+    report = mlr.fit_evaluate_report(
+        spark, df, split_key="vec_id", prepared_train=prepared
+    )
+    sk = MultipleLinearRegression(iterations=5, step_size=0.5, compression="Sketch")
+    sk.fit(df.filter(~is_test), prepared=prepared)
+    prepared.unpersist()
     sketch_bytes = int(sk.result_.shuffle_bytes)
     return (
         report.withColumnRenamed("shuffle_bytes", "exact_grad_bytes")
@@ -392,6 +401,10 @@ def m07_lr_schedule_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchmlflink_spark.ml import sgd as SGD
 
     df = _training_df(spark, sf_dir)
+    # blockify ONCE for the whole sweep (the docstring's promise, now
+    # actually kept): five arms used to pay five scan+Arrow+pickle
+    # passes for byte-identical block caches
+    prepared = SGD.prepare_blocks(df)
     rows = []
     for sched in LR_SCHEDULES:
         cfg = SolverConfig(
@@ -405,7 +418,7 @@ def m07_lr_schedule_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             reg_lambda=0.1 if sched in ("bottou", "xu") else 0.0,
             lr_decay=0.25 if sched == "inv_scaling" else 0.5,
         )
-        res = SGD.train(df, cfg, SketchConfig(compression_type="None"))
+        res = SGD.train(df, cfg, SketchConfig(compression_type="None"), prepared=prepared)
         rows.append(
             {
                 "lr_schedule": sched,
@@ -415,6 +428,7 @@ def m07_lr_schedule_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "final_eta": round(SGD._learning_rate(cfg, res.epochs_run), 6),
             }
         )
+    prepared.unpersist()
     return spark.createDataFrame(rows).select("lr_schedule", "epochs_run", "final_eta")
 
 

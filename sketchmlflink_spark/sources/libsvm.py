@@ -80,10 +80,23 @@ def infer_dimension(parsed: DataFrame) -> int:
 
 
 def read_libsvm(
-    spark: SparkSession, path: str, max_dim: int | None = None, strict: bool = True
+    spark: SparkSession, path: str, max_dim: int | None = None, strict: bool = True,
+    cache: bool = False,
 ) -> LibSVMData:
-    """S1→S2→S3 composed: text scan → parse → dimension inference."""
+    """S1→S2→S3 composed: text scan → parse → dimension inference.
+
+    ``cache=True`` persists the parsed COO frame before the dimension
+    agg, so the (regex-heavy) text parse runs ONCE for the whole
+    ingest→split→fit→evaluate pipeline instead of once per downstream
+    pass (the dim agg, the blockify scan, and the eval scan each
+    re-executed the full parse — guide §1.2). Caller owns the lifetime
+    via ``LibSVMData.df.unpersist()``; results are identical either way
+    (the parse is deterministic)."""
     parsed = parse_libsvm_lines(spark.read.text(path), max_dim=max_dim, strict=strict)
+    if cache:
+        from pyspark import StorageLevel
+
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     dim = infer_dimension(parsed)
     if max_dim is not None:
         dim = min(dim, max_dim)

@@ -28,6 +28,69 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 WATERMARK = "1 hour"
 
+# ---------------------------------------------------------------------------
+# scale-adaptive stateful-op partitioning (optimization guide §2.2/§2.5)
+# ---------------------------------------------------------------------------
+# A streaming query's shuffle-partition count IS its state-store instance
+# count, pinned in the checkpoint at query start — AQE cannot coalesce it
+# afterward, so the legacy "one constant for every scale" sizing is wrong
+# in both directions. Measured on this repo's replays (r11): with the
+# constant at 32, each micro-batch pays 32 provider loads + 32 commits
+# per stateful op, and the provider-load path is a global lock convoy
+# (24/32 executor threads BLOCKED in StateStore.getStateStoreProvider in
+# the commit-phase thread dump) — per-commit cost grows ~10x from 4 to
+# 32 concurrent committers (75 ms → 650 ms) while the replay data per
+# store shrinks to nothing. Deriving the count from source bytes gives
+# tiny replays a handful of stores and lets the count grow with the data
+# until the session cap (cpus) governs — the same sizing rule a 100-TB
+# deployment applies when it picks shuffle partitions for state size.
+#
+# Handoff: source builders call _hint_stream_partitions with their input
+# paths; run_to_batch / run_foreach_batch apply the hint around query
+# start and restore the session value after (batch queries keep the
+# session default). SPARK_GRAFT_STREAM_STATE_MB overrides the per-
+# partition byte target (default 4 MB of source parquet ≈ 16-32 MB of
+# decoded rows/state per store).
+_STREAM_PARTS_HINT: list[int] = []
+
+
+def _hint_stream_partitions(spark: SparkSession, *paths: str) -> None:
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(p)
+                for f in fs
+            )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    target_b = float(os.environ.get("SPARK_GRAFT_STREAM_STATE_MB", "4")) * 1024 * 1024
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001
+        cap = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = max(1, min(cap, -(-total // int(target_b))))
+    _STREAM_PARTS_HINT.clear()
+    _STREAM_PARTS_HINT.append(int(n))
+
+
+@contextmanager
+def _apply_stream_partitions(spark: SparkSession):
+    """Consume the pending partition hint for the duration of one
+    streaming query; restore the session value afterward."""
+    hint = _STREAM_PARTS_HINT[0] if _STREAM_PARTS_HINT else None
+    _STREAM_PARTS_HINT.clear()
+    if hint is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(hint))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 def _source_fingerprint(sf_dir: str, table: str) -> str:
     """Short digest of a source table's on-disk identity (paths +
@@ -104,6 +167,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
+    _hint_stream_partitions(spark, path)
     footer_schema = spark.read.parquet(path).schema  # footer-only read
     raw = (
         spark.readStream.schema(footer_schema)
@@ -637,30 +701,56 @@ def run_to_batch(
     spark = result.sparkSession
     name = f"st_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(timeout_s)
-        # A timed-out replay MUST raise, never return the partial memory
-        # table: the first full-catalog strict sweep on the SKEWED
-        # fixture (round 8) caught st08 returning an empty frame after
-        # its hot-user interval join outran the 300 s default — a silent
-        # wrong answer, the worst failure mode there is. On a slower
-        # machine/bigger replay, raise and let the caller size timeout_s.
-        if not finished:
-            raise TimeoutError(
-                f"streaming replay {name!r} still running after {timeout_s}s — "
-                "refusing to return a partial result; raise timeout_s"
-            )
-    finally:
-        q.stop()
+    with _apply_stream_partitions(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_s)
+            # A timed-out replay MUST raise, never return the partial
+            # memory table: the first full-catalog strict sweep on the
+            # SKEWED fixture (round 8) caught st08 returning an empty
+            # frame after its hot-user interval join outran the 300 s
+            # default — a silent wrong answer, the worst failure mode
+            # there is. On a slower machine/bigger replay, raise and let
+            # the caller size timeout_s.
+            if not finished:
+                raise TimeoutError(
+                    f"streaming replay {name!r} still running after {timeout_s}s — "
+                    "refusing to return a partial result; raise timeout_s"
+                )
+            _dump_progress(q, name)
+        finally:
+            q.stop()
     return spark.table(name)
+
+
+def _dump_progress(q, name: str) -> None:
+    """Measurement hook (optimization guide §1): when
+    $SPARK_GRAFT_STREAM_PROGRESS_DIR is set, append every micro-batch's
+    StreamingQueryProgress (durationMs breakdown: addBatch /
+    getBatch / commitOffsets / walCommit ..., stateOperators commit
+    times) to one JSONL file per query so replay wall time can be
+    attributed to engine phases instead of guessed at. No-op (and
+    exception-proof) in normal runs."""
+    import json
+
+    out_dir = os.environ.get("SPARK_GRAFT_STREAM_PROGRESS_DIR")
+    if not out_dir:
+        return
+    try:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"{name}.jsonl"), "a") as f:
+            for p in q.recentProgress or []:
+                d = p.json if isinstance(getattr(p, "json", None), str) else json.dumps(p)
+                f.write(d + "\n")
+    except Exception:  # noqa: BLE001 — a broken probe must not fail the query
+        pass
 
 
 # η₀ for the st06/st06a incremental trainer — shared with st06a's SQL
@@ -767,17 +857,19 @@ def run_foreach_batch(
     caller's ``batch_fn(df, epoch_id)`` sees each micro-batch as a plain
     batch DataFrame (the M5 incremental-training glue)."""
     ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
-    q = (
-        result.writeStream.foreachBatch(batch_fn)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    with _apply_stream_partitions(result.sparkSession):
+        q = (
+            result.writeStream.foreachBatch(batch_fn)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+            _dump_progress(q, "feb_" + uuid.uuid4().hex[:8])
+        finally:
+            q.stop()
 
 
 # --------------------------------------------------------------------------
@@ -819,7 +911,9 @@ def documents_jsonl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_schema = StructType(
         list(DOCUMENT_SCHEMA.fields) + [StructField(CORRUPT_COL, StringType())]
     )
-    raw = spark.readStream.format("text").load(jsonl_stream_dir(spark, sf_dir))
+    src_dir = jsonl_stream_dir(spark, sf_dir)
+    _hint_stream_partitions(spark, src_dir)
+    raw = spark.readStream.format("text").load(src_dir)
     return raw.select(
         "value",
         F.from_json(
@@ -909,11 +1003,13 @@ def late_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     footer_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    replay_dir = late_replay_stream_dir(spark, sf_dir)
+    _hint_stream_partitions(spark, replay_dir)
     raw = (
         spark.readStream.schema(footer_schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .load(late_replay_stream_dir(spark, sf_dir))
+        .load(replay_dir)
     )
     return normalize_event_ts(raw).withWatermark("ts", WATERMARK)
 
@@ -994,11 +1090,13 @@ def redelivered_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     footer_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    replay_dir = redelivery_stream_dir(spark, sf_dir)
+    _hint_stream_partitions(spark, replay_dir)
     raw = (
         spark.readStream.schema(footer_schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .load(redelivery_stream_dir(spark, sf_dir))
+        .load(replay_dir)
     )
     return normalize_event_ts(raw).withWatermark("ts", WATERMARK)
 

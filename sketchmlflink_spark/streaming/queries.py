@@ -331,11 +331,13 @@ def _incremental_sgd_state(spark: SparkSession, sf_dir: str) -> dict:
     tune_for_session(spark)
     ensure_workers_can_import(spark)
     emb_schema = "vec_id long, embedding array<float>"
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    P._hint_stream_partitions(spark, emb_path)
     stream = (
         spark.readStream.schema(emb_schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .load(P.stream_dir_for(os.path.join(sf_dir, "embeddings.parquet")))
+        .load(P.stream_dir_for(emb_path))
     )
     return P.incremental_sgd_driver(
         stream, lambda bdf: _training_df(spark, sf_dir, emb=bdf), EMBED_DIM

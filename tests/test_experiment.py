@@ -67,9 +67,9 @@ def test_parallelism_governs_training_partitions(spark, libsvm_file, monkeypatch
     seen = []
     orig_fit = MultipleLinearRegression.fit
 
-    def spy_fit(self, df, dim=None):
+    def spy_fit(self, df, dim=None, prepared=None):
         seen.append(df.rdd.getNumPartitions())
-        return orig_fit(self, df, dim=dim)
+        return orig_fit(self, df, dim=dim, prepared=prepared)
 
     monkeypatch.setattr(MultipleLinearRegression, "fit", spy_fit)
     for par in (2, 5):
