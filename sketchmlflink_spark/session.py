@@ -71,6 +71,23 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider",
             )
+            # Commit-path tunings (optimization guide §1.2: per-task
+            # work), both standard for production RocksDB state:
+            # changelog checkpointing appends a small changelog per
+            # commit instead of uploading a full snapshot (snapshots
+            # move to background maintenance) — the r11 phase probe
+            # measured commit time as the dominant micro-batch cost;
+            # trackTotalNumberOfRows=false drops the extra read-before-
+            # write RocksDB does per put/delete just to maintain the
+            # numRowsTotal metric (semantics-neutral, metric-only).
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled", "true",
+            )
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "trackTotalNumberOfRows", "false",
+            )
     except Exception:
         pass
     return spark

@@ -70,7 +70,11 @@ def _hint_stream_partitions(spark: SparkSession, *paths: str) -> None:
         cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:  # noqa: BLE001
         cap = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n = max(1, min(cap, -(-total // int(target_b))))
+    # floor of 4 (below the cap): state commits are near-free at this
+    # concurrency while compute-heavy stateful ops (session-window
+    # merge) keep some parallelism — n=1 was measured to give back
+    # ~1-2 s of single-threaded merge on st04's 95k sessions
+    n = max(1, min(4, cap), min(cap, -(-total // int(target_b))))
     _STREAM_PARTS_HINT.clear()
     _STREAM_PARTS_HINT.append(int(n))
 
