@@ -170,10 +170,18 @@ def d03_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(sh_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, sh array) → (id, s0..s31 minhash columns).
 
-    Explode + ONE hash aggregate with 32 ``min`` expressions — stays in
-    whole-stage codegen and map-side partial aggregation (vs. 32 nested
-    array transforms per row, which overflow the codegen method-size
-    limit and fall back to interpreted eval — measured 30× slower).
+    The shingle hash stays a Catalyst expression; the 32 permutation
+    mins are a numpy partition kernel (optimization guide §4.2, the
+    simhash_signatures treatment): the previous ONE-hash-aggregate shape
+    with 32 ``min`` columns updated 32 codegen agg slots per exploded
+    shingle row and shuffled every token row into the groupBy. The
+    kernel evaluates all 32 affine permutations of an Arrow batch as one
+    (32 × n) integer matrix and reduces per doc boundary with
+    ``np.minimum.reduceat`` — a·h+b < 2^62 (h < 2^32, a < 2^30) so int64
+    arithmetic is exact and identical to the JVM's, and the emitted
+    PARTIAL min vectors make the result batch/partition-split-invariant
+    (a doc-count-sized groupBy merges them with element-wise array min —
+    guide §2.3, aggregate before you shuffle).
 
     ``explode_outer``, not ``explode``: callers guarantee non-empty
     shingle arrays (size(tk) >= SHINGLE_SIZE upstream), and the plain
@@ -181,16 +189,46 @@ def minhash_signatures(sh_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ``size(sh) > 0`` predicate that PushDownPredicates inlines through
     the projections — re-running the tokenizing regex split once per
     element_at per shingle (~150×/row; measured 30× wall slowdown on
-    sf0.1)."""
+    sf0.1). (xxhash64 never returns NULL — a NULL shingle hashes to the
+    seed — so ``h`` is total either way.)"""
+    import numpy as np
+    import pandas as pd
+
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(sh_df.sparkSession)
     h = F.pmod(F.xxhash64("sh"), F.lit(1 << 32))
     exploded = sh_df.select(id_col, F.explode_outer("sh").alias("sh")).select(
         id_col, h.alias("h")
     )
-    mins = [
-        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_PRIME).alias(f"s{i}")
-        for i in range(MINHASH_PERMS)
-    ]
-    return exploded.groupBy(id_col).agg(*mins)
+
+    A = np.asarray(MINHASH_A, dtype=np.int64)
+    B = np.asarray(MINHASH_B, dtype=np.int64)
+
+    def min_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            hv = pdf["h"].to_numpy()
+            hp = (hv[:, None] * A + B) % MINHASH_PRIME
+            starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            mins = np.minimum.reduceat(hp, starts, axis=0)
+            yield pd.DataFrame({id_col: ids[starts], "mins": list(mins)})
+
+    partials = exploded.mapInPandas(min_partials, f"{id_col} long, mins array<long>")
+    big = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), MINHASH_PERMS)
+    tot = F.aggregate(
+        F.col("ml"), big, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
+    )
+    return (
+        partials.groupBy(id_col)
+        .agg(F.collect_list("mins").alias("ml"))
+        .select(
+            id_col,
+            *[tot.getItem(i).alias(f"s{i}") for i in range(MINHASH_PERMS)],
+        )
+    )
 
 
 def lsh_candidate_pairs(
@@ -464,26 +502,72 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, text) → (doc_id, sim: n_bits-bit SimHash).
 
-    Explode token hashes + ONE hash aggregate with n_bits conditional
-    sums (same pattern/rationale as minhash_signatures: per-bit majority
-    vote stays in codegen + map-side partial agg instead of n_bits array
-    traversals per row). ``hash_col`` is the per-token hash expression
-    over column ``tok`` (default: production xxhash64; d20 passes the
-    engine-portable md5 family so the vote is DuckDB-replayable)."""
+    Tokenization and the per-token hash stay Catalyst expressions
+    (``hash_col`` is the hash over column ``tok`` — default production
+    xxhash64; d20 passes the engine-portable md5 family so the vote is
+    DuckDB-replayable). The per-bit majority vote is a numpy partition
+    kernel (optimization guide §4.2): the previous shape — ONE hash
+    aggregate with n_bits conditional ``sum`` columns over the exploded
+    token rows — spent ~85% of the operator's time updating 60-64
+    codegen agg slots per token row (measured sf0.1: 2.0 of 2.3 s;
+    the explode+hash scan itself is 0.3 s). The kernel bit-unpacks each
+    Arrow batch into an (n_rows × n_bits) ±1 matrix and reduces it
+    per doc boundary with ``np.add.reduceat`` — integer-exact, batch- and
+    partition-split-invariant because it emits PARTIAL vote vectors that
+    a (doc-count-sized, not token-count-sized) groupBy merges with an
+    element-wise array sum. Shuffle bytes drop from 750k 60-column agg
+    rows to n_docs array rows (guide §2.3, aggregate before you
+    shuffle)."""
+    import numpy as np
+    import pandas as pd
+
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(docs.sparkSession)
     h = F.xxhash64("tok") if hash_col is None else hash_col
     hs = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok")).select(
         "doc_id", h.alias("h")
     )
-    bit_votes = [
-        F.sum((F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")).alias(f"b{i}")
-        for i in range(n_bits)
-    ]
-    agg = hs.groupBy("doc_id").agg(*bit_votes)
-    sim = F.lit(0).cast("long")
-    for i in range(n_bits):
-        bit_i = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long")
-        sim = sim + F.when(F.col(f"b{i}") > 0, bit_i).otherwise(F.lit(0).cast("long"))
-    return agg.select("doc_id", sim.alias("sim"))
+
+    def vote_partials(batches):
+        shifts = np.arange(n_bits, dtype=np.uint64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            hv = np.ascontiguousarray(pdf["h"].to_numpy()).view(np.uint64)
+            votes = (
+                2 * ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int64) - 1
+            )
+            starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            sums = np.add.reduceat(votes, starts, axis=0)
+            yield pd.DataFrame({"doc_id": ids[starts], "votes": list(sums)})
+
+    partials = hs.mapInPandas(vote_partials, "doc_id long, votes array<long>")
+    zero = F.array_repeat(F.lit(0).cast("long"), n_bits)
+    tot = F.aggregate(
+        F.col("vl"), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+    )
+    # bit weights as literals — bit 63 is Long.MIN_VALUE, same two's-
+    # complement encoding the previous per-column construction used
+    weights = F.array(
+        *[
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+            for i in range(n_bits)
+        ]
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            tot, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return (
+        partials.groupBy("doc_id")
+        .agg(F.collect_list("votes").alias("vl"))
+        .select("doc_id", sim.alias("sim"))
+    )
 
 
 def simhash_near_duplicates(
@@ -2108,26 +2192,28 @@ def label_propagate(edges: DataFrame, max_iters: int = D13_MAX_ITERS) -> DataFra
             labels.join(nbr, labels["v"] == nbr["src"], "left")
             .select(
                 labels["v"].alias("v"),
+                labels["lbl"].alias("old_lbl"),
                 F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias("lbl"),
             )
         )
-        # 2) pointer jump: lbl(v) ← lbl(lbl(v)) — halves chain depth
+        # 2) pointer jump: lbl(v) ← lbl(lbl(v)) — halves chain depth.
+        # The round's OLD label rides along as old_lbl so convergence is
+        # a scan of the (already-materialized) checkpoint instead of a
+        # third join+shuffle per round against the previous frame
+        # (optimization guide §2.4: the old/new join re-shuffled both
+        # label frames every round only to count inequalities).
         ptr = relaxed.select(F.col("v").alias("pv"), F.col("lbl").alias("plbl"))
         jumped = (
             relaxed.join(ptr, relaxed["lbl"] == ptr["pv"], "left")
             .select(
                 relaxed["v"].alias("v"),
+                relaxed["old_lbl"].alias("old_lbl"),
                 F.least(relaxed["lbl"], F.coalesce("plbl", relaxed["lbl"])).alias("lbl"),
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.where(F.col("lbl") != F.col("old_lbl")).count()
+        labels = jumped.select("v", "lbl")
         if changed == 0:
             break
     else:
