@@ -926,38 +926,67 @@ def _d07_planes(dim: int):
 
 
 def _d07_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared candidate-generation scan for d07/d18: each embedding row
-    signed against the 30 hyperplanes JVM-side, its 10 × 3-bit band
-    buckets packed into one ``sig`` int, then exploded to one row per
-    (band, bucket) — the single corpus-wide shuffle both operators pay."""
-    from sketchmlflink_spark.functions.vector import as_double_array, dot
+    """Shared candidate-generation scan for d07/d18/d19: each embedding
+    row signed against the 30 hyperplanes, its 10 × 3-bit band buckets
+    packed into one ``sig`` int, then exploded to one row per
+    (band, bucket) — the single corpus-wide shuffle the operators pay.
 
+    The signing runs as a numpy partition kernel (optimization guide
+    §4.2). The previous Catalyst form built 30 ``aggregate(zip_with(...))``
+    dot folds per row — higher-order functions run INTERPRETED with
+    per-element boxing, and the expression tree repeated every bit
+    column in both ``sig`` and the band array — measured 2.5 s of d18's
+    3.3 s at sf0.1 (~500 µs/row for what is 2k flops). The kernel is
+    BIT-EXACT with the old fold (and with DuckDB's sequential
+    list_dot_product, which d19's oracle replays): it accumulates over
+    dimensions in ascending index order, one rounded multiply + one
+    rounded add per step from a 0.0 start — the identical IEEE op
+    sequence per (row, plane), just vectorized across rows."""
+    import numpy as np
+    import pandas as pd
+
+    from sketchmlflink_spark.functions.vector import as_double_array
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    planes = _d07_planes(64)
-    bit_cols = [
-        (dot(F.col("v"), F.array(*[F.lit(float(x)) for x in planes[i]])) >= 0).cast("int")
-        for i in range(D07_BANDS * D07_BITS)
-    ]
-    bucket_cols = [
-        sum(bit_cols[b * D07_BITS + j] * (1 << j) for j in range(D07_BITS))
-        for b in range(D07_BANDS)
-    ]
-    packed_sig = sum(bucket_cols[b] * (1 << (D07_BITS * b)) for b in range(D07_BANDS))
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), bucket_cols[b].alias("bucket"))
-            for b in range(D07_BANDS)
-        ]
-    )
-    return (
-        emb.withColumn("sig", packed_sig.cast("int"))
-        .withColumn("bk", F.explode(bands))
-        .select(
-            "vec_id", "v", "sig",
-            F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"),
-        )
+    P = _d07_planes(64)  # (30, 64)
+    n_planes = D07_BANDS * D07_BITS
+
+    def sign_explode(batches):
+        band_ids = np.arange(D07_BANDS, dtype=np.int32)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            vcol = pdf["v"].to_numpy()
+            V = np.stack(vcol)
+            acc = np.zeros((n, n_planes))
+            for d in range(min(V.shape[1], P.shape[1])):
+                acc = acc + V[:, d : d + 1] * P[:, d]
+            bits = (acc >= 0).astype(np.int64)
+            buckets = np.zeros((n, D07_BANDS), dtype=np.int64)
+            for b in range(D07_BANDS):
+                for j in range(D07_BITS):
+                    buckets[:, b] += bits[:, b * D07_BITS + j] << j
+            sig = np.zeros(n, dtype=np.int64)
+            for b in range(D07_BANDS):
+                sig += buckets[:, b] << (D07_BITS * b)
+            rep = np.repeat(np.arange(n), D07_BANDS)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[rep],
+                    "v": vcol[rep],
+                    "sig": sig[rep].astype(np.int32),
+                    "band": np.tile(band_ids, n),
+                    "bucket": buckets.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return emb.mapInPandas(
+        sign_explode, "vec_id long, v array<double>, sig int, band int, bucket int"
     )
 
 

@@ -1637,26 +1637,50 @@ def s14_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # arm returning only exact ranks 3-5 would score a spurious 1.0
         # (ADVICE r4). An arm returning zero rows (plausible for
         # single-table LSH in the weak-similarity regime) gets an
-        # all-zero grid instead of crashing on int(None).
-        arm_k = int(
-            approx.groupBy("q_id").count().agg(F.max("count")).first()[0] or 0
+        # all-zero grid instead of crashing on a NULL max.
+        # arm_k is a 1-row BROADCAST FRAME, not a driver first() — the
+        # old per-arm action executed the arm's whole pipeline a second
+        # time just to read its k (optimization guide §1.2/§5: three
+        # extra arm builds per report); inside the single plan the arm
+        # subtree is shared between the k-derivation and the hits join.
+        armk = F.broadcast(
+            approx.groupBy("q_id")
+            .count()
+            .agg(
+                F.coalesce(F.max("count"), F.lit(0).cast("long"))
+                .cast("int")
+                .alias("raw_k"),
+                F.greatest(F.coalesce(F.max("count"), F.lit(0).cast("long")), F.lit(1).cast("long"))
+                .cast("int")
+                .alias("eff_k"),
+            )
         )
-        truth = exact.where(F.col("rank") <= max(arm_k, 1)).select("q_id", "n_id")
+        truth = (
+            exact.crossJoin(armk)
+            .where(F.col("rank") <= F.col("eff_k"))
+            .select("q_id", "n_id")
+        )
         hits = (
             truth.join(approx, ["q_id", "n_id"], "left_semi")
             .groupBy("q_id")
             .agg(F.count(F.lit(1)).alias("hits"))
         )
-        per_q = base.join(hits, "q_id", "left").select(
-            F.lit(method).alias("method"),
-            F.col("q_id").cast("string").alias("query"),
-            F.coalesce("hits", F.lit(0)).alias("hits"),
-            F.lit(arm_k).alias("k"),
-            F.round(
-                F.coalesce("hits", F.lit(0)) / F.lit(max(arm_k, 1)), 4
-            ).alias("recall"),
+        per_q_full = (
+            base.join(hits, "q_id", "left")
+            .crossJoin(armk)
+            .select(
+                F.lit(method).alias("method"),
+                F.col("q_id").cast("string").alias("query"),
+                F.coalesce("hits", F.lit(0)).alias("hits"),
+                F.col("raw_k").alias("k"),
+                F.round(F.coalesce("hits", F.lit(0)) / F.col("eff_k"), 4).alias(
+                    "recall"
+                ),
+                F.col("eff_k").alias("eff_k"),
+            )
         )
-        mean_row = per_q.agg(
+        per_q = per_q_full.drop("eff_k")
+        mean_row = per_q_full.agg(
             F.lit(method).alias("method"),
             F.lit("__mean__").alias("query"),
             F.sum("hits").alias("hits"),
@@ -1665,7 +1689,7 @@ def s14_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             # avg(rounded per-q recalls) would sum doubles in engine
             # order (the q05 class, round 7) — Σhits/(n·k) is order-free
             F.round(
-                F.sum("hits") / (F.count(F.lit(1)) * F.lit(max(arm_k, 1))), 4
+                F.sum("hits") / (F.count(F.lit(1)) * F.max("eff_k")), 4
             ).alias("recall"),
         )
         per_method.append(per_q.unionByName(mean_row))
