@@ -54,7 +54,9 @@ WATERMARK = "1 hour"
 _STREAM_PARTS_HINT: list[int] = []
 
 
-def _hint_stream_partitions(spark: SparkSession, *paths: str) -> None:
+def _hint_stream_partitions(
+    spark: SparkSession, *paths: str, compute_heavy: bool = False
+) -> None:
     total = 0
     for p in paths:
         if os.path.isdir(p):
@@ -70,11 +72,21 @@ def _hint_stream_partitions(spark: SparkSession, *paths: str) -> None:
         cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:  # noqa: BLE001
         cap = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # floor of 4 (below the cap): state commits are near-free at this
-    # concurrency while compute-heavy stateful ops (session-window
-    # merge) keep some parallelism — n=1 was measured to give back
-    # ~1-2 s of single-threaded merge on st04's 95k sessions
-    n = max(1, min(4, cap), min(cap, -(-total // int(target_b))))
+    if compute_heavy:
+        # Per-PIPELINE override for stateful operators whose cost is the
+        # per-group COMPUTE, not the state commit (st18's per-user Python
+        # funnel: ~user-count groups per trigger). The bytes-derived
+        # count optimizes commit latency and starved exactly this class —
+        # measured at sf1: st18 4.0 → 6.5 s normalized under the derived
+        # count, recovered at the cap. The cap is the session/cluster
+        # parallelism, so this stays scale-adaptive, not a local constant.
+        n = cap
+    else:
+        # floor of 4 (below the cap): state commits are near-free at this
+        # concurrency while compute-heavy stateful ops (session-window
+        # merge) keep some parallelism — n=1 was measured to give back
+        # ~1-2 s of single-threaded merge on st04's 95k sessions
+        n = max(1, min(4, cap), min(cap, -(-total // int(target_b))))
     _STREAM_PARTS_HINT.clear()
     _STREAM_PARTS_HINT.append(int(n))
 
@@ -172,7 +184,9 @@ def stream_dir_for(path: str) -> str:
     return d
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, compute_heavy_state: bool = False
+) -> DataFrame:
     """Streaming scan of the events parquet with event-time watermark.
 
     Streaming file sources require a user-provided schema; instead of
@@ -181,6 +195,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ACTUAL schema from the parquet footer via a batch read, then
     apply the same ts normalization as the batch loader. Batch and
     streaming ingestion can never disagree about the physical encoding.
+
+    ``compute_heavy_state``: the consumer is a stateful operator whose
+    per-group compute dominates its state commits (see
+    _hint_stream_partitions) — partitions stay at the session cap.
     """
     from sketchmlflink_spark.session import tune_for_session
     from sketchmlflink_spark.sources.tables import normalize_event_ts
@@ -188,7 +206,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    _hint_stream_partitions(spark, path)
+    _hint_stream_partitions(spark, path, compute_heavy=compute_heavy_state)
     fschema = footer_schema(spark, path)  # footer-only read, cached
     raw = (
         spark.readStream.schema(fschema)

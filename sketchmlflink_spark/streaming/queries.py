@@ -943,7 +943,9 @@ def st18_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     out_dir = tempfile.mkdtemp(prefix="st18_emissions_")
     P.run_foreach_batch(
-        P.funnel_stages(P.events_stream(spark, sf_dir)),
+        P.funnel_stages(
+            P.events_stream(spark, sf_dir, compute_heavy_state=True)
+        ),
         lambda bdf, eid: bdf.withColumn("_epoch", F.lit(int(eid)))
         .write.mode("append")
         .parquet(out_dir),
