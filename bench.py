@@ -224,7 +224,15 @@ def main() -> None:
         if emitted["done"]:
             return
         emitted["done"] = True
-        print(json.dumps(payload), flush=True)
+        # VERDICT r11 item 2: the driver keeps only a bounded tail of
+        # this process's output and parses the LAST line as the summary
+        # JSON — r10's round-over-round comparison was lost because the
+        # line outgrew that capture. Emit minified (no separator spaces,
+        # 2-decimal per-query seconds — cold-run jitter is ±10-30%, so
+        # the third decimal carried no information) and make the summary
+        # the absolute last stdout line (stdout is flushed and nothing
+        # prints after).
+        print(json.dumps(payload, separators=(",", ":")), flush=True)
 
     state: dict = {"timings": {}, "errors": {}, "total": 0.0,
                    "calib_mm": None, "calib_rng": None,
@@ -238,7 +246,7 @@ def main() -> None:
             "metric": "headline_suite_wall",
             "value": round(state["total"], 3),
             "unit": "sec",
-            "queries": state["timings"],
+            "queries": {n: round(t, 2) for n, t in state["timings"].items()},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "errors": state["errors"],
         }
@@ -260,7 +268,7 @@ def main() -> None:
             out["calib_noise_suspect"] = suspect
             out["value_per_calib"] = round(state["total"] / factor, 3)
             out["queries_per_calib"] = {
-                n: round(t / factor, 3) for n, t in state["timings"].items()
+                n: round(t / factor, 2) for n, t in state["timings"].items()
             }
         if skipped:
             out["skipped_budget"] = skipped

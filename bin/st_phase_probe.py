@@ -51,12 +51,17 @@ def main() -> None:
         for fn in sorted(os.listdir(scratch)):
             batches = [json.loads(l) for l in open(os.path.join(scratch, fn))]
             agg: dict[str, float] = {}
-            state = {"rows": 0, "commit_ms": 0}
+            # numRowsTotal is ALWAYS 0 since the session set
+            # rocksdb.trackTotalNumberOfRows=false (that is the point of
+            # the setting) — attribute state size via the updated/removed
+            # counters instead, which stay live (ADVICE r11)
+            state = {"rows_updated": 0, "rows_removed": 0, "commit_ms": 0}
             for b in batches:
                 for k, v in (b.get("durationMs") or {}).items():
                     agg[k] = agg.get(k, 0) + v
                 for so in b.get("stateOperators") or []:
-                    state["rows"] = max(state["rows"], so.get("numRowsTotal", 0))
+                    state["rows_updated"] += so.get("numRowsUpdated", 0)
+                    state["rows_removed"] += so.get("numRowsRemoved", 0)
                     state["commit_ms"] += so.get("commitTimeMs", 0)
             subs.append(
                 {

@@ -95,14 +95,19 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
         convergence_threshold=(args.threshold if args.applyThreshold else None),
         seed=args.seed,
     )
-    report = mlr.fit_evaluate_report(
-        spark,
-        features,
-        input_file=args.inputTrain,
-        max_dim=args.maxDim,
-    )
-    row = report.first().asDict()
-    data.df.unpersist()
+    try:
+        report = mlr.fit_evaluate_report(
+            spark,
+            features,
+            input_file=args.inputTrain,
+            max_dim=args.maxDim,
+        )
+        row = report.first().asDict()
+    finally:
+        # unpersist even when fit/evaluate raises: the MEMORY_AND_DISK-
+        # cached parsed COO frame would otherwise pin executor memory
+        # for the session lifetime (ADVICE r11)
+        data.df.unpersist()
     row["sketch_or_flink"] = args.sketchOrFlink
     if args.parallelism and args.parallelism > 0:
         # report the requested parallelism like Test.scala's CSV does

@@ -29,6 +29,16 @@ class NotFittedError(RuntimeError):
     """predict-before-fit guard (SMLR:154-165)."""
 
 
+def modulus_split(df: DataFrame, split_key: str) -> tuple[DataFrame, DataFrame]:
+    """THE deterministic 75/25 holdout: (train, test) via
+    ``split_key % 4 == 3`` → test. Defined once so every consumer
+    (fit_evaluate_report's split_key path, m08's shared-blocks arm)
+    trains on the identical rows — two copies of the predicate could
+    silently drift (ADVICE r11)."""
+    is_test = F.pmod(F.col(split_key), F.lit(4)) == 3
+    return df.filter(~is_test), df.filter(is_test)
+
+
 class MultipleLinearRegression:
     def __init__(
         self,
@@ -131,8 +141,7 @@ class MultipleLinearRegression:
         does."""
         t0 = time.monotonic()
         if split_key is not None:
-            is_test = F.pmod(F.col(split_key), F.lit(4)) == 3
-            train, test = df.filter(~is_test), df.filter(is_test)
+            train, test = modulus_split(df, split_key)
         else:
             train, test = df.randomSplit(
                 [train_fraction, 1 - train_fraction], seed=self.solver.seed

@@ -226,15 +226,22 @@ def m08_csvline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mlr = MultipleLinearRegression(iterations=5, step_size=0.5, compression="None")
     # both arms train on the identical vec_id%4!=3 split — blockify it
     # once and share the cache (guide §1.2); block content is
-    # deterministic, so sharing is byte-equal to two preparations
-    is_test = F.pmod(F.col("vec_id"), F.lit(4)) == 3
-    prepared = SGD.prepare_blocks(df.filter(~is_test))
-    report = mlr.fit_evaluate_report(
-        spark, df, split_key="vec_id", prepared_train=prepared
-    )
-    sk = MultipleLinearRegression(iterations=5, step_size=0.5, compression="Sketch")
-    sk.fit(df.filter(~is_test), prepared=prepared)
-    prepared.unpersist()
+    # deterministic, so sharing is byte-equal to two preparations. The
+    # split comes from the ONE shared predicate (regression.modulus_split
+    # — the same function fit_evaluate_report's split_key path calls),
+    # so the two arms can never drift onto mismatched data (ADVICE r11).
+    from sketchmlflink_spark.ml.regression import modulus_split
+
+    train, _test = modulus_split(df, "vec_id")
+    prepared = SGD.prepare_blocks(train)
+    try:
+        report = mlr.fit_evaluate_report(
+            spark, df, split_key="vec_id", prepared_train=prepared
+        )
+        sk = MultipleLinearRegression(iterations=5, step_size=0.5, compression="Sketch")
+        sk.fit(train, prepared=prepared)
+    finally:
+        prepared.unpersist()
     sketch_bytes = int(sk.result_.shuffle_bytes)
     return (
         report.withColumnRenamed("shuffle_bytes", "exact_grad_bytes")

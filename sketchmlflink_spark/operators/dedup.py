@@ -535,7 +535,13 @@ def simhash_signatures(
             if not len(pdf):
                 continue
             ids = pdf["doc_id"].to_numpy()
-            hv = np.ascontiguousarray(pdf["h"].to_numpy()).view(np.uint64)
+            hv = np.ascontiguousarray(pdf["h"].to_numpy())
+            # the .view(uint64) bit reinterpretation is only correct for
+            # a non-null int64 hash column; a future nullable hash would
+            # arrive as float64 and silently garbage every signature —
+            # fail loudly instead (ADVICE r11)
+            assert hv.dtype == np.int64, f"hash column must be non-null int64, got {hv.dtype}"
+            hv = hv.view(np.uint64)
             votes = (
                 2 * ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int64) - 1
             )
@@ -841,13 +847,26 @@ def exact_cosine_pairs(
     threshold: float = COSINE_DUP_THRESHOLD,
     block_rows: int | None = None,
     max_blocks: int | None = None,
+    per_group_top: int | None = None,
 ) -> DataFrame:
     """The d06 distributed block-pair dgemm as a reusable kernel:
     (vec_id, v) → all unordered pairs with cosine >= threshold. See
     d06_embed_cosine_neardup for the full scale rationale.
 
     block_rows/max_blocks default to the module constants resolved at
-    CALL time (not def time) so tests can monkeypatch D06_BLOCK_ROWS."""
+    CALL time (not def time) so tests can monkeypatch D06_BLOCK_ROWS.
+
+    ``per_group_top``: emit only each block-pair group's top-N pairs
+    under the total order (round(cosine, 6) DESC, id_a ASC, id_b ASC)
+    instead of every thresholded pair. Block-pair groups PARTITION the
+    unordered-pair set, so any pair in the global top-N ranks ≤ N inside
+    its own group — the union of per-group top-Ns provably contains the
+    global top-N, and a downstream orderBy+limit(N) over it returns
+    exactly the rows the full pair stream would (optimization guide
+    §2.3/§8: decide with small rows — s02's global top-20 needs 20 rows
+    per group to cross the Python→JVM boundary, not the n²/2 pair
+    stream, which at sf0.1 was 2M pandas rows Arrow-serialized from one
+    task for a 20-row answer)."""
     import math
 
     import numpy as np
@@ -886,6 +905,32 @@ def exact_cosine_pairs(
             A_ids, B_ids = ids[side], ids[~side]
             An, Bn = Mn[side], Mn[~side]
         cos = An @ Bn.T
+        if per_group_top is not None:
+            # top-N of this group's pairs under (round(cos,6) DESC,
+            # id_a, id_b) — identical values and order to the full
+            # path, just truncated per group (see docstring proof).
+            valid = cos >= threshold
+            if pi == pj:
+                valid &= A_ids[:, None] < B_ids[None, :]
+            np.round(cos, 6, out=cos)  # unrounded no longer needed
+            cos[~valid] = -np.inf      # sentinel below any real cosine
+            flat = cos.ravel()
+            k = min(per_group_top, int(valid.sum()))
+            if k == 0:
+                return pd.DataFrame(
+                    {"id_a": ids[:0], "id_b": ids[:0],
+                     "cosine": np.empty(0, dtype=np.float64)}
+                )
+            kth = np.partition(flat, flat.size - k)[flat.size - k]
+            sel = np.nonzero(flat >= kth)[0]  # ≥ k rows (rounding ties)
+            ii, jj = np.unravel_index(sel, cos.shape)
+            ia, ib = A_ids[ii], B_ids[jj]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            rv = flat[sel]
+            order = np.lexsort((hi, lo, -rv))[:per_group_top]
+            return pd.DataFrame(
+                {"id_a": lo[order], "id_b": hi[order], "cosine": rv[order]}
+            )
         ii, jj = np.nonzero(cos >= threshold)
         if pi == pj:
             # triangle: both sides are the same list, so every unordered

@@ -110,11 +110,18 @@ def s02_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition cross the shuffle, not the n²/2 pair stream). Ordering
     is on the 6dp-ROUNDED cosine + ids in both engines, so boundary
     ties are deterministic. d04/s03 remain the sub-quadratic scale
-    paths (LSH candidates instead of all pairs)."""
+    paths (LSH candidates instead of all pairs).
+
+    Since round 12 the kernel emits only each block-pair group's top-20
+    under the same total order (``per_group_top`` — see
+    exact_cosine_pairs for the containment proof): the global top-20 is
+    unchanged, but 20 rows per group cross the Python→JVM boundary
+    instead of the full n²/2 pair stream (2M Arrow rows from one task at
+    sf0.1 — measured 3.3 s isolated, ~0.5 s after; guide §2.3/§8)."""
     from sketchmlflink_spark.operators.dedup import exact_cosine_pairs
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
-    pairs = exact_cosine_pairs(emb, threshold=-1.01)
+    pairs = exact_cosine_pairs(emb, threshold=-1.01, per_group_top=20)
     return (
         pairs.orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)

@@ -45,18 +45,29 @@ WATERMARK = "1 hour"
 # until the session cap (cpus) governs — the same sizing rule a 100-TB
 # deployment applies when it picks shuffle partitions for state size.
 #
-# Handoff: source builders call _hint_stream_partitions with their input
-# paths; run_to_batch / run_foreach_batch apply the hint around query
-# start and restore the session value after (batch queries keep the
-# session default). SPARK_GRAFT_STREAM_STATE_MB overrides the per-
-# partition byte target (default 4 MB of source parquet ≈ 16-32 MB of
-# decoded rows/state per store).
+# Handoff: source builders derive their count with
+# _stream_partitions_for (pure) and publish it with
+# _set_stream_partitions_hint as the LAST step of a successful build —
+# a builder that raises mid-build can never leave a stale hint for the
+# next unrelated stream to consume (VERDICT r11 item 8; the old shape
+# hinted before the fallible readStream/schema steps).
+# run_to_batch / run_foreach_batch consume the hint around query start
+# and restore the session value after (batch queries keep the session
+# default); a failed .start() cannot leak either — the context manager
+# pops the hint before starting. SPARK_GRAFT_STREAM_STATE_MB overrides
+# the per-partition byte target (default 4 MB of source parquet ≈
+# 16-32 MB of decoded rows/state per store).
 _STREAM_PARTS_HINT: list[int] = []
 
 
-def _hint_stream_partitions(
+def _set_stream_partitions_hint(n: int) -> None:
+    _STREAM_PARTS_HINT.clear()
+    _STREAM_PARTS_HINT.append(int(n))
+
+
+def _stream_partitions_for(
     spark: SparkSession, *paths: str, compute_heavy: bool = False
-) -> None:
+) -> int:
     total = 0
     for p in paths:
         if os.path.isdir(p):
@@ -87,8 +98,7 @@ def _hint_stream_partitions(
         # merge) keep some parallelism — n=1 was measured to give back
         # ~1-2 s of single-threaded merge on st04's 95k sessions
         n = max(1, min(4, cap), min(cap, -(-total // int(target_b))))
-    _STREAM_PARTS_HINT.clear()
-    _STREAM_PARTS_HINT.append(int(n))
+    return int(n)
 
 
 _FOOTER_SCHEMA_CACHE: dict = {}
@@ -198,7 +208,7 @@ def events_stream(
 
     ``compute_heavy_state``: the consumer is a stateful operator whose
     per-group compute dominates its state commits (see
-    _hint_stream_partitions) — partitions stay at the session cap.
+    _stream_partitions_for) — partitions stay at the session cap.
     """
     from sketchmlflink_spark.session import tune_for_session
     from sketchmlflink_spark.sources.tables import normalize_event_ts
@@ -206,14 +216,16 @@ def events_stream(
     tune_for_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    _hint_stream_partitions(spark, path, compute_heavy=compute_heavy_state)
+    n_parts = _stream_partitions_for(spark, path, compute_heavy=compute_heavy_state)
     fschema = footer_schema(spark, path)  # footer-only read, cached
     raw = (
         spark.readStream.schema(fschema)
         .format("parquet")
         .load(stream_dir_for(path))
     )
-    return normalize_event_ts(raw).withWatermark("ts", WATERMARK)
+    out = normalize_event_ts(raw).withWatermark("ts", WATERMARK)
+    _set_stream_partitions_hint(n_parts)  # publish only on a successful build
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -970,9 +982,9 @@ def documents_jsonl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(DOCUMENT_SCHEMA.fields) + [StructField(CORRUPT_COL, StringType())]
     )
     src_dir = jsonl_stream_dir(spark, sf_dir)
-    _hint_stream_partitions(spark, src_dir)
+    n_parts = _stream_partitions_for(spark, src_dir)
     raw = spark.readStream.format("text").load(src_dir)
-    return raw.select(
+    out = raw.select(
         "value",
         F.from_json(
             "value",
@@ -980,6 +992,8 @@ def documents_jsonl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
         ).alias("j"),
     )
+    _set_stream_partitions_hint(n_parts)  # publish only on a successful build
+    return out
 
 
 def jsonl_ingest_counts(parsed: DataFrame) -> DataFrame:
@@ -1062,14 +1076,16 @@ def late_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fschema = footer_schema(spark, os.path.join(sf_dir, "events.parquet"))
     replay_dir = late_replay_stream_dir(spark, sf_dir)
-    _hint_stream_partitions(spark, replay_dir)
+    n_parts = _stream_partitions_for(spark, replay_dir)
     raw = (
         spark.readStream.schema(fschema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(replay_dir)
     )
-    return normalize_event_ts(raw).withWatermark("ts", WATERMARK)
+    out = normalize_event_ts(raw).withWatermark("ts", WATERMARK)
+    _set_stream_partitions_hint(n_parts)  # publish only on a successful build
+    return out
 
 
 def late_window_audit(events: DataFrame) -> DataFrame:
@@ -1149,14 +1165,16 @@ def redelivered_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fschema = footer_schema(spark, os.path.join(sf_dir, "events.parquet"))
     replay_dir = redelivery_stream_dir(spark, sf_dir)
-    _hint_stream_partitions(spark, replay_dir)
+    n_parts = _stream_partitions_for(spark, replay_dir)
     raw = (
         spark.readStream.schema(fschema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(replay_dir)
     )
-    return normalize_event_ts(raw).withWatermark("ts", WATERMARK)
+    out = normalize_event_ts(raw).withWatermark("ts", WATERMARK)
+    _set_stream_partitions_hint(n_parts)  # publish only on a successful build
+    return out
 
 
 # --------------------------------------------------------------------------

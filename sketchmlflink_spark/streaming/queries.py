@@ -332,13 +332,14 @@ def _incremental_sgd_state(spark: SparkSession, sf_dir: str) -> dict:
     ensure_workers_can_import(spark)
     emb_schema = "vec_id long, embedding array<float>"
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    P._hint_stream_partitions(spark, emb_path)
+    n_parts = P._stream_partitions_for(spark, emb_path)
     stream = (
         spark.readStream.schema(emb_schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(P.stream_dir_for(emb_path))
     )
+    P._set_stream_partitions_hint(n_parts)  # publish only on a successful build
     return P.incremental_sgd_driver(
         stream, lambda bdf: _training_df(spark, sf_dir, emb=bdf), EMBED_DIM
     )

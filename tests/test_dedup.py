@@ -336,6 +336,43 @@ def test_d06_block_pairs_match_bruteforce(spark, monkeypatch):
         assert got[k] == pytest.approx(expect[k], abs=1e-6)
 
 
+def test_s02_per_group_top_matches_full_pair_stream(spark, monkeypatch):
+    """s02's per-group top-20 truncation (exact_cosine_pairs
+    per_group_top) must return EXACTLY the rows the full n²/2 pair
+    stream returns after the same global orderBy+limit — with the block
+    size forced small so the top-20 provably merges across triangle AND
+    rectangle groups, and with the 6dp rounding ties the order is
+    defined over."""
+    from pyspark.sql import functions as F
+
+    from sketchmlflink_spark.functions.vector import as_double_array
+    from sketchmlflink_spark.operators import dedup as D
+    from sketchmlflink_spark.operators.relational import t
+
+    monkeypatch.setattr(D, "D06_BLOCK_ROWS", 120)  # 500 rows -> 5 blocks
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+
+    def top20(df):
+        return [
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in df.orderBy(
+                F.desc("cosine"), F.asc("id_a"), F.asc("id_b")
+            ).limit(20).collect()
+        ]
+
+    full = top20(D.exact_cosine_pairs(emb, threshold=-1.01))
+    truncated = top20(D.exact_cosine_pairs(emb, threshold=-1.01, per_group_top=20))
+    assert truncated == full
+    # the truncated stream really is bounded: ≤ 20 rows per block-pair group
+    n_groups = 5 * 6 // 2  # 5 blocks -> B(B+1)/2 = 15 groups
+    assert (
+        D.exact_cosine_pairs(emb, threshold=-1.01, per_group_top=20).count()
+        <= 20 * n_groups
+    )
+
+
 def test_d07_candidate_verify_recall_vs_exact(spark):
     """d07 (LSH candidates + exact verify) against d06's exact answer:
     perfect precision by construction (candidates are exact-verified)

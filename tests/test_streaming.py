@@ -1076,3 +1076,34 @@ def test_census_ledger_survives_two_concurrent_writers(spark, tmp_path):
             assert json.load(f) == want
     # and no stray temp files leak behind
     assert not [p for p in _os.listdir(ledger) if ".tmp." in p]
+
+
+def test_failed_stream_build_leaves_no_stale_partition_hint(spark, monkeypatch):
+    """VERDICT r11 item 8: a source build that fails mid-construction
+    must not leave a partition hint behind for the NEXT unrelated
+    streaming query to silently consume as its state-store count. The
+    hint is published as the last step of a successful build, so any
+    exception during schema/read construction leaves the mailbox
+    untouched."""
+    P._STREAM_PARTS_HINT.clear()
+
+    def boom(*_a, **_k):
+        raise RuntimeError("schema read failed")
+
+    monkeypatch.setattr(P, "footer_schema", boom)
+    with pytest.raises(RuntimeError, match="schema read failed"):
+        P.events_stream(spark, SF_SMALL)
+    assert P._STREAM_PARTS_HINT == [], "failed build leaked a partition hint"
+    monkeypatch.undo()
+
+    # a successful build publishes its own freshly derived hint…
+    P.events_stream(spark, SF_SMALL)
+    assert len(P._STREAM_PARTS_HINT) == 1
+    hinted = P._STREAM_PARTS_HINT[0]
+    assert 1 <= hinted <= int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # …and _apply_stream_partitions pops it before the query starts, so a
+    # failed .start() cannot leak it either
+    with P._apply_stream_partitions(spark):
+        assert P._STREAM_PARTS_HINT == []
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == hinted
