@@ -890,13 +890,52 @@ def dynamic_partition_overwrite(sp):
             sp.conf.set(key, prev)
 
 
+@contextmanager
+def driver_side_listing(sp):
+    """Scope ``parallelPartitionDiscovery.threshold`` up for one read of
+    a many-partition-directory dataset. Above the default threshold
+    (32 paths) Spark launches a DISTRIBUTED listing job, whose
+    job-scheduling round costs ~1-2 s here while the driver's own
+    listing pool (``parallelPartitionDiscovery.parallelism`` threads)
+    lists hundreds-to-thousands of local/posix dirs in milliseconds —
+    measured on st15's 720-hour-dir read-back: 2.1 s → 0.85 s
+    best-of-3. Scale-parameterised, not a local tune:
+    $SPARK_GRAFT_DRIVER_LIST_DIRS (default 4096) is the dir count past
+    which a deployment prefers the distributed listing again (object
+    stores with slow per-prefix listing would set it lower)."""
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prev = sp.conf.get(key, None)
+    sp.conf.set(key, os.environ.get("SPARK_GRAFT_DRIVER_LIST_DIRS", "4096"))
+    try:
+        yield
+    finally:
+        if prev is None:
+            sp.conf.unset(key)
+        else:
+            sp.conf.set(key, prev)
+
+
 def land_partitioned(batch_df: DataFrame, eid: int, out_dir: str) -> None:
-    """The st15 sink recipe: dynamic-partition overwrite keyed on
-    (hour_part, _epoch). Retrying epoch e rewrites exactly the
-    (hour, e) partitions it wrote before (idempotent); a different
-    epoch landing rows for the same hour writes DIFFERENT partitions,
-    so multi-batch ingestion of one hour never drops earlier rows
-    (ADVICE r3: plain hour-keyed overwrite silently lost them).
+    """The st15 sink recipe: each epoch lands as a PLAIN overwrite of
+    its own ``out_dir/_epoch=<e>`` directory, hour-partitioned inside.
+    Retrying epoch e rewrites exactly (and only) epoch e's directory —
+    idempotent, and it heals a crashed partial attempt MORE thoroughly
+    than the previous (hour_part, _epoch) dynamic-partition overwrite
+    (which could orphan a (hour, e) partition the retry batch no longer
+    contains); distinct epochs are distinct directories and never
+    clobber, so multi-batch ingestion of one hour never drops earlier
+    rows (ADVICE r3). ``_epoch`` rides as a directory-encoded partition
+    column exactly as before — readers infer the same (hour_part,
+    _epoch) schema and hourly consumers still prune on hour_part.
+
+    Why not dynamic overwrite: its job commit moves every partition
+    directory driver-side — measured at sf0.1 (720 hour dirs, local
+    fs, best-of-3) 9.5 s vs 3.5 s for the identical data as a plain
+    per-epoch overwrite; on an object store those per-partition moves
+    are copies and the gap widens (guide §6/§7.3 commit-protocol
+    frames). The overwrite-one-epoch-dir grain needs no partition
+    diffing at all.
+
     Repartition by hour so a wide batch doesn't open a file per task
     per hour — but with EXPLICIT task count: a bare
     ``repartition("hour_part")`` lets AQE coalesce the (byte-small)
@@ -906,14 +945,12 @@ def land_partitioned(batch_df: DataFrame, eid: int, out_dir: str) -> None:
     sf0.1, 1440 hour dirs: 27–43 s → 5–11 s per epoch). Same pathology
     on a cluster: one executor crawling through 1440 file commits."""
     n_writers = batch_df.sparkSession.sparkContext.defaultParallelism
-    with dynamic_partition_overwrite(batch_df.sparkSession):
-        (
-            batch_df.withColumn("_epoch", F.lit(int(eid)))
-            .repartition(n_writers, "hour_part")
-            .write.mode("overwrite")
-            .partitionBy("hour_part", "_epoch")
-            .parquet(out_dir)
-        )
+    (
+        batch_df.repartition(n_writers, "hour_part")
+        .write.mode("overwrite")
+        .partitionBy("hour_part")
+        .parquet(os.path.join(out_dir, f"_epoch={int(eid)}"))
+    )
 
 
 def run_foreach_batch(
