@@ -1542,21 +1542,49 @@ def q35_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — no global sort materializes the pair space.
     Ordering is total (support DESC, part1, part2) so the LIMIT is
     engine-independent under ties."""
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     part_sets = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    pairs = part_sets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (p1, i) ->"
-                " transform(slice(ps, i + 2, size(ps)), p2 ->"
-                " struct(p1 AS part1, p2 AS part2))))"
+
+    # pair expansion as a numpy partition kernel (guide §4.2): the
+    # nested ``transform(slice(...))`` higher-order expression ran
+    # INTERPRETED, re-slicing the set per element and boxing a struct
+    # per pair — ~12M interpreted struct builds at sf1 (profiled r12).
+    # The kernel emits the IDENTICAL pair multiset (pure int64 position
+    # pairs i<j from the same sorted sets — no floating point at all),
+    # vectorized per set-size group with cached triangle indices;
+    # pinned by tests/test_kernel_parity.py::test_q35_pair_kernel_matches_hof.
+    def expand_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        tri_cache: dict = {}
+        for pdf in batches:
+            outs_a, outs_b = [], []
+            sets = pdf["ps"].to_numpy()
+            sizes = np.asarray([len(s) for s in sets])
+            for k in np.unique(sizes):
+                if k < 2:
+                    continue
+                grp = np.stack(sets[sizes == k].tolist())
+                if k not in tri_cache:
+                    tri_cache[k] = np.triu_indices(k, 1)
+                ii, jj = tri_cache[k]
+                outs_a.append(grp[:, ii].ravel())
+                outs_b.append(grp[:, jj].ravel())
+            if not outs_a:
+                continue
+            yield pd.DataFrame(
+                {"part1": np.concatenate(outs_a), "part2": np.concatenate(outs_b)}
             )
-        ).alias("pr")
-    ).select("pr.part1", "pr.part2")
+
+    pairs = part_sets.select("ps").mapInPandas(expand_pairs, "part1 long, part2 long")
     return (
         pairs.groupBy("part1", "part2")
         .agg(F.count(F.lit(1)).alias("support"))

@@ -133,7 +133,12 @@ def s02_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # s03 — LSH-bucketed approximate NN (the scale path).
 # --------------------------------------------------------------------------
 def hyperplane_bucket(v_col) -> F.Column:
-    """Sign pattern against LSH_PLANES fixed random hyperplanes → int bucket."""
+    """Sign pattern against LSH_PLANES fixed random hyperplanes → int bucket.
+
+    The Catalyst-expression form (kept as the semantic reference and for
+    tests): 6 interpreted ``aggregate(zip_with(...))`` dot folds per row.
+    The corpus-scale scan uses _hyperplane_buckets (the numpy kernel,
+    bit-exact — same IEEE op sequence) since round 12."""
     bucket = F.lit(0)
     for i, plane in enumerate(LSH_HYPERPLANES):
         p = F.array(*[F.lit(x) for x in plane])
@@ -141,10 +146,56 @@ def hyperplane_bucket(v_col) -> F.Column:
     return bucket
 
 
+def _hyperplane_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, v) → (vec_id, v, bucket): the s03 signing scan as a numpy
+    partition kernel (optimization guide §4.2; the d07/_d07_exploded
+    recipe, dedup.py:973). The Catalyst form ran LSH_PLANES interpreted
+    ``aggregate(zip_with(...))`` higher-order dot folds per row — at sf1
+    that is 120k interpreted 64-dim folds for what is ~7.7M flops.
+
+    BIT-EXACT with the expression form (and with DuckDB's sequential
+    list_dot_product, which the s03/s14 oracles replay from the same
+    hyperplane literals): the kernel accumulates over dimensions in
+    ascending index order, one rounded multiply + one rounded add per
+    step from a 0.0 start — the identical IEEE op sequence per
+    (row, plane), vectorized across rows. Signs (and therefore buckets)
+    can never differ; pinned by
+    tests/test_kernel_parity.py::test_hyperplane_bucket_kernel_matches_expression."""
+    import numpy as np
+    import pandas as pd
+
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(emb.sparkSession)
+    P = np.asarray(LSH_HYPERPLANES, dtype=np.float64)  # (LSH_PLANES, 64)
+    weights = (1 << np.arange(LSH_PLANES)).astype(np.int64)
+
+    def sign_buckets(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            vcol = pdf["v"].to_numpy()
+            V = np.stack(vcol)
+            acc = np.zeros((n, LSH_PLANES))
+            for d in range(min(V.shape[1], P.shape[1])):
+                acc = acc + V[:, d : d + 1] * P[:, d]
+            bucket = ((acc >= 0) @ weights).astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "v": vcol, "bucket": bucket}
+            )
+
+    return emb.mapInPandas(sign_buckets, "vec_id long, v array<double>, bucket int")
+
+
 def ann_lsh_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = 3) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's hyperplane
-    bucket. One shuffle on the bucket id; never a cross join."""
-    withb = emb.select("vec_id", "v", hyperplane_bucket(F.col("v")).alias("bucket"))
+    bucket. One shuffle on the bucket id; never a cross join. The signing
+    scan is the numpy kernel (_hyperplane_buckets); the candidate verify
+    stays Catalyst — at sf1 it touches only ~3.8k candidate pairs
+    (profiled r12) vs the 120k corpus-scale plane-dots the kernel
+    absorbs."""
+    withb = _hyperplane_buckets(emb)
     q = withb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
     )
@@ -970,6 +1021,88 @@ def s07_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_cosine_scan(
+    emb: DataFrame,
+    query_rows: list,
+    threshold: float | None = None,
+    per_batch_top: int | None = None,
+    carry_v: bool = False,
+) -> DataFrame:
+    """One embarrassingly-parallel corpus pass against a resident query
+    block, as a numpy partition kernel (guide §4.2): (vec_id, v) ×
+    [(q_id, qv), ...] → (q_id, n_id, cos) with self-pairs dropped.
+
+    The Catalyst form evaluated ``cosine()`` — THREE interpreted
+    ``aggregate(zip_with(...))`` 64-dim folds — per (query, row) pair:
+    200k interpreted folds at sf1 for s08 (profiled r12). The kernel is
+    BIT-EXACT with that expression (and with DuckDB's sequential
+    list_dot_product, which the s08/s13 oracles replay): each dot
+    accumulates over dimensions in ascending index order, one rounded
+    multiply + one rounded add per step from 0.0 (the d07 kernel
+    precedent, dedup.py:973), and the cosine is dot/(norm_q · norm_c)
+    with the same operand order. Threshold compare (>=) and the
+    (cos DESC, n_id ASC) per-batch truncation are order-free.
+
+    ``per_batch_top``: emit only each batch's top-N rows PER QUERY under
+    (cos DESC, n_id ASC) — batches partition the corpus, so any row in
+    the global top-N ranks ≤ N inside its own batch and a downstream
+    orderBy/limit (or row_number ≤ N) returns exactly the rows the full
+    stream would (the s02 per-group-top containment argument).
+
+    ``carry_v``: also emit the corpus row's vector (s13's pool carries
+    its vectors into the bounded pairwise stage)."""
+    import numpy as np
+    import pandas as pd
+
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(emb.sparkSession)
+    q_ids = np.asarray([r[0] for r in query_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in query_rows])
+    nq, dim = Q.shape
+    # query self-dots: the same ascending-dim one-mul-one-add sequence
+    qacc = np.zeros(nq)
+    for d in range(dim):
+        qacc = qacc + Q[:, d] * Q[:, d]
+    q_norm = np.sqrt(qacc)
+
+    def scan(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            acc = np.zeros((n, nq))
+            cacc = np.zeros(n)
+            for d in range(min(V.shape[1], dim)):
+                acc = acc + V[:, d : d + 1] * Q[:, d]
+                cacc = cacc + V[:, d] * V[:, d]
+            cos = acc / (q_norm[None, :] * np.sqrt(cacc)[:, None])
+            n_ids = pdf["vec_id"].to_numpy()
+            valid = n_ids[:, None] != q_ids[None, :]
+            if threshold is not None:
+                valid &= cos >= threshold
+            if per_batch_top is not None and valid.any():
+                # rank within (batch, query) under (cos DESC, n_id ASC);
+                # ranks > per_batch_top can never reach the global top-N
+                neg = np.where(valid, -cos, np.inf)
+                order = np.lexsort((n_ids[:, None].repeat(nq, 1), neg), axis=0)
+                rank = np.empty_like(order)
+                np.put_along_axis(rank, order, np.arange(n)[:, None], axis=0)
+                valid &= rank < per_batch_top
+            ii, jj = np.nonzero(valid)
+            out = {"q_id": q_ids[jj], "n_id": n_ids[ii], "cos": cos[ii, jj]}
+            if carry_v:
+                out["v"] = pdf["v"].to_numpy()[ii]
+            yield pd.DataFrame(out)
+
+    schema = "q_id long, n_id long, cos double" + (
+        ", v array<double>" if carry_v else ""
+    )
+    return emb.mapInPandas(scan, schema)
+
+
+
 # --------------------------------------------------------------------------
 # s08 — exact cosine range search (threshold all-neighbors).
 # --------------------------------------------------------------------------
@@ -995,26 +1128,20 @@ def s08_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANGE_TAU to any of the N_QUERIES query vectors — the "find all
     neighbors within a radius" dual of s01's top-k.
 
-    Plan shape: the query side is broadcast (tiny by construction), so
-    the corpus is read ONCE with zero shuffle — each scan task evaluates
-    its rows against the resident query block and emits only matches.
-    The threshold filter sits inside the same codegen stage as the
-    cosine, so non-matches never materialize. At 100 TB this is one
-    embarrassingly-parallel pass; for large query sets swap the
-    broadcast for the s03/s05 bucketed candidate paths.
-    """
+    Plan shape: the query block is resident in every scan task, so the
+    corpus is read ONCE with zero shuffle and only matches are emitted
+    — one embarrassingly-parallel pass (at 100 TB; for large query sets
+    swap in the s03/s05 bucketed candidate paths). Since round 12 the
+    pass is the _query_cosine_scan numpy kernel (bit-exact, see there):
+    the broadcast-NL-join form paid 200k interpreted cosine() HOF folds
+    at sf1. The 6dp display rounding stays in Catalyst."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", as_double_array("embedding").alias("v"))
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    c = emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv"))
-    cos = cosine(F.col("qv"), F.col("cv"))
-    return (
-        F.broadcast(q)
-        .join(c, F.col("n_id") != F.col("q_id"))
-        .where(cos >= RANGE_TAU)
-        .select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
-    )
+    qrows = [
+        (r["vec_id"], r["v"])
+        for r in emb.where(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    matches = _query_cosine_scan(emb, qrows, threshold=RANGE_TAU)
+    return matches.select("q_id", "n_id", F.round("cos", 6).alias("cosine"))
 
 
 # --------------------------------------------------------------------------
@@ -1250,26 +1377,51 @@ def s11_sq8_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     coded = emb.select("vec_id", encode(F.col("v")).alias("code"))
-    q = (
-        coded.where(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), F.col("code").alias("qc"))
-    )
-    idot = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    approx = (
-        F.broadcast(q)
-        .join(coded.select(F.col("vec_id").alias("n_id"), F.col("code").alias("cc")),
-              F.col("n_id") != F.col("q_id"))
-        .select(
-            "q_id", "n_id",
-            (idot(F.col("qc"), F.col("cc"))
-             / F.sqrt(idot(F.col("qc"), F.col("qc")) * idot(F.col("cc"), F.col("cc")))
-             ).alias("acos"),
-        )
-    )
+    # --- approximate scan: integer code dots against the resident query
+    # codes, as a numpy partition kernel (guide §4.2). The broadcast-NL
+    # form paid 3 interpreted ``aggregate(zip_with(...))`` integer folds
+    # per (query, row) — 600k folds at sf1 (profiled r12). Integer
+    # arithmetic is associative, so the kernel's matmul is EXACT (not
+    # merely bit-compatible): dots ≤ 64·127² and qq·cc ≤ ~1.1e12 both
+    # fit int64, and acos = dot/sqrt(qq·cc) is one double division of
+    # exactly-represented integers — identical by VALUE to the Catalyst
+    # expression regardless of op order. Per-batch top-C truncation
+    # under (acos DESC, n_id ASC) bounds what crosses the boundary; the
+    # downstream row_number ≤ C over the truncated stream returns the
+    # identical candidate set (per-batch containment, the s02 proof).
+    import numpy as np
+    import pandas as pd
+
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    q_rows = coded.where(F.col("vec_id") < N_QUERIES).collect()
+    q_ids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Qc = np.stack([np.asarray(r["code"], dtype=np.int64) for r in q_rows])
+    qq = (Qc * Qc).sum(axis=1)  # exact int64 self-dots
+
+    def idot_scan(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            C = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            dots = C @ Qc.T                      # (n, nq) exact int64
+            cc = (C * C).sum(axis=1)             # (n,) exact int64
+            acos = dots / np.sqrt(qq[None, :] * cc[:, None])
+            n_ids = pdf["vec_id"].to_numpy()
+            valid = n_ids[:, None] != q_ids[None, :]
+            neg = np.where(valid, -acos, np.inf)
+            order = np.lexsort((np.broadcast_to(n_ids[:, None], neg.shape), neg), axis=0)
+            rank = np.empty_like(order)
+            np.put_along_axis(rank, order, np.arange(n)[:, None], axis=0)
+            valid &= rank < S11_CANDIDATES
+            ii, jj = np.nonzero(valid)
+            yield pd.DataFrame(
+                {"q_id": q_ids[jj], "n_id": n_ids[ii], "acos": acos[ii, jj]}
+            )
+
+    approx = coded.mapInPandas(idot_scan, "q_id long, n_id long, acos double")
     wq = Window.partitionBy("q_id").orderBy(F.desc("acos"), F.asc("n_id"))
     cands = approx.withColumn("crk", F.row_number().over(wq)).where(
         F.col("crk") <= S11_CANDIDATES
@@ -1476,11 +1628,18 @@ def s13_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    q = e.where(F.col("vec_id") == S13_QVEC).select(F.col("v").alias("qv"))
+    # pool select = one corpus pass against the single resident query —
+    # the _query_cosine_scan numpy kernel (bit-exact; see there) with
+    # per-batch top-POOL truncation replaces the broadcast crossJoin's
+    # 20k interpreted cosine() HOF folds at sf1 (profiled r12); the
+    # global (rel DESC, vec_id ASC) limit over the truncated stream is
+    # provably the same POOL rows (per-batch containment).
+    qrow = e.where(F.col("vec_id") == S13_QVEC).collect()[0]
     pool = (
-        e.where(F.col("vec_id") != S13_QVEC)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", "v", cosine(F.col("qv"), F.col("v")).alias("rel"))
+        _query_cosine_scan(
+            e, [(qrow["vec_id"], qrow["v"])], per_batch_top=S13_POOL, carry_v=True
+        )
+        .select(F.col("n_id").alias("vec_id"), "v", F.col("cos").alias("rel"))
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(S13_POOL)
     )

@@ -150,10 +150,13 @@ def test_d10_two_digest_and_doc_exchanges(spark, queries):
 
 
 def test_s08_broadcast_zero_shuffle(spark, queries):
-    """Range search must broadcast the query side and never shuffle the
-    corpus: one broadcast join, no hash-partitioned Exchange."""
+    """Range search must stay one embarrassingly-parallel corpus pass:
+    the resident-query numpy kernel (MapInPandas since r12 — replaced
+    the broadcast-NL join's interpreted cosine() HOF folds), no join,
+    and never a hash-partitioned Exchange of the corpus."""
     plan = formatted_plan(spark, queries["s08_range_search_cosine"].build(spark, SF_SMALL))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan, plan
 
 
@@ -436,6 +439,8 @@ def test_q35_single_scan_array_side_pairs(spark, queries):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan  # pairs come from the array, not a self-join
     assert "partial_collect_set" in plan or "objhashaggregate" in plan.lower()
+    # r12: pair expansion is the numpy kernel, not the interpreted HOF
+    assert "MapInPandas" in plan
 
 
 def test_q36_user_partitioned_window_then_narrow_shuffles(spark, queries):
